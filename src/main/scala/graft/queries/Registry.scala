@@ -1,0 +1,12 @@
+package graft.queries
+
+import graft.Q
+
+/** Central registry: every query module contributes its Q list here.
+  * SparkEntry derives the driver-facing `queries` / `oracleSql` maps
+  * from this sequence.
+  */
+object Registry {
+  def all: Seq[Q] =
+    Relational.all
+}
