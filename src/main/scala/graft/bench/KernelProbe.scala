@@ -1,0 +1,33 @@
+package graft.bench
+
+import graft.datagen.Case
+import graft.sort.{BatchSort, ColumnSort, RowFormatSort}
+
+/** Dev-only: kernel timing without Spark, to separate kernel cost from
+  * environment noise.
+  */
+object KernelProbe {
+  def main(args: Array[String]): Unit = {
+    val size = if (args.nonEmpty) args(0).toInt else 70000
+    val c = Case.MixedTuple
+    val batch = c.rows(size).toArray
+    val ord = BatchSort.rowOrdering(c.schema)
+    def once(run: () => Unit): Double = {
+      val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e3
+    }
+    val sortA = () => { val copy = batch.clone(); java.util.Arrays.sort(copy, ord); () }
+    val sortB = () => { RowFormatSort.sortKernel(batch.clone(), c.schema); () }
+    (0 until 10).foreach(_ => { sortA(); sortB() })
+    val times = (0 until 30).map(_ => (once(sortA), once(sortB)))
+    println("A: " + times.map(t => f"${t._1}%.0f").mkString(" "))
+    println("B: " + times.map(t => f"${t._2}%.0f").mkString(" "))
+    // columnar kernels (the RecordBatch-faithful path used by the sweep)
+    val cb = graft.sort.ColumnBatch.fromRows(c.rows(size), c.schema)
+    val colA = () => { ColumnSort.sortBatch(cb, rowFormat = false); () }
+    val colB = () => { ColumnSort.sortBatch(cb, rowFormat = true); () }
+    (0 until 10).foreach(_ => { colA(); colB() })
+    val colTimes = (0 until 30).map(_ => (once(colA), once(colB)))
+    println("colA: " + colTimes.map(t => f"${t._1}%.0f").mkString(" "))
+    println("colB: " + colTimes.map(t => f"${t._2}%.0f").mkString(" "))
+  }
+}

@@ -1,0 +1,195 @@
+package graft.bench
+
+import graft.datagen.Case
+import graft.sort.{ColumnBatch, ColumnSort}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+
+import java.nio.file.{Files, Paths}
+
+/** One measured point of the sweep (reference `DataPoint`,
+  * `src/lib.rs:88-93`).
+  */
+final case class DataPoint(
+    caseName: String,
+    batchSize: Int,
+    strategy: String, // "dyn-comparator" | "rows-format"
+    iters: Int,
+    avgUs: Double, // mean µs to sort one batch
+)
+
+/** The reference's benchmark sweep harness (`src/main.rs:23-73`,
+  * `runall.sh:1-8`) rebuilt for Spark.
+  *
+  * CLI (same flags/defaults as the reference's clap parser,
+  * `src/main.rs:5-21`):
+  * {{{
+  * runMain graft.bench.SortSweep --begin 250 --end 100000 \
+  *   [--case mixed-tuple] [--step-size 500] [--iters 50] [--out results]
+  * }}}
+  *
+  * Timing methodology. The reference times ONE operation: sorting a single
+  * already-materialized in-memory batch, with data generation outside the
+  * timed region (`src/main.rs:42-55`). A Spark *action* per measurement
+  * cannot reproduce that protocol here: local job-launch overhead is
+  * ~50 ms/job in this environment — 20× the entire workload. So the sweep
+  * measures **inside one Spark task** (`mapPartitions` over the cached
+  * single-partition batch): the rows are materialized to an `Array[Row]`
+  * (the RecordBatch analog), then each strategy's sort kernel is timed
+  * over `iters` iterations after JIT warm-up, on a fresh copy each time —
+  * mirroring the reference's per-iteration regenerated (byte-identical)
+  * batch. Distribution across executors is untouched engine behavior
+  * (`BatchSort.sortBatch` — used by the correctness suite and queries);
+  * the sweep isolates the kernel cost the way the reference does.
+  *
+  *  - dyn-comparator (strategy A, `src/lib.rs:33-34`): chained per-column
+  *    comparator sort of the row array = Arrow's `lexsort_to_indices`
+  *    comparator chain. Timed region: comparator sort (+ implicit gather —
+  *    we sort row references, which fuses the reference's lexsort + take).
+  *  - rows-format (strategy B, `src/lib.rs:35-53`): memcmp-key encode →
+  *    byte-wise sort → gather, converter rebuilt per call exactly like the
+  *    reference's per-call `RowConverter::new` (non-amortized cost — that
+  *    was PR #5292's point). See [[graft.sort.RowFormatSort]].
+  */
+object SortSweep {
+
+  def main(args: Array[String]): Unit = {
+    val opt = parseArgs(args)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-sort-sweep")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val points = sweep(spark, opt)
+
+    Files.createDirectories(Paths.get(opt.out))
+    val csvPath = Paths.get(opt.out, s"${opt.caseName}.csv")
+    val csv = ("case,batch_size,strategy,iters,avg_us" +:
+      points.map(p =>
+        s"${p.caseName},${p.batchSize},${p.strategy},${p.iters},"
+          + f"${p.avgUs}%.2f")).mkString("\n") + "\n"
+    Files.writeString(csvPath, csv)
+    Files.writeString(Paths.get(opt.out, s"${opt.caseName}.svg"), SvgChart.render(points))
+    println(s"[sweep] wrote ${points.size} points -> $csvPath")
+    spark.stop()
+  }
+
+  final case class Opt(
+      caseName: String = "mixed-tuple", // reference default, src/main.rs:7-8
+      begin: Int = 250,
+      end: Int = 100000,
+      stepSize: Int = 500,
+      iters: Int = 50, // reference default, src/main.rs:19-21
+      out: String = "results",
+  )
+
+  def parseArgs(args: Array[String]): Opt = {
+    @annotation.tailrec
+    def go(rest: List[String], o: Opt): Opt = rest match {
+      case "--case" :: v :: t => go(t, o.copy(caseName = v))
+      case "--begin" :: v :: t => go(t, o.copy(begin = v.toInt))
+      case "--end" :: v :: t => go(t, o.copy(end = v.toInt))
+      case "--step-size" :: v :: t => go(t, o.copy(stepSize = v.toInt))
+      case "--iters" :: v :: t => go(t, o.copy(iters = v.toInt))
+      case "--out" :: v :: t => go(t, o.copy(out = v))
+      case Nil => o
+      case x :: _ => throw new IllegalArgumentException(s"unknown arg $x")
+    }
+    go(args.toList, Opt())
+  }
+
+  def sweep(spark: SparkSession, opt: Opt): Seq[DataPoint] = {
+    val c = Case.byName(opt.caseName)
+    val sizes = opt.begin to opt.end by opt.stepSize
+    sizes.flatMap { size =>
+      val input = c.df(spark, size).persist()
+      input.count() // materialize outside the timed region
+      val pts = measureBoth(c.name, input, size, opt.iters)
+      input.unpersist(blocking = true)
+      pts
+    }
+  }
+
+  /** One Spark job; both kernels timed inside the task on the same
+    * materialized array under the same JIT state. Strategies are
+    * interleaved per iteration exactly like the reference's inner loop
+    * (`src/main.rs:40-55`), and the reported statistic is the per-
+    * iteration MEDIAN — the container's GC/CPU noise produces rare 10×
+    * outlier iterations that would dominate a mean.
+    */
+  def measureBoth(caseName: String, input: DataFrame, size: Int, iters: Int): Seq[DataPoint] = {
+    val schema = input.schema
+    val warm = math.max(3, iters / 5)
+    val enc = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    val perIter = input.mapPartitions { it =>
+      // materialize the columnar batch (the RecordBatch analog) OUTSIDE
+      // the timed region — the reference's input is a pre-built columnar
+      // RecordBatch too (src/main.rs:42 sits outside the timed spans)
+      val batch = ColumnBatch.fromRows(it.toArray.toIndexedSeq, schema)
+      def once(run: () => Unit): Double = {
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e3
+      }
+      val sortA = () => { ColumnSort.sortBatch(batch, rowFormat = false); () }
+      val sortB = () => { ColumnSort.sortBatch(batch, rowFormat = true); () }
+      var i = 0
+      while (i < warm) { sortA(); sortB(); i += 1 }
+      Iterator.tabulate(iters)(_ => (once(sortA), once(sortB)))
+    }(enc).collect()
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    Seq(
+      DataPoint(caseName, size, "dyn-comparator", iters, median(perIter.map(_._1))),
+      DataPoint(caseName, size, "rows-format", iters, median(perIter.map(_._2))),
+    )
+  }
+}
+
+/** Dependency-free SVG line chart standing in for the reference's plotters
+  * PNG sink (`src/lib.rs:97-160`): x = batch size, y = µs, red =
+  * DynComparator, blue = rows-format — same legend colors as the reference.
+  */
+object SvgChart {
+  def render(points: Seq[DataPoint]): String = {
+    val (w, h, mL, mB, mT, mR) = (1024, 500, 70, 45, 30, 20)
+    val series = points.groupBy(_.strategy)
+    if (points.isEmpty) return s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h"/>"""
+    val xs = points.map(_.batchSize.toDouble)
+    val ys = points.map(_.avgUs)
+    val (x0, x1) = (xs.min, math.max(xs.max, xs.min + 1))
+    val (y0, y1) = (0.0, math.max(ys.max, 1.0))
+    def px(x: Double) = mL + (x - x0) / (x1 - x0) * (w - mL - mR)
+    def py(y: Double) = h - mB - (y - y0) / (y1 - y0) * (h - mB - mT)
+    val colors = Map("dyn-comparator" -> "#cc2222", "rows-format" -> "#2222cc")
+    val lines = series.toSeq.sortBy(_._1).map { case (name, pts) =>
+      val d = pts.sortBy(_.batchSize)
+        .map(p => f"${px(p.batchSize.toDouble)}%.1f,${py(p.avgUs)}%.1f").mkString(" ")
+      s"""<polyline fill="none" stroke="${colors.getOrElse(name, "#333")}" stroke-width="1.5" points="$d"/>"""
+    }.mkString("\n")
+    val caption = points.head.caseName
+    s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" font-family="sans-serif" font-size="12">
+<rect width="$w" height="$h" fill="white"/>
+<text x="${w / 2}" y="18" text-anchor="middle" font-size="15">$caption</text>
+<line x1="$mL" y1="${h - mB}" x2="${w - mR}" y2="${h - mB}" stroke="black"/>
+<line x1="$mL" y1="$mT" x2="$mL" y2="${h - mB}" stroke="black"/>
+<text x="${w / 2}" y="${h - 8}" text-anchor="middle">batch size (row count)</text>
+<text x="14" y="${h / 2}" text-anchor="middle" transform="rotate(-90 14 ${h / 2})">avg runtime (microsecs)</text>
+<text x="$mL" y="${h - mB + 16}">${x0.toInt}</text>
+<text x="${w - mR}" y="${h - mB + 16}" text-anchor="end">${x1.toInt}</text>
+<text x="${mL - 4}" y="${py(y1) + 4}" text-anchor="end">${y1.toInt}</text>
+<text x="${mL - 4}" y="${h - mB}" text-anchor="end">0</text>
+<rect x="${w - 240}" y="$mT" width="12" height="12" fill="#cc2222"/><text x="${w - 222}" y="${mT + 11}">dyn-comparator</text>
+<rect x="${w - 240}" y="${mT + 18}" width="12" height="12" fill="#2222cc"/><text x="${w - 222}" y="${mT + 29}">rows-format</text>
+$lines
+</svg>
+"""
+  }
+}

@@ -1,0 +1,205 @@
+package graft.sort
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Columnar batch + the reference's two sort kernels in their native
+  * habitat: the reference operates on Arrow `RecordBatch`es — typed
+  * contiguous column arrays — not row objects. `lexsort_to_indices`
+  * (strategy A) chains per-COLUMN comparators over an index vector and
+  * `take` gathers each column by the sorted indices (`src/lib.rs:29-34,
+  * 56-73`). Encoding through boxed `Row`s would spend the whole budget
+  * pointer-chasing the heap; these kernels read primitive arrays.
+  *
+  * Column representation: `Array[Double] | Array[Long] | Array[String]`
+  * (the three types the reference generates, SURVEY §1.2; nulls are not
+  * representable here — the reference's generated batches are null-free,
+  * `src/data.rs:220-231`; the null-handling paths live in the Row-level
+  * kernels of [[BatchSort]]/[[RowFormatSort]] which the engine uses).
+  */
+final case class ColumnBatch(schema: StructType, cols: Array[AnyRef]) {
+  def numRows: Int = if (cols.isEmpty) 0 else ColumnBatch.len(cols(0))
+
+  def toRows: IndexedSeq[Row] =
+    (0 until numRows).map { i =>
+      Row.fromSeq(cols.toIndexedSeq.map {
+        case a: Array[Double] => a(i)
+        case a: Array[Long] => a(i)
+        case a: Array[String] => a(i)
+        case other => throw new IllegalStateException(s"bad column $other")
+      })
+    }
+}
+
+object ColumnBatch {
+  private def len(col: AnyRef): Int = col match {
+    case a: Array[Double] => a.length
+    case a: Array[Long] => a.length
+    case a: Array[String] => a.length
+    case other => throw new IllegalArgumentException(s"bad column $other")
+  }
+
+  def fromRows(rows: IndexedSeq[Row], schema: StructType): ColumnBatch = {
+    val n = rows.length
+    val cols: Array[AnyRef] = schema.fields.zipWithIndex.map { case (f, j) =>
+      f.dataType match {
+        case DoubleType =>
+          val a = new Array[Double](n); var i = 0
+          while (i < n) { a(i) = rows(i).getDouble(j); i += 1 }; a: AnyRef
+        case LongType =>
+          val a = new Array[Long](n); var i = 0
+          while (i < n) { a(i) = rows(i).getLong(j); i += 1 }; a: AnyRef
+        case StringType =>
+          val a = new Array[String](n); var i = 0
+          while (i < n) { a(i) = rows(i).getString(j); i += 1 }; a: AnyRef
+        case other => throw new IllegalArgumentException(s"unsupported columnar type $other")
+      }
+    }
+    ColumnBatch(schema, cols)
+  }
+}
+
+object ColumnSort {
+
+  /** Per-column index comparator — the `DynComparator` unit Arrow chains
+    * in `lexsort_to_indices` (`src/lib.rs:33-34`).
+    */
+  private abstract class ColCmp {
+    def cmp(i: Int, j: Int): Int
+  }
+
+  private def colCmp(col: AnyRef): ColCmp = col match {
+    case a: Array[Double] => new ColCmp {
+      def cmp(i: Int, j: Int) = BatchSort.compareDouble(a(i), a(j))
+    }
+    case a: Array[Long] => new ColCmp {
+      def cmp(i: Int, j: Int) = java.lang.Long.compare(a(i), a(j))
+    }
+    case a: Array[String] => new ColCmp {
+      def cmp(i: Int, j: Int) = BatchSort.compareUtf8(a(i), a(j))
+    }
+    case other => throw new IllegalArgumentException(s"bad column $other")
+  }
+
+  /** Strategy A: chained per-column comparators over an index vector. */
+  def lexsortIndices(batch: ColumnBatch): Array[Int] = {
+    val cmps = batch.cols.map(colCmp) // comparator chain built per call, like the reference
+    val chain = new IndexCmp {
+      def lt(i: Int, j: Int): Boolean = {
+        var k = 0
+        while (k < cmps.length) {
+          val c = cmps(k).cmp(i, j)
+          if (c != 0) return c < 0
+          k += 1
+        }
+        false
+      }
+    }
+    sortedIndices(batch.numRows, chain)
+  }
+
+  /** Strategy B: row-format (normalized-key) encode into one slab, then
+    * byte-compare sort (`src/lib.rs:35-53` rebuilt columnar).
+    */
+  private abstract class ColEnc {
+    def enc(i: Int, w: KeyWriter): Unit
+  }
+
+  private def colEnc(col: AnyRef): ColEnc = col match {
+    case a: Array[Double] => new ColEnc {
+      def enc(i: Int, w: KeyWriter) = w.putLong(KeyCodec.doubleBits(a(i)))
+    }
+    case a: Array[Long] => new ColEnc {
+      def enc(i: Int, w: KeyWriter) = w.putLong(a(i) ^ Long.MinValue)
+    }
+    case a: Array[String] => new ColEnc {
+      def enc(i: Int, w: KeyWriter) = KeyCodec.putString(w, a(i))
+    }
+    case other => throw new IllegalArgumentException(s"bad column $other")
+  }
+
+  def rowFormatIndices(batch: ColumnBatch): Array[Int] = {
+    val n = batch.numRows
+    val encs = batch.cols.map(colEnc) // hoisted: no per-row type dispatch
+    val w = new KeyWriter(math.max(64, n * batch.cols.length * 12))
+    val offsets = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < encs.length) {
+        encs(j).enc(i, w)
+        j += 1
+      }
+      offsets(i + 1) = w.len
+      i += 1
+    }
+    val slab = w.buf
+    val chain = new IndexCmp {
+      def lt(i: Int, j: Int): Boolean =
+        java.util.Arrays.compareUnsigned(
+          slab, offsets(i), offsets(i + 1), slab, offsets(j), offsets(j + 1)) < 0
+    }
+    sortedIndices(n, chain)
+  }
+
+  /** `take`: gather every column by the index vector (`src/lib.rs:56-73`;
+    * bounds checks are JVM-inherent — the reference disables Arrow's,
+    * `src/lib.rs:67-69`).
+    */
+  def take(batch: ColumnBatch, idx: Array[Int]): ColumnBatch = {
+    val out: Array[AnyRef] = batch.cols.map {
+      case a: Array[Double] =>
+        val r = new Array[Double](idx.length); var i = 0
+        while (i < idx.length) { r(i) = a(idx(i)); i += 1 }; r: AnyRef
+      case a: Array[Long] =>
+        val r = new Array[Long](idx.length); var i = 0
+        while (i < idx.length) { r(i) = a(idx(i)); i += 1 }; r: AnyRef
+      case a: Array[String] =>
+        val r = new Array[String](idx.length); var i = 0
+        while (i < idx.length) { r(i) = a(idx(i)); i += 1 }; r: AnyRef
+      case other => throw new IllegalArgumentException(s"bad column $other")
+    }
+    ColumnBatch(batch.schema, out)
+  }
+
+  def sortBatch(batch: ColumnBatch, rowFormat: Boolean): ColumnBatch =
+    take(batch, if (rowFormat) rowFormatIndices(batch) else lexsortIndices(batch))
+
+  private abstract class IndexCmp {
+    def lt(i: Int, j: Int): Boolean
+  }
+
+  /** Stable bottom-up merge sort of `0 until n` by `lt`, with the
+    * already-ordered-segments shortcut (presorted input → O(n) compares).
+    * Primitive int arrays: a `Comparator[Integer]` would box every index.
+    */
+  private def sortedIndices(n: Int, c: IndexCmp): Array[Int] = {
+    var src = Array.tabulate(n)(identity)
+    if (n < 2) return src
+    var dst = new Array[Int](n)
+    var width = 1
+    while (width < n) {
+      var lo = 0
+      while (lo < n) {
+        val mid = math.min(lo + width, n)
+        val hi = math.min(lo + 2 * width, n)
+        if (mid == hi || !c.lt(src(mid), src(mid - 1))) {
+          System.arraycopy(src, lo, dst, lo, hi - lo)
+        } else {
+          var i = lo; var j = mid; var k = lo
+          while (i < mid && j < hi) {
+            if (c.lt(src(j), src(i))) { dst(k) = src(j); j += 1 }
+            else { dst(k) = src(i); i += 1 } // <=: stability
+            k += 1
+          }
+          while (i < mid) { dst(k) = src(i); i += 1; k += 1 }
+          while (j < hi) { dst(k) = src(j); j += 1; k += 1 }
+        }
+        lo = hi
+      }
+      val tmp = src; src = dst; dst = tmp
+      width *= 2
+    }
+    src
+  }
+}
