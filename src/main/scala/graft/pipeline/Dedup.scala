@@ -1,0 +1,198 @@
+package graft.pipeline
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (driver-mandated LLM-pipeline
+  * extension).
+  *
+  * Scale design: every operator here is shuffle-minimal —
+  *  - exact dedup is one hash aggregate on the fingerprint;
+  *  - MinHash/LSH shuffles once on band signatures (the classic
+  *    shingle → minhash → band → bucket-join pipeline), never all-pairs;
+  *  - n-gram Jaccard joins through an inverted shingle index, so only
+  *    documents sharing a shingle ever meet;
+  *  - SimHash is a pure per-document map (pairing happens downstream on
+  *    the 32-bit signature).
+  * All hash functions are the portable md5-based 60-bit hash so every
+  * operator has a full DuckDB oracle (Portable.md5Long).
+  */
+object Dedup {
+  import Tables.t
+  import Portable._
+
+  /** MinHash permutation parameters: h_j(x) = (a_j * x + b_j) mod P over
+    * the base hash reduced mod M. Constants are small enough that
+    * a_j * (x mod M) never overflows a signed 64-bit int in either
+    * engine. Fixed (seed-42-generated) literals so the DuckDB oracle can
+    * inline them.
+    */
+  private val M = 1000003L
+  private val P = 999983L
+  private val As = Seq(656961L, 380884L, 918225L, 611331L, 266057L, 962015L, 126966L, 755677L)
+  private val Bs = Seq(463174L, 534096L, 392005L, 657170L, 881634L, 532155L, 542388L, 879771L)
+  private val BandRows = 4 // 8 hashes → 2 bands of 4
+
+  private def normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  def all: Seq[Q] = Seq(
+    // ---- d1: exact dedup — group by normalized-text fingerprint, keep min id ----
+    Q(
+      "d1_exact_dedup",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"))
+          .groupBy(col("fingerprint"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .filter(col("n_copies") >= 1),
+      Some(s"""
+        SELECT md5($normSql) AS fingerprint,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1 HAVING count(*) >= 1"""),
+    ),
+
+    // ---- d2: n-gram Jaccard near-dup — inverted shingle index, no all-pairs ----
+    Q(
+      "d2_ngram_jaccard",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), shingles3(words(col("text"))).as("sh"))
+        val exploded = docs
+          .select(col("doc_id"), explode(col("sh")).as("shingle"))
+          .distinct() // set semantics for Jaccard
+        val sizes = exploded.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"))
+        // inverted index self-join: only docs sharing a shingle meet
+        val pairs = exploded.as("x")
+          .join(exploded.as("y"),
+            col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+          .agg(count(lit(1)).as("n_common"))
+        pairs
+          .join(broadcast(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1")), "doc1")
+          .join(broadcast(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2")), "doc2")
+          .withColumn("jac_raw",
+            col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
+          .filter(col("jac_raw") >= 0.2) // threshold on RAW value, like the oracle
+          .select(col("doc1"), col("doc2"), round(col("jac_raw"), 6).as("jaccard"))
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, shingle
+          FROM (SELECT doc_id,
+                       unnest(${shingles3Sql(wordsSql("text"))}) AS shingle
+                FROM documents)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        pairs AS (
+          SELECT x.doc_id AS doc1, y.doc_id AS doc2, count(*) AS n_common
+          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT doc1, doc2,
+               round(n_common / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE), 6) AS jaccard
+        FROM pairs JOIN sizes s1 ON doc1 = s1.doc_id
+                   JOIN sizes s2 ON doc2 = s2.doc_id
+        WHERE n_common / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) >= 0.2"""),
+    ),
+
+    // ---- d3: MinHash signatures + LSH band buckets ----
+    Q(
+      "d3_minhash",
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), explode(shingles3(words(col("text")))).as("shingle"))
+          .distinct()
+          .withColumn("h", pmod(md5Long(col("shingle")), lit(M)))
+        val mhCols = As.zip(Bs).zipWithIndex.map { case ((a, b), j) =>
+          min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"mh$j")
+        }
+        val mins = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+        mins.select(
+          col("doc_id"),
+          concat_ws("_", (0 until BandRows).map(j => col(s"mh$j")): _*).as("band0"),
+          concat_ws("_", (BandRows until 2 * BandRows).map(j => col(s"mh$j")): _*).as("band1"))
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, shingle
+          FROM (SELECT doc_id,
+                       unnest(${shingles3Sql(wordsSql("text"))}) AS shingle
+                FROM documents)),
+        h AS (SELECT doc_id, ${md5LongSql("shingle")} % $M AS h FROM sh),
+        mins AS (
+          SELECT doc_id,
+                 ${As.zip(Bs).zipWithIndex.map { case ((a, b), j) =>
+                   s"min(($a * h + $b) % $P) AS mh$j"
+                 }.mkString(",\n                 ")}
+          FROM h GROUP BY 1)
+        SELECT doc_id,
+               concat_ws('_', ${(0 until BandRows).map(j => s"mh$j").mkString(", ")}) AS band0,
+               concat_ws('_', ${(BandRows until 2 * BandRows).map(j => s"mh$j").mkString(", ")}) AS band1
+        FROM mins"""),
+    ),
+
+    // ---- d3b: LSH candidate pairs — bucket-join on band signatures ----
+    Q(
+      "d3b_lsh_pairs",
+      (s, dir) => {
+        val sig = all.find(_.name == "d3_minhash").get.run(s, dir)
+        val bands = sig.select(col("doc_id"), explode(array(
+          concat_ws("|", lit(0), col("band0")),
+          concat_ws("|", lit(1), col("band1")))).as("bucket"))
+        bands.as("x").join(bands.as("y"),
+            col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+          .distinct()
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, shingle
+          FROM (SELECT doc_id,
+                       unnest(${shingles3Sql(wordsSql("text"))}) AS shingle
+                FROM documents)),
+        h AS (SELECT doc_id, ${md5LongSql("shingle")} % $M AS h FROM sh),
+        mins AS (
+          SELECT doc_id,
+                 ${As.zip(Bs).zipWithIndex.map { case ((a, b), j) =>
+                   s"min(($a * h + $b) % $P) AS mh$j"
+                 }.mkString(",\n                 ")}
+          FROM h GROUP BY 1),
+        bands AS (
+          SELECT doc_id, concat_ws('|', '0', concat_ws('_', ${(0 until BandRows).map(j => s"mh$j").mkString(", ")})) AS bucket FROM mins
+          UNION ALL
+          SELECT doc_id, concat_ws('|', '1', concat_ws('_', ${(BandRows until 2 * BandRows).map(j => s"mh$j").mkString(", ")})) AS bucket FROM mins)
+        SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+        FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id"""),
+    ),
+
+    // ---- d4: SimHash — 32-bit signature from token hashes, per document ----
+    Q(
+      "d4_simhash",
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+          .withColumn("h", md5Long(col("tok")))
+        val bits = tok
+          .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("bit"))
+          .withColumn("contrib",
+            when(expr("(h div shiftleft(1L, bit)) % 2") === 1L, 1L).otherwise(-1L))
+          .groupBy(col("doc_id"), col("bit"))
+          .agg(sum(col("contrib")).as("w"))
+        bits.groupBy("doc_id")
+          .agg(sum(when(col("w") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash32"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, ${md5LongSql("tok")} AS h
+          FROM (SELECT doc_id, unnest(${wordsSql("text")}) AS tok FROM documents)),
+        bits AS (
+          SELECT doc_id, bit,
+                 sum(CASE WHEN (h // (1::BIGINT << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS w
+          FROM tok, (SELECT unnest(generate_series(0, 31)) AS bit)
+          GROUP BY 1, 2)
+        SELECT doc_id,
+               sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash32
+        FROM bits GROUP BY 1"""),
+    ),
+  )
+}

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream analytics over the `events` table (`event_id`, `ts`,
+  * `user_id`, `event_type`, `value`, `props` JSON-text).
+  *
+  * These are the batch twins of the Structured Streaming module
+  * (graft.streaming): identical window/sessionization semantics, which
+  * is exactly how a Lambda-free Spark pipeline validates its streaming
+  * jobs. Timestamps cross the oracle boundary as epoch-microsecond longs
+  * to sidestep timestamp-rendering differences between engines.
+  */
+object Events {
+  import Tables.t
+
+  def all: Seq[Q] = Seq(
+    // ---- e1: tumbling 1-hour windows per event type ----
+    Q(
+      "e1_hourly_window",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(
+            unix_micros(date_trunc("HOUR", col("ts"))).as("hour_us"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(30, 2))).cast("double").as("sum_value")),
+      Some("""
+        SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2"""),
+    ),
+
+    // ---- e2: JSON prop extraction + aggregation ----
+    Q(
+      "e2_json_props",
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(30, 2))).cast("double").as("sum_value")),
+      Some("""
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1"""),
+    ),
+
+    // ---- e3: sessionization — 30-min-gap sessions per user ----
+    Q(
+      "e3_sessionize",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        t(s, dir, "events")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .withColumn("session_seq", sum(col("new_session")).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(unix_micros(col("ts"))).as("start_us"),
+            max(unix_micros(col("ts"))).as("end_us"),
+            sum(col("value").cast(DecimalType(30, 2))).cast("double").as("session_value"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+          FROM events),
+        m AS (
+          SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 30 * 60 * 1000000
+                         THEN 1 ELSE 0 END AS new_session
+          FROM g),
+        sess AS (
+          SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM m)
+        SELECT user_id, session_seq, count(*) AS n_events,
+               min(ts_us) AS start_us, max(ts_us) AS end_us,
+               CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS session_value
+        FROM sess GROUP BY 1, 2"""),
+    ),
+  )
+}

@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Helpers shared by the LLM-pipeline operators, with Spark + DuckDB
+  * (oracle) twins kept in lock-step.
+  *
+  * The portable hash: both engines agree on `md5` of a UTF-8 string, so
+  * `long(md5[0:15])` (60 bits, sign-safe) is a deterministic hash
+  * computable identically in Spark (`conv(...,16,10)`) and DuckDB
+  * (`CAST('0x'||... AS BIGINT)`). Spark's native `hash`/`xxhash64` have
+  * no DuckDB counterpart, so oracle-checked operators use this instead;
+  * at 100 TB you'd swap in `xxhash64` (same plan shape, cheaper hash).
+  */
+object Portable {
+
+  /** 60-bit deterministic hash of a string column (Spark side). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB twin of [[md5Long]] — `x` is a SQL expression string. */
+  def md5LongSql(x: String): String =
+    s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Normalized word array: lowercase, split on whitespace. */
+  def words(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  def wordsSql(x: String): String =
+    s"string_split_regex(lower(trim($x)), '\\s+')"
+
+  /** Word 3-gram shingles (space-joined), empty when fewer than 3 words. */
+  def shingles3(wordsCol: Column): Column =
+    when(size(wordsCol) >= 3,
+      transform(sequence(lit(1), size(wordsCol) - 2), // 1-based window starts
+        i => concat_ws(" ", slice(wordsCol, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB twin of shingle generation, as a SQL snippet producing a list
+    * of 'w1 w2 w3' strings from a words-list expression `w`.
+    */
+  def shingles3Sql(w: String): String =
+    s"""CASE WHEN len($w) >= 3
+        THEN list_transform(generate_series(1, len($w) - 2),
+                            i -> array_to_string(list_slice($w, i, i + 2), ' '))
+        ELSE [] END"""
+}

@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (driver-mandated
+  * LLM-pipeline extension, SURVEY §0 + BASELINE.json north star).
+  *
+  * Everything is built from codegen'd `functions._` expressions — no UDFs
+  * — so Catalyst keeps the whole pipeline inside WholeStageCodegen and
+  * pushes `doc_id`/`text` column pruning into the parquet scan. All ops
+  * are embarrassingly parallel per document (no shuffle at all until the
+  * optional final aggregate), so they scale linearly with partitions at
+  * 100 TB.
+  */
+object Text {
+  import Tables.t
+  import Portable._
+
+  /** Stopword-hit regex per language (word-boundary anchored). */
+  private val langPatterns: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|is|of)\\b",
+    "de" -> "\\b(der|die|und|ist)\\b",
+    "fr" -> "\\b(le|la|et|est)\\b",
+    "es" -> "\\b(el|los|y|es)\\b",
+    "zh" -> "[\\x{4e00}-\\x{9fff}]", // \x{...}: valid in both Java regex and RE2
+  )
+
+  def all: Seq[Q] = Seq(
+    // ---- t1: language ID — per-language stopword/script hit counts + argmax ----
+    Q(
+      "t1_lang_id",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(
+          col("doc_id") +:
+            langPatterns.map { case (l, p) =>
+              regexp_count(lower(col("text")), lit(p)).as(s"n_$l")
+            }: _*)
+        val pred = when(col("n_zh") > 0, "zh")
+          .when(col("n_en") >= col("n_de") && col("n_en") >= col("n_fr") && col("n_en") >= col("n_es"), "en")
+          .when(col("n_de") >= col("n_fr") && col("n_de") >= col("n_es"), "de")
+          .when(col("n_fr") >= col("n_es"), "fr")
+          .otherwise("es")
+        base.withColumn("pred_lang", pred)
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id,
+                 ${langPatterns.map { case (l, p) =>
+                   s"CAST(len(regexp_extract_all(lower(text), '${p.replace("\\", "\\")}')) AS INT) AS n_$l"
+                 }.mkString(",\n                 ")}
+          FROM documents)
+        SELECT doc_id, n_en, n_de, n_fr, n_es, n_zh,
+               CASE WHEN n_zh > 0 THEN 'zh'
+                    WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+                    WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+                    WHEN n_fr >= n_es THEN 'fr'
+                    ELSE 'es' END AS pred_lang
+        FROM c"""),
+    ),
+
+    // ---- t2: quality scoring — length / punctuation / stopword / digit ratios ----
+    Q(
+      "t2_quality",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val nChars = length(col("text"))
+        val nWords = size(words(col("text")))
+        val nPunct = regexp_count(col("text"), lit("[\\.,;:!\\?]"))
+        val nDigit = regexp_count(col("text"), lit("[0-9]"))
+        val nStop = regexp_count(lower(col("text")), lit("\\b(the|a|is|of|and|to|in)\\b"))
+        d.select(
+          col("doc_id"),
+          nChars.as("n_chars_m"),
+          nWords.as("n_words"),
+          round(nPunct.cast("double") / nChars, 6).as("punct_ratio"),
+          round(nDigit.cast("double") / nChars, 6).as("digit_ratio"),
+          round(nStop.cast("double") / nWords, 6).as("stopword_ratio"),
+          round(nChars.cast("double") / nWords, 6).as("mean_word_len"),
+          (nWords >= 20 && nWords <= 1000).as("len_ok"))
+      },
+      Some(s"""
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS n_chars_m,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INT) AS n_words,
+               round(len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+               round(len(regexp_extract_all(text, '[0-9]')) / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,
+               round(len(regexp_extract_all(lower(text), '\\b(the|a|is|of|and|to|in)\\b'))
+                     / CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE), 6) AS stopword_ratio,
+               round(CAST(length(text) AS DOUBLE) / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS mean_word_len,
+               len(string_split_regex(lower(trim(text)), '\\s+')) BETWEEN 20 AND 1000 AS len_ok
+        FROM documents"""),
+    ),
+
+    // ---- t3: token counting — whitespace tokens + BPE-ish regex tokens ----
+    Q(
+      "t3_tokens",
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          size(words(col("text"))).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+            .as("bpe_tokens")),
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens
+        FROM documents"""),
+    ),
+
+    // ---- t4: document fingerprint — md5 of whitespace-normalized text ----
+    Q(
+      "t4_fingerprint",
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"),
+          md5Long(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp60")),
+      Some(s"""
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+               ${md5LongSql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp60
+        FROM documents"""),
+    ),
+  )
+}

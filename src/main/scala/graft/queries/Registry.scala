@@ -8,5 +8,9 @@ import graft.Q
   */
 object Registry {
   def all: Seq[Q] =
-    Relational.all
+    Relational.all ++
+      graft.pipeline.Text.all ++
+      graft.pipeline.Dedup.all ++
+      graft.pipeline.Similarity.all ++
+      graft.pipeline.Events.all
 }
