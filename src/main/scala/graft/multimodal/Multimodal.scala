@@ -1,0 +1,135 @@
+package graft.multimodal
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata (driver-mandated LLM-pipeline extension).
+  *
+  * The real media codecs are NOT in this container, so the decode step is
+  * a clearly-marked deterministic STUB (`fakeDecodeFeatures`) — but the
+  * Spark-side plumbing is real and tested: binary payload schema,
+  * per-batch iteration (`mapPartitions`, the JVM twin of a Python
+  * `mapInPandas` batch loop), fixed-shape feature vectors, frame
+  * chunking/sampling as pure column algebra, and partition-count
+  * preservation so a 100 TB media table parallelizes per file split.
+  *
+  * Payloads here are derived from `documents.text` bytes — a stand-in
+  * with the same plumbing shape as real media bytes.
+  */
+object Multimodal {
+  import Tables.t
+
+  val FeatureDim = 16
+  val FrameBytes = 64 // one "frame" = 64 payload bytes
+
+  /** documents → (id, modality, payload binary, meta struct). */
+  def blobs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id").as("id"),
+      // deterministic modality assignment: cycle image/audio/video
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        col("source").as("origin"),
+        col("n_chars").as("raw_size"),
+        col("lang").as("tag")).as("meta"))
+
+  /** STUB decode: payload bytes → fixed-shape L1-normalized byte-class
+    * histogram. A real deployment swaps ONLY this function for a codec
+    * call (same signature: Iterator of rows in, Iterator of rows out).
+    */
+  def fakeDecodeFeatures(blobs: DataFrame): DataFrame = {
+    val outSchema = StructType(blobs.schema.fields.filterNot(_.name == "payload") :+
+      StructField("features", ArrayType(DoubleType, containsNull = false)))
+    val payloadIdx = blobs.schema.fieldIndex("payload")
+    val keepIdx = blobs.schema.fields.indices.filterNot(_ == payloadIdx)
+    val df = blobs.sparkSession.createDataFrame(
+      blobs.rdd.mapPartitions { it =>
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]](payloadIdx)
+          val hist = new Array[Double](FeatureDim)
+          var i = 0
+          while (i < bytes.length) { hist((bytes(i) & 0xff) % FeatureDim) += 1; i += 1 }
+          val total = math.max(bytes.length, 1).toDouble
+          var j = 0
+          while (j < FeatureDim) { hist(j) = math.rint(hist(j) / total * 1e6) / 1e6; j += 1 }
+          Row.fromSeq(keepIdx.map(r.get) :+ hist.toSeq)
+        }
+      }, outSchema)
+    df
+  }
+
+  /** Frame chunking + every-k-th sampling as pure column algebra (no
+    * UDF): frames = payload split into FrameBytes chunks; sample stride k.
+    */
+  def frameSample(blobs: DataFrame, stride: Int): DataFrame =
+    blobs
+      .withColumn("n_frames",
+        ceil(octet_length(col("payload")).cast("double") / FrameBytes).cast("int"))
+      .withColumn("frame_idx",
+        explode(expr(s"filter(sequence(0, n_frames - 1), i -> i % $stride = 0)")))
+      .withColumn("frame",
+        expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)"))
+      .select(col("id"), col("modality"), col("frame_idx"), col("frame"),
+        octet_length(col("frame")).as("frame_bytes"))
+
+  def all: Seq[Q] = Seq(
+    // ---- m1: binary metadata extraction (oracle-checked) ----
+    Q(
+      "m1_binary_meta",
+      (s, dir) =>
+        blobs(s, dir).select(
+          col("id"),
+          col("modality"),
+          octet_length(col("payload")).as("n_bytes"),
+          md5(lower(hex(col("payload")))).as("payload_md5"),
+          col("meta.origin").as("origin"),
+          col("meta.raw_size").as("raw_size")),
+      Some("""
+        SELECT doc_id AS id,
+               ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+               octet_length(encode(text)) AS n_bytes,
+               md5(lower(hex(encode(text)))) AS payload_md5,
+               source AS origin, n_chars AS raw_size
+        FROM documents"""),
+    ),
+
+    // ---- m2: frame sampling plumbing (oracle-checked on counts/sizes) ----
+    Q(
+      "m2_frame_sample",
+      (s, dir) =>
+        frameSample(blobs(s, dir), stride = 4)
+          .groupBy(col("modality"))
+          .agg(count(lit(1)).as("n_sampled_frames"),
+            sum(col("frame_bytes")).as("sampled_bytes")),
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id AS id,
+                 ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+                 encode(text) AS payload,
+                 CAST(ceil(octet_length(encode(text)) / $FrameBytes.0) AS INT) AS n_frames
+          FROM documents),
+        f AS (
+          SELECT id, modality, unnest(list_filter(generate_series(0, n_frames - 1), i -> i % 4 = 0)) AS frame_idx,
+                 payload
+          FROM b)
+        SELECT modality, count(*) AS n_sampled_frames,
+               sum(least($FrameBytes, octet_length(payload) - frame_idx * $FrameBytes)) AS sampled_bytes
+        FROM f GROUP BY 1"""),
+    ),
+
+    // ---- m3: stubbed decode → feature extraction (rows-only check;
+    //      determinism + shape asserted in MultimodalSpec) ----
+    Q(
+      "m3_decode_features",
+      (s, dir) =>
+        fakeDecodeFeatures(blobs(s, dir))
+          .select(col("id"), col("modality"), col("features")),
+      None,
+    ),
+  )
+}

@@ -36,7 +36,7 @@ object Similarity {
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
-  /** 16 seed-7 hyperplanes over 64 dims, folded to 2 bands of 8 sign
+  /** 16 seed-7 hyperplanes over 64 dims, folded to 4 bands of 4 sign
     * bits. Literal constants so the computation is pure column algebra.
     */
   private val Hyperplanes: Seq[Seq[Double]] = {
@@ -88,9 +88,13 @@ object Similarity {
         val signed = e.select(col("vec_id") +: col("label") +: col("v") +: planes: _*)
         def band(lo: Int, hi: Int) =
           concat_ws("", (lo until hi).map(i => col(s"b$i")): _*)
+        // 4 bands of 4 sign bits: tuned for the modest-cosine kNN regime
+        // (random corpus: top-10 cosine ≈ 0.4 → p_bit ≈ 0.63, band hit
+        // p^4 ≈ 0.16, any-of-4 ≈ 50% recall at ~25% of the corpus probed)
         val banded = signed
           .withColumn("bucket", explode(array(
-            concat_ws("|", lit(0), band(0, 8)), concat_ws("|", lit(1), band(8, 16)))))
+            (0 until 4).map(bi =>
+              concat_ws("|", lit(bi), band(bi * 4, bi * 4 + 4))): _*)))
           .select(col("vec_id"), col("v"), col("bucket"))
         val q = banded.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))

@@ -12,5 +12,6 @@ object Registry {
       graft.pipeline.Text.all ++
       graft.pipeline.Dedup.all ++
       graft.pipeline.Similarity.all ++
-      graft.pipeline.Events.all
+      graft.pipeline.Events.all ++
+      graft.multimodal.Multimodal.all
 }

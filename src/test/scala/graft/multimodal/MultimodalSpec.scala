@@ -1,0 +1,44 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("blobs: binary payload with typed metadata, partitioning preserved") {
+    val b = Multimodal.blobs(spark, dir)
+    assert(b.schema("payload").dataType.typeName == "binary")
+    assert(b.schema("meta").dataType.typeName == "struct")
+    val mods = b.select("modality").distinct().collect().map(_.getString(0)).toSet
+    assert(mods == Set("image", "audio", "video"))
+  }
+
+  test("fakeDecodeFeatures: fixed shape, L1-normalized, deterministic") {
+    val f1 = Multimodal.fakeDecodeFeatures(Multimodal.blobs(spark, dir))
+      .orderBy("id").collect()
+    val f2 = Multimodal.fakeDecodeFeatures(Multimodal.blobs(spark, dir))
+      .orderBy("id").collect()
+    assert(f1.length > 0)
+    f1.zip(f2).foreach { case (a, b) =>
+      val va = a.getSeq[Double](a.fieldIndex("features"))
+      val vb = b.getSeq[Double](b.fieldIndex("features"))
+      assert(va == vb, "decode stub must be deterministic")
+      assert(va.size == Multimodal.FeatureDim)
+      assert(math.abs(va.sum - 1.0) < 1e-3, s"L1 norm ~1, got ${va.sum}")
+    }
+  }
+
+  test("frameSample: stride sampling yields ceil(n_frames/stride) frames of <= FrameBytes") {
+    val b = Multimodal.blobs(spark, dir)
+    val frames = Multimodal.frameSample(b, stride = 4)
+    val perDoc = frames.groupBy("id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = b.select(col("id"),
+      ceil(octet_length(col("payload")).cast("double") / Multimodal.FrameBytes).cast("long").as("nf"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1) + 3) / 4)).toMap
+    assert(perDoc == expect)
+    val bad = frames.filter(col("frame_bytes") > Multimodal.FrameBytes).count()
+    assert(bad == 0)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class EventStreamSpec extends SparkSpec {
+  import EventStream._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("hourlyCounts over a memory stream matches batch semantics") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val query = hourlyCounts(df)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (ts(5), "click", 1.0), (ts(30), "click", 2.0),
+        (ts(65), "click", 4.0), (ts(10), "view", 8.0))
+      query.processAllAvailable()
+      val out = spark.table("hourly")
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(out.toSeq == Seq(
+        (ts(0), "click", 2L, 3.0),
+        (ts(0), "view", 1L, 8.0),
+        (ts(60), "click", 1L, 4.0)))
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions and keeps open state") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val query = sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 45-min gap
+      // event that CLOSES it; user 2: single open session (never emitted)
+      mem.addData(Ev(ts(0), 1L, 1.0), Ev(ts(10), 1L, 2.0), Ev(ts(5), 2L, 9.0))
+      query.processAllAvailable()
+      mem.addData(Ev(ts(55), 1L, 4.0))
+      query.processAllAvailable()
+      val out = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSeq
+      assert(out == Seq((1L, 2L, 3.0))) // closed session: 2 events, value 3.0
+    } finally query.stop()
+  }
+
+  test("batch sessionize over the events table agrees with the SQL window version") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.Tables.t(spark, dir, "events")
+      .select(col("ts"), col("user_id"), col("value")).as[Ev]
+    // run the custom stateful logic in BATCH mode (same code path Spark
+    // uses for flatMapGroupsWithState batch execution)
+    val custom = sessionize(batch).collect()
+      .map(s => (s.user_id, s.n_events, math.round(s.total_value * 100)))
+      .toSet
+    // oracle: the e3 windowed-SQL sessionization, minus its OPEN sessions
+    // (flatMapGroupsWithState only emits closed ones)
+    val sql = graft.SparkEntry.queries("e3_sessionize")(spark, dir)
+    val lastPerUser = sql.groupBy("user_id").agg(max("session_seq").as("last_seq"))
+    val closed = sql.join(lastPerUser, Seq("user_id"))
+      .filter(col("session_seq") < col("last_seq"))
+      .select(col("user_id"), col("n_events"), round(col("session_value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(custom == closed)
+  }
+}
