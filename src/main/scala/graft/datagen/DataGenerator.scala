@@ -73,7 +73,13 @@ sealed abstract class Case(val name: String) {
 object Case {
   import DataGenerator._
 
+  /** The four benchmark cases (`src/data.rs:13-19`). */
   val all: Seq[Case] = Seq(Utf8Tuple, MixedTuple, DictionaryTuple, MixedDictionaryTuple)
+
+  /** Every defined source, incl. the single-column ones the reference
+    * never invokes (SURVEY §2 #11).
+    */
+  def allSources: Seq[Case] = all ++ Seq(Utf8Low, Utf8High, Dict)
 
   def byName(s: String): Case =
     all.find(_.name == s).getOrElse(
@@ -121,6 +127,33 @@ object Case {
       val (a, b, c) = (utf8LowValues(rng, n), utf8LowValues(rng, n), utf8LowValues(rng, n))
       (0 until n).map(i => (a(i), b(i), c(i))).sorted
         .map { case (x, y, z) => Row(x, y, z) }
+    }
+  }
+
+  /** Single-column variants (reference defines but never invokes them —
+    * `src/data.rs:32-53,119-126`; SURVEY §2 #11).
+    */
+  case object Utf8Low extends Case("utf8-low") {
+    val schema = StructType(Seq(str("utf_low")))
+    def rows(n: Int): IndexedSeq[Row] = {
+      val rng = new Random(Seed)
+      utf8LowValues(rng, n).sorted(Ordering.String).toIndexedSeq.map(Row(_))
+    }
+  }
+
+  case object Utf8High extends Case("utf8-high") {
+    val schema = StructType(Seq(str("utf_high")))
+    def rows(n: Int): IndexedSeq[Row] = {
+      val rng = new Random(Seed)
+      utf8HighValues(rng, n).sorted(Ordering.String).toIndexedSeq.map(Row(_))
+    }
+  }
+
+  case object Dict extends Case("dict") {
+    val schema = StructType(Seq(str("a")))
+    def rows(n: Int): IndexedSeq[Row] = {
+      val rng = new Random(Seed)
+      utf8LowValues(rng, n).sorted(Ordering.String).toIndexedSeq.map(Row(_))
     }
   }
 

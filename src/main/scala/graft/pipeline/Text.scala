@@ -123,5 +123,18 @@ object Text {
                ${md5LongSql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp60
         FROM documents"""),
     ),
+    // ---- t5: winnowing fingerprints via the custom codegen'd Catalyst
+    //      expression (rows-only check; guarantees tested in WinnowSpec) ----
+    Q(
+      "t5_winnow",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          expr("winnow_fp(text, 8, 5)").as("fingerprints"),
+          size(expr("winnow_fp(text, 8, 5)")).as("n_fp"))
+      },
+      None,
+    ),
   )
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the scale properties the queries claim
+  * (pushdown, pruning, broadcast, codegen) must actually appear in the
+  * optimized physical plans — `.explain` as a test, not a hope.
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q2: filter is pushed into the parquet scan and columns are pruned") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), s"expected pushed filters in scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), s"shipdate filter not pushed:\n$p")
+    // projection needs 5 output + 3 filter columns; the 11-column
+    // lineitem scan must NOT read the rest
+    assert(!p.contains("l_partkey") && !p.contains("l_tax"),
+      s"scan should prune unused columns:\n$p")
+  }
+
+  test("q5: dimension chain is broadcast, not shuffled") {
+    val p = plan("q5_star_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), "star-join dims must not sort-merge")
+  }
+
+  test("q3: filtered customer dim broadcasts; orders filter pushed") {
+    val p = plan("q3_join_topk")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("PushedFilters"))
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the exchange") {
+    val p = plan("q1_agg")
+    val firstHashAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstHashAgg >= 0 && exchange >= 0)
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "expected partial aggregation")
+  }
+
+  test("q10: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q10_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k should not globally sort:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan->filter->project pipeline of q2") {
+    val p = plan("q2_filter_project")
+    // executedPlan.toString marks codegen stages with "*(n)"
+    assert(p.contains("*(1)"), s"pipeline should be codegen'd:\n$p")
+  }
+
+  test("t3 text ops stay in one codegen stage with a pruned scan") {
+    val p = plan("t3_tokens")
+    assert(p.contains("*(1)"), s"should be codegen'd:\n$p")
+    assert(p.contains("doc_id") && p.contains("text")
+      && !p.contains("lang"), s"documents scan should prune:\n$p")
+  }
+
+  test("s1: corpus side of knn is broadcast-joined against the tiny query set") {
+    val p = plan("s1_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set should broadcast:\n$p")
+  }
+
+  test("splitBatch scatters into n single-stream partitions") {
+    import graft.datagen.{Case, SplitBatch}
+    val df = Case.MixedTuple.df(spark, 1000)
+    val parts = SplitBatch.splitBatch(df, 4)
+    assert(parts.rdd.getNumPartitions == 4)
+    val total = parts.count()
+    assert(total == 1000)
+    // deterministic under the fixed seed
+    val a = SplitBatch.splitBatch(df, 4).groupBy("stream").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val b = SplitBatch.splitBatch(df, 4).groupBy("stream").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.keySet.subsetOf(Set(0, 1, 2, 3)))
+  }
+
+  test("single-column sources: contracts hold") {
+    import graft.datagen.Case
+    for (c <- Seq(Case.Utf8Low, Case.Utf8High, Case.Dict)) {
+      val rows = c.rows(800)
+      assert(rows.size == 800)
+      assert(rows.map(_.getString(0)) == rows.map(_.getString(0)).sorted)
+    }
+    assert(Case.Utf8Low.rows(800).map(_.getString(0)).toSet
+      .subsetOf((0 until 100).map("value" + _).toSet))
+    assert(Case.Utf8High.rows(200).map(_.getString(0)).forall(_.length == 20))
+  }
+}
