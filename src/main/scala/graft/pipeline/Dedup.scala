@@ -58,15 +58,19 @@ object Dedup {
       (s, dir) => {
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), shingles3(words(col("text"))).as("sh"))
+        // join key = 60-bit shingle hash: an 8-byte long shuffles and
+        // compares far cheaper than a ~20-char string; the oracle hashes
+        // identically so semantics match (collisions: ~n^2/2^61, nil)
         val exploded = docs
           .select(col("doc_id"), explode(col("sh")).as("shingle"))
+          .select(col("doc_id"), md5Long(col("shingle")).as("h"))
           .distinct() // set semantics for Jaccard
         val sizes = exploded.groupBy("doc_id")
           .agg(count(lit(1)).as("n_sh"))
         // inverted index self-join: only docs sharing a shingle meet
         val pairs = exploded.as("x")
           .join(exploded.as("y"),
-            col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
           .agg(count(lit(1)).as("n_common"))
         pairs
@@ -79,14 +83,14 @@ object Dedup {
       },
       Some(s"""
         WITH sh AS (
-          SELECT DISTINCT doc_id, shingle
+          SELECT DISTINCT doc_id, ${md5LongSql("shingle")} AS h
           FROM (SELECT doc_id,
                        unnest(${shingles3Sql(wordsSql("text"))}) AS shingle
                 FROM documents)),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         pairs AS (
           SELECT x.doc_id AS doc1, y.doc_id AS doc2, count(*) AS n_common
-          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id
           GROUP BY 1, 2)
         SELECT doc1, doc2,
                round(n_common / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE), 6) AS jaccard

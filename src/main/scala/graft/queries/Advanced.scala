@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Advanced relational operators: cube, percentiles, pivot, range join,
+  * as-of join, sketches. The as-of join follows SURVEY §7.3's preference
+  * order (a): composed from built-in ops (union trick / window argmax)
+  * rather than a custom physical operator — Catalyst can then optimize
+  * through it.
+  */
+object Advanced {
+  import Tables.t
+
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(DecimalType(30, scale))).cast("double")
+
+  def all: Seq[Q] = Seq(
+    // ---- q21: CUBE aggregation ----
+    Q(
+      "q21_cube",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue")),
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""),
+    ),
+
+    // ---- q22: exact percentiles (continuous interpolation) ----
+    Q(
+      "q22_percentiles",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+            round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99")),
+      Some("""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders GROUP BY 1"""),
+    ),
+
+    // ---- q23: pivot — order counts by year x status ----
+    Q(
+      "q23_pivot",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .pivot(col("o_orderstatus"), Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p")),
+      Some("""
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY 1"""),
+    ),
+
+    // ---- q24: range join — lineitems shipped within 60 days of order date
+    //      (equi key + range residual: stays a hash join, no n^2) ----
+    Q(
+      "q24_range_join",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        o.join(l,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") >= col("o_orderdate") &&
+              col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_fast_lines"),
+            dsum(col("l_extendedprice")).as("fast_revenue"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n_fast_lines,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS fast_revenue
+        FROM orders JOIN lineitem
+          ON o_orderkey = l_orderkey
+         AND l_shipdate >= o_orderdate
+         AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+        GROUP BY 1"""),
+    ),
+
+    // ---- q25: as-of join — each event joined to the user's most recent
+    //      order at event time (composed: equi join on user + window
+    //      argmax per event; no custom operator needed) ----
+    Q(
+      "q25_asof_join",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            // o_orderdate is TIMESTAMP_NTZ; session tz is UTC, so the
+            // cast is a pure reinterpretation
+            unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+        val w = Window.partitionBy(col("event_id"))
+          .orderBy(col("od_us").desc, col("o_orderkey").desc)
+        e.join(o, col("user_id") === col("o_custkey") && col("od_us") <= col("ts_us"), "left_outer")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("event_id"), col("user_id"),
+            col("o_orderkey").as("asof_orderkey"), col("od_us").as("asof_od_us"))
+      },
+      Some("""
+        WITH j AS (
+          SELECT e.event_id, e.user_id, o.o_orderkey, epoch_us(o.o_orderdate) AS od_us,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM events e LEFT OUTER JOIN orders o
+            ON e.user_id = o.o_custkey AND epoch_us(o.o_orderdate) <= epoch_us(e.ts))
+        SELECT event_id, user_id, o_orderkey AS asof_orderkey, od_us AS asof_od_us
+        FROM j WHERE rn = 1"""),
+    ),
+
+    // ---- q26: sketches — HLL distinct estimate (rows-only: estimator
+    //      internals differ per engine; accuracy asserted in SketchSpec) ----
+    Q(
+      "q26_approx_distinct",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts")),
+      None,
+    ),
+  )
+}

@@ -9,6 +9,7 @@ import graft.Q
 object Registry {
   def all: Seq[Q] =
     Relational.all ++
+      Advanced.all ++
       graft.pipeline.Text.all ++
       graft.pipeline.Dedup.all ++
       graft.pipeline.Similarity.all ++
