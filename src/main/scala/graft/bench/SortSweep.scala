@@ -124,11 +124,14 @@ object SortSweep {
     val schema = input.schema
     val warm = math.max(3, iters / 5)
     val enc = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    val dictCols = Case.all.find(_.name == caseName).map(_.dictCols).getOrElse(Set.empty)
     val perIter = input.mapPartitions { it =>
       // materialize the columnar batch (the RecordBatch analog) OUTSIDE
       // the timed region — the reference's input is a pre-built columnar
-      // RecordBatch too (src/main.rs:42 sits outside the timed spans)
+      // (dictionary-encoded where the case says so) RecordBatch too
+      // (src/main.rs:42 sits outside the timed spans)
       val batch = ColumnBatch.fromRows(it.toArray.toIndexedSeq, schema)
+        .dictEncoded(dictCols)
       def once(run: () => Unit): Double = {
         val t0 = System.nanoTime()
         run()

@@ -61,6 +61,12 @@ sealed abstract class Case(val name: String) {
   /** Rows pre-sorted ascending by the full tuple, deterministic in `n`. */
   def rows(n: Int): IndexedSeq[Row]
 
+  /** Columns the reference stores dictionary-encoded
+    * (`src/data.rs:142-144,170-172`); the columnar sort kernels mirror
+    * that layout for these cases.
+    */
+  def dictCols: Set[Int] = Set.empty
+
   /** The generated batch as a single-partition DataFrame (the Spark analog
     * of "one in-memory RecordBatch", SURVEY §1.4).
     */
@@ -122,6 +128,7 @@ object Case {
     */
   case object DictionaryTuple extends Case("dictionary-tuple") {
     val schema = StructType(Seq(str("a"), str("b"), str("c")))
+    override val dictCols = Set(0, 1, 2)
     def rows(n: Int): IndexedSeq[Row] = {
       val rng = new Random(Seed)
       val (a, b, c) = (utf8LowValues(rng, n), utf8LowValues(rng, n), utf8LowValues(rng, n))
@@ -160,6 +167,7 @@ object Case {
   /** 3× dict string + i64 — `src/data.rs:155-182`. */
   case object MixedDictionaryTuple extends Case("mixed-dictionary-tuple") {
     val schema = StructType(Seq(str("a"), str("b"), str("c"), lng("d")))
+    override val dictCols = Set(0, 1, 2)
     def rows(n: Int): IndexedSeq[Row] = {
       val rng = new Random(Seed)
       val (a, b, c) = (utf8LowValues(rng, n), utf8LowValues(rng, n), utf8LowValues(rng, n))

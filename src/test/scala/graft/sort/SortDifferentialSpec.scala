@@ -154,6 +154,18 @@ class SortDifferentialSpec extends SparkSpec {
     }
   }
 
+  for (c <- Seq(Case.DictionaryTuple, Case.MixedDictionaryTuple); rowFormat <- Seq(false, true)) {
+    val label = if (rowFormat) "rows-format" else "lexsort"
+    test(s"dict-encoded columnar kernel ($label) agrees with plain on ${c.name}") {
+      val rows = c.rows(2000)
+      val plain = ColumnBatch.fromRows(rows, c.schema)
+      val dict = plain.dictEncoded(c.dictCols)
+      val a = ColumnSort.sortBatch(dict, rowFormat).toRows
+      val b = ColumnSort.sortBatch(plain, rowFormat).toRows
+      assert(a == b, "dictionary encoding must not change sort output")
+    }
+  }
+
   test("sort key covers every column in schema order, ascending") {
     val df = Case.MixedTuple.df(spark, 10)
     val exprs = BatchSort.sortExprs(df.schema)
