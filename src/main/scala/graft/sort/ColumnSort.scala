@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
   * `src/data.rs:220-231`; the null-handling paths live in the Row-level
   * kernels of [[BatchSort]]/[[RowFormatSort]] which the engine uses).
   */
+/** UTF-8 string column in Arrow's physical layout: raw bytes, compared
+  * with `Arrays.compareUnsigned` (a JIT-vectorized memcmp) — the same
+  * comparison the reference's Arrow kernels perform.
+  */
+final class Utf8Col(val values: Array[Array[Byte]]) extends Serializable
+
 /** Dictionary-encoded string column (the reference's
   * `Dictionary<Int32, Utf8>` layout, `src/data.rs:142-144`): int codes
   * into a small dictionary. Comparisons go through precomputed value
@@ -42,7 +48,7 @@ final case class ColumnBatch(schema: StructType, cols: Array[AnyRef]) {
       Row.fromSeq(cols.toIndexedSeq.map {
         case a: Array[Double] => a(i)
         case a: Array[Long] => a(i)
-        case a: Array[String] => a(i)
+        case a: Utf8Col => new String(a.values(i), java.nio.charset.StandardCharsets.UTF_8)
         case d: DictCol => d.dict(d.codes(i))
         case other => throw new IllegalStateException(s"bad column $other")
       })
@@ -53,9 +59,10 @@ final case class ColumnBatch(schema: StructType, cols: Array[AnyRef]) {
     */
   def dictEncoded(colIdxs: Set[Int]): ColumnBatch = {
     val out = cols.zipWithIndex.map {
-      case (a: Array[String], i) if colIdxs.contains(i) =>
+      case (a: Utf8Col, i) if colIdxs.contains(i) =>
         val dict = new java.util.LinkedHashMap[String, Integer]()
-        val codes = a.map { s =>
+        val codes = a.values.map { b =>
+          val s = new String(b, java.nio.charset.StandardCharsets.UTF_8)
           var c = dict.get(s)
           if (c == null) { c = dict.size(); dict.put(s, c) }
           c.intValue()
@@ -71,7 +78,7 @@ object ColumnBatch {
   private def len(col: AnyRef): Int = col match {
     case a: Array[Double] => a.length
     case a: Array[Long] => a.length
-    case a: Array[String] => a.length
+    case a: Utf8Col => a.values.length
     case d: DictCol => d.codes.length
     case other => throw new IllegalArgumentException(s"bad column $other")
   }
@@ -87,8 +94,14 @@ object ColumnBatch {
           val a = new Array[Long](n); var i = 0
           while (i < n) { a(i) = rows(i).getLong(j); i += 1 }; a: AnyRef
         case StringType =>
-          val a = new Array[String](n); var i = 0
-          while (i < n) { a(i) = rows(i).getString(j); i += 1 }; a: AnyRef
+          // Arrow-faithful layout: strings live as UTF-8 bytes, so the
+          // kernels memcmp instead of walking UTF-16 chars
+          val a = new Array[Array[Byte]](n); var i = 0
+          while (i < n) {
+            a(i) = rows(i).getString(j).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            i += 1
+          }
+          new Utf8Col(a): AnyRef
         case other => throw new IllegalArgumentException(s"unsupported columnar type $other")
       }
     }
@@ -112,8 +125,9 @@ object ColumnSort {
     case a: Array[Long] => new ColCmp {
       def cmp(i: Int, j: Int) = java.lang.Long.compare(a(i), a(j))
     }
-    case a: Array[String] => new ColCmp {
-      def cmp(i: Int, j: Int) = BatchSort.compareUtf8(a(i), a(j))
+    case a: Utf8Col => new ColCmp {
+      private val v = a.values
+      def cmp(i: Int, j: Int) = java.util.Arrays.compareUnsigned(v(i), v(j))
     }
     case d: DictCol => new ColCmp {
       // integer rank comparison — the dictionary-encoding payoff
@@ -154,8 +168,9 @@ object ColumnSort {
     case a: Array[Long] => new ColEnc {
       def enc(i: Int, w: KeyWriter) = w.putLong(a(i) ^ Long.MinValue)
     }
-    case a: Array[String] => new ColEnc {
-      def enc(i: Int, w: KeyWriter) = KeyCodec.putString(w, a(i))
+    case a: Utf8Col => new ColEnc {
+      private val v = a.values
+      def enc(i: Int, w: KeyWriter) = KeyCodec.putUtf8Bytes(w, v(i))
     }
     case d: DictCol => new ColEnc {
       // 4-byte big-endian rank: order-preserving within the batch and
@@ -209,9 +224,10 @@ object ColumnSort {
       case a: Array[Long] =>
         val r = new Array[Long](idx.length); var i = 0
         while (i < idx.length) { r(i) = a(idx(i)); i += 1 }; r: AnyRef
-      case a: Array[String] =>
-        val r = new Array[String](idx.length); var i = 0
-        while (i < idx.length) { r(i) = a(idx(i)); i += 1 }; r: AnyRef
+      case a: Utf8Col =>
+        val r = new Array[Array[Byte]](idx.length); var i = 0
+        while (i < idx.length) { r(i) = a.values(idx(i)); i += 1 }
+        new Utf8Col(r): AnyRef
       case d: DictCol =>
         val r = new Array[Int](idx.length); var i = 0
         while (i < idx.length) { r(i) = d.codes(idx(i)); i += 1 }

@@ -23,6 +23,21 @@ private[sort] object KeyCodec {
     * allocate a temp array per value in the hot loop. 0x00 escaped as
     * (0x00,0xFF); (0x00,0x01) terminator keeps prefix-first order.
     */
+  /** Escape-copy already-encoded UTF-8 bytes (Arrow layout) into the key
+    * buffer: 0x00 → (0x00,0xFF), then the (0x00,0x01) terminator.
+    */
+  def putUtf8Bytes(w: KeyWriter, bytes: Array[Byte]): Unit = {
+    w.ensure(bytes.length * 2 + 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == 0) { w.buf(w.len) = 0; w.buf(w.len + 1) = 0xff.toByte; w.len += 2 }
+      else { w.buf(w.len) = b; w.len += 1 }
+      i += 1
+    }
+    w.buf(w.len) = 0; w.buf(w.len + 1) = 1; w.len += 2
+  }
+
   def putString(w: KeyWriter, s: String): Unit = {
     val n = s.length
     w.ensure(n * 3 + 4) // worst case for BMP chars + terminator
