@@ -1,0 +1,23 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: time one inventory query with warmup. */
+object QProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val q = graft.SparkEntry.queries(name)
+    q(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      q(spark, dir).write.format("noop").mode("overwrite").save()
+      println(f"$name iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
