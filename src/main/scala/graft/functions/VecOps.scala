@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** `vec_dot(a, b)` — dot product of two array<double> columns as a native
+  * Catalyst expression.
+  *
+  * The built-in spelling `aggregate(zip_with(a, b, (x,y) -> x*y), 0D,
+  * (acc,v) -> acc+v)` materializes an intermediate array and evaluates
+  * two lambda chains per row; this expression is one fused loop over the
+  * unsafe array data (same left-to-right accumulation order, so results
+  * are bitwise identical — the DuckDB oracles keep matching). Embedding
+  * similarity is the hottest inner loop of the ANN operators; at 100 TB
+  * the difference is cluster-hours.
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == ArrayType(DoubleType, false) || left.dataType == ArrayType(DoubleType, true))
+      if (right.dataType == ArrayType(DoubleType, false) || right.dataType == ArrayType(DoubleType, true))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_dot needs array<double>, got ${right.dataType}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot needs array<double>, got ${left.dataType}")
+  }
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecKernel.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecKernel {
+  /** Fused dot product; same left-to-right fold order as the
+    * `aggregate(zip_with(...))` spelling it replaces.
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+}

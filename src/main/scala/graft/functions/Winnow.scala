@@ -115,16 +115,26 @@ object WinnowKernel {
   */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
-    val ident = FunctionIdentifier("winnow_fp")
-    if (!spark.sessionState.functionRegistry.functionExists(ident)) {
+    val winnowIdent = FunctionIdentifier("winnow_fp")
+    if (!spark.sessionState.functionRegistry.functionExists(winnowIdent)) {
       spark.sessionState.functionRegistry.registerFunction(
-        ident,
+        winnowIdent,
         new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fp"),
         { exprs: Seq[Expression] =>
           require(exprs.length == 3, "winnow_fp(text, k, w)")
           WinnowFingerprint(exprs.head,
             exprs(1).eval().asInstanceOf[Number].intValue(),
             exprs(2).eval().asInstanceOf[Number].intValue())
+        })
+    }
+    val dotIdent = FunctionIdentifier("vec_dot")
+    if (!spark.sessionState.functionRegistry.functionExists(dotIdent)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        dotIdent,
+        new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+        { exprs: Seq[Expression] =>
+          require(exprs.length == 2, "vec_dot(a, b)")
+          VecDot(exprs.head, exprs(1))
         })
     }
   }

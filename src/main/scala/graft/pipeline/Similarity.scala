@@ -26,15 +26,19 @@ import scala.util.Random
 object Similarity {
   import Tables.t
 
-  /** Exact cosine similarity between two array<double> columns. */
+  /** Exact cosine similarity between two array<double> columns, via the
+    * custom fused [[graft.functions.VecDot]] expression (same fold order
+    * as the `aggregate(zip_with(...))` spelling — bitwise-equal results,
+    * one loop instead of two lambda chains + intermediate array).
+    */
   private def cosine(a: String, b: String): Column =
-    expr(s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
-             / (sqrt(aggregate(zip_with($a, $a, (x, y) -> x * y), 0D, (acc, v) -> acc + v))
-                * sqrt(aggregate(zip_with($b, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)))""")
+    expr(s"vec_dot($a, $b) / (sqrt(vec_dot($a, $a)) * sqrt(vec_dot($b, $b)))")
 
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+  }
 
   /** 16 seed-7 hyperplanes over 64 dims, folded to 4 bands of 4 sign
     * bits. Literal constants so the computation is pure column algebra.
