@@ -127,6 +127,16 @@ object GraftFunctions {
             exprs(2).eval().asInstanceOf[Number].intValue())
         })
     }
+    val md5Ident = FunctionIdentifier("md5_long")
+    if (!spark.sessionState.functionRegistry.functionExists(md5Ident)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        md5Ident,
+        new ExpressionInfo(classOf[Md5Long].getName, "md5_long"),
+        { exprs: Seq[Expression] =>
+          require(exprs.length == 1, "md5_long(s)")
+          Md5Long(exprs.head)
+        })
+    }
     val dotIdent = FunctionIdentifier("vec_dot")
     if (!spark.sessionState.functionRegistry.functionExists(dotIdent)) {
       spark.sessionState.functionRegistry.registerFunction(

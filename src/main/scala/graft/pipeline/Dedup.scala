@@ -56,6 +56,7 @@ object Dedup {
     Q(
       "d2_ngram_jaccard",
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), shingles3(words(col("text"))).as("sh"))
         // join key = 60-bit shingle hash: an 8-byte long shuffles and
@@ -107,6 +108,7 @@ object Dedup {
     Q(
       "d3_minhash",
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val sh = t(s, dir, "documents")
           .select(col("doc_id"), explode(shingles3(words(col("text")))).as("shingle"))
           .distinct()
@@ -177,6 +179,7 @@ object Dedup {
     Q(
       "d4_simhash",
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val tok = t(s, dir, "documents")
           .select(col("doc_id"), explode(words(col("text"))).as("tok"))
           .withColumn("h", md5Long(col("tok")))

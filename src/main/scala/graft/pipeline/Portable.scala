@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Portable {
 
-  /** 60-bit deterministic hash of a string column (Spark side). */
+  /** 60-bit deterministic hash of a string column (Spark side): the
+    * fused [[graft.functions.Md5Long]] expression (register the session
+    * via `graft.functions.GraftFunctions.register` before analysis).
+    */
   def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    call_function("md5_long", c)
 
   /** DuckDB twin of [[md5Long]] — `x` is a SQL expression string. */
   def md5LongSql(x: String): String =

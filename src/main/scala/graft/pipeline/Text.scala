@@ -112,11 +112,13 @@ object Text {
     // ---- t4: document fingerprint — md5 of whitespace-normalized text ----
     Q(
       "t4_fingerprint",
-      (s, dir) =>
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         t(s, dir, "documents").select(
           col("doc_id"),
           md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"),
-          md5Long(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp60")),
+          md5Long(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp60"))
+      },
       Some(s"""
         SELECT doc_id,
                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,

@@ -124,6 +124,32 @@ object Advanced {
         FROM j WHERE rn = 1"""),
     ),
 
+    // ---- q27: window function suite — lag/lead/ntile/first over
+    //      per-customer order history ----
+    Q(
+      "q27_window_suite",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .filter(col("o_custkey") <= 30L)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"),
+            ntile(4).over(w).as("quartile"),
+            first(col("o_orderkey")).over(w).as("first_order"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice, 1) OVER w AS prev_price,
+               lead(o_totalprice, 1) OVER w AS next_price,
+               ntile(4) OVER w AS quartile,
+               first_value(o_orderkey) OVER w AS first_order
+        FROM orders WHERE o_custkey <= 30
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)"""),
+    ),
+
     // ---- q26: sketches — HLL distinct estimate (rows-only: estimator
     //      internals differ per engine; accuracy asserted in SketchSpec) ----
     Q(
