@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executable proofs of the cluster-scale techniques the library leans
+  * on: bucketed co-located joins (no shuffle), and watermark-bounded
+  * streaming state. These run tiny here but the plan shapes are exactly
+  * what a 1000-executor deployment relies on.
+  */
+class ScaleTechniquesSpec extends SparkSpec {
+
+  test("bucketed tables join without any shuffle exchange") {
+    // default warehouse dir (./spark-warehouse, gitignored) — the
+    // warehouse location is a static conf on the shared test session
+    val dir = "/root/testdata/sf0.001"
+    val o = Tables.t(spark, dir, "orders")
+    val l = Tables.t(spark, dir, "lineitem")
+    // bucket both fact tables by the join key — at 100 TB this is done
+    // once at ingest and every subsequent orderkey join is shuffle-free
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_b")
+    try {
+      // hint("merge"): at this toy size Spark would broadcast; two real
+      // 100 TB fact tables sort-merge, which is the case bucketing serves
+      val joined = spark.table("orders_b").hint("merge")
+        .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$plan")
+      // the join inputs must come straight from the bucketed scans — the
+      // ONLY exchange allowed is the final tiny aggregate of 5 groups
+      assert(!plan.split("SortMergeJoin")(1).contains("Exchange"),
+        s"bucketed join must not shuffle its inputs:\n$plan")
+      assert(joined.collect().map(_.getLong(1)).sum == l.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("watermark drops state for late data beyond the threshold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val query = graft.streaming.EventStream.hourlyCounts(
+      mem.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    try {
+      mem.addData((ts(1), "a", 1.0))
+      query.processAllAvailable()
+      // advance event time far past the 2h watermark → window [1:00,2:00)
+      // finalizes and is emitted in append mode
+      mem.addData((ts(6), "a", 1.0))
+      query.processAllAvailable()
+      // this event is 5h late — behind the watermark, must be DROPPED
+      mem.addData((ts(1), "a", 100.0))
+      query.processAllAvailable()
+      mem.addData((ts(9), "a", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("wm_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getDouble(3))).toSet
+      // the finalized hour-1 window contains ONLY the on-time event
+      assert(rows.contains(("2024-01-01 01:00:00.0", 1L, 1.0)),
+        s"expected finalized on-time window, got $rows")
+      assert(!rows.exists(_._3 == 101.0), s"late data leaked into state: $rows")
+    } finally query.stop()
+  }
+}
