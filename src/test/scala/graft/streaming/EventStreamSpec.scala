@@ -55,6 +55,25 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file-source stream over the events parquet matches the batch aggregate") {
+    val src = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      src.resolve("events.parquet"))
+    val stream = EventStream.readEventStream(spark, src.toString)
+    assert(stream.isStreaming)
+    val query = EventStream.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("file_hourly")
+        .agg(sum("n")).collect()(0).getLong(0)
+      val batch = graft.Tables.t(spark, "/root/testdata/sf0.001", "events").count()
+      assert(streamed == batch, s"stream counted $streamed of $batch events")
+    } finally query.stop()
+  }
+
   test("batch sessionize over the events table agrees with the SQL window version") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
