@@ -150,6 +150,52 @@ object Advanced {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)"""),
     ),
 
+    // ---- q28: SQL frontend — the same engine surface through
+    //      spark.sql over registered views (correlated scalar subquery) ----
+    Q(
+      "q28_sql_frontend",
+      (s, dir) => {
+        t(s, dir, "part").createOrReplaceTempView("part_v")
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""
+          SELECT p_brand, count(*) AS n_parts,
+                 CAST(sum(CAST(p_retailprice AS DECIMAL(30,2))) AS DOUBLE) AS brand_value
+          FROM part_v p
+          WHERE p_size > (SELECT avg(p_size) FROM part_v)
+            AND EXISTS (SELECT 1 FROM lineitem_v l WHERE l.l_partkey = p.p_partkey)
+          GROUP BY p_brand""")
+      },
+      Some("""
+        SELECT p_brand, count(*) AS n_parts,
+               CAST(sum(CAST(p_retailprice AS DECIMAL(30,2))) AS DOUBLE) AS brand_value
+        FROM part p
+        WHERE p_size > (SELECT avg(p_size) FROM part)
+          AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        GROUP BY p_brand"""),
+    ),
+
+    // ---- q29: schema-based JSON parsing (from_json -> typed struct) ----
+    Q(
+      "q29_from_json",
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("parsed", from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+          .filter(col("parsed.k").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            max(col("parsed.k")).as("max_k"),
+            round(avg(col("parsed.k")), 6).as("avg_k")),
+      Some("""
+        SELECT event_type, count(*) AS n,
+               max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+        GROUP BY 1"""),
+    ),
+
     // ---- q26: sketches — HLL distinct estimate (rows-only: estimator
     //      internals differ per engine; accuracy asserted in SketchSpec) ----
     Q(
