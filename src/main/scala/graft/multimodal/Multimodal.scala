@@ -41,6 +41,8 @@ object Multimodal {
   /** STUB decode: payload bytes → fixed-shape L1-normalized byte-class
     * histogram. A real deployment swaps ONLY this function for a codec
     * call (same signature: Iterator of rows in, Iterator of rows out).
+    * Features are raw IEEE divisions (count/total) — no rounding — so the
+    * DuckDB oracle's `c / CAST(n AS DOUBLE)` is bitwise-identical.
     */
   def fakeDecodeFeatures(blobs: DataFrame): DataFrame = {
     val outSchema = StructType(blobs.schema.fields.filterNot(_.name == "payload") :+
@@ -56,7 +58,7 @@ object Multimodal {
           while (i < bytes.length) { hist((bytes(i) & 0xff) % FeatureDim) += 1; i += 1 }
           val total = math.max(bytes.length, 1).toDouble
           var j = 0
-          while (j < FeatureDim) { hist(j) = math.rint(hist(j) / total * 1e6) / 1e6; j += 1 }
+          while (j < FeatureDim) { hist(j) = hist(j) / total; j += 1 }
           Row.fromSeq(keepIdx.map(r.get) :+ hist.toSeq)
         }
       }, outSchema)
@@ -118,18 +120,37 @@ object Multimodal {
                  payload
           FROM b)
         SELECT modality, count(*) AS n_sampled_frames,
-               sum(least($FrameBytes, octet_length(payload) - frame_idx * $FrameBytes)) AS sampled_bytes
+               CAST(sum(least($FrameBytes, octet_length(payload) - frame_idx * $FrameBytes)) AS BIGINT) AS sampled_bytes
         FROM f GROUP BY 1"""),
     ),
 
-    // ---- m3: stubbed decode → feature extraction (rows-only check;
-    //      determinism + shape asserted in MultimodalSpec) ----
+    // ---- m3: stubbed decode → feature extraction. Output is exploded to
+    //      one scalar row per (id, dim) — the driver harness can't sort
+    //      array columns — and the oracle recomputes the byte-class
+    //      histogram in SQL (bytes via hex()+substr; validated against a
+    //      Python twin in scripts/proto_m3_oracle.py). Determinism +
+    //      shape also asserted in MultimodalSpec. ----
     Q(
       "m3_decode_features",
       (s, dir) =>
         fakeDecodeFeatures(blobs(s, dir))
-          .select(col("id"), col("modality"), col("features")),
-      None,
+          .select(col("id"), col("modality"), posexplode(col("features")))
+          .withColumnsRenamed(Map("pos" -> "dim", "col" -> "feat")),
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id AS id,
+                 ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+                 hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+          FROM documents),
+        bytes AS (
+          SELECT id, CAST(('0x' || substr(hx, 2*p+1, 2)) AS INT) % $FeatureDim AS bucket
+          FROM (SELECT id, hx, unnest(generate_series(0, n-1)) AS p FROM b)),
+        cnt AS (SELECT id, bucket, count(*) AS c FROM bytes GROUP BY 1, 2),
+        dims AS (SELECT unnest(generate_series(0, ${FeatureDim - 1})) AS dim)
+        SELECT b.id, b.modality, CAST(d.dim AS INT) AS dim,
+               coalesce(c.c, 0) / CAST(greatest(b.n, 1) AS DOUBLE) AS feat
+        FROM b CROSS JOIN dims d
+        LEFT JOIN cnt c ON c.id = b.id AND c.bucket = d.dim"""),
     ),
   )
 }

@@ -33,6 +33,13 @@ object Dedup {
   private val Bs = Seq(463174L, 534096L, 392005L, 657170L, 881634L, 532155L, 542388L, 879771L)
   private val BandRows = 4 // 8 hashes → 2 bands of 4
 
+  /** d2 document-frequency cap: a shingle appearing in more than this
+    * many documents carries no Jaccard signal (boilerplate) and makes its
+    * inverted-index bucket O(df²) in the self-join — the classic hot-key
+    * scale-killer. Dropping them first is standard in production dedup.
+    */
+  val MaxShingleDf = 50
+
   private def normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   def all: Seq[Q] = Seq(
@@ -62,10 +69,18 @@ object Dedup {
         // join key = 60-bit shingle hash: an 8-byte long shuffles and
         // compares far cheaper than a ~20-char string; the oracle hashes
         // identically so semantics match (collisions: ~n^2/2^61, nil)
-        val exploded = docs
+        val allSh = docs
           .select(col("doc_id"), explode(col("sh")).as("shingle"))
           .select(col("doc_id"), md5Long(col("shingle")).as("h"))
           .distinct() // set semantics for Jaccard
+        // hot-shingle cap: the hot set is small by definition (few
+        // boilerplate shingles exceed the df cap), so a broadcast
+        // anti-join removes them without shuffling the big side
+        val hot = allSh.groupBy("h")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > MaxShingleDf)
+          .select("h")
+        val exploded = allSh.join(broadcast(hot), Seq("h"), "left_anti")
         val sizes = exploded.groupBy("doc_id")
           .agg(count(lit(1)).as("n_sh"))
         // inverted index self-join: only docs sharing a shingle meet.
@@ -87,11 +102,14 @@ object Dedup {
           .select(col("doc1"), col("doc2"), round(col("jac_raw"), 6).as("jaccard"))
       },
       Some(s"""
-        WITH sh AS (
+        WITH sh0 AS (
           SELECT DISTINCT doc_id, ${md5LongSql("shingle")} AS h
           FROM (SELECT doc_id,
                        unnest(${shingles3Sql(wordsSql("text"))}) AS shingle
                 FROM documents)),
+        sh AS (
+          SELECT * FROM sh0 WHERE h NOT IN (
+            SELECT h FROM sh0 GROUP BY h HAVING count(*) > $MaxShingleDf)),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         pairs AS (
           SELECT x.doc_id AS doc1, y.doc_id AS doc2, count(*) AS n_common
@@ -145,7 +163,12 @@ object Dedup {
     Q(
       "d3b_lsh_pairs",
       (s, dir) => {
+        // materialize the signature table once (the pattern a 100 TB
+        // dedup uses: signatures are computed in one pass and reused by
+        // every band join) — without this, the self-join below would
+        // recompute the full shingle -> minhash pipeline for BOTH sides
         val sig = all.find(_.name == "d3_minhash").get.run(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bands = sig.select(col("doc_id"), explode(array(
           concat_ws("|", lit(0), col("band0")),
           concat_ws("|", lit(1), col("band1")))).as("bucket"))
@@ -202,7 +225,7 @@ object Dedup {
           FROM tok, (SELECT unnest(generate_series(0, 31)) AS bit)
           GROUP BY 1, 2)
         SELECT doc_id,
-               sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash32
+               CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash32
         FROM bits GROUP BY 1"""),
     ),
   )

@@ -75,16 +75,20 @@ object Events {
       },
       Some("""
         WITH g AS (
+          -- ORDER BY epoch_us(ts): Spark reads this nanosecond column
+          -- truncated to microseconds, so the oracle must tie-break on the
+          -- same truncated value or same-µs events sessionize differently
           SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
-                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
           FROM events),
         m AS (
           SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 30 * 60 * 1000000
                          THEN 1 ELSE 0 END AS new_session
           FROM g),
         sess AS (
-          SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
-                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          -- CAST: DuckDB sum(int) yields HUGEINT; Spark's is BIGINT
+          SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
           FROM m)
         SELECT user_id, session_seq, count(*) AS n_events,
                min(ts_us) AS start_us, max(ts_us) AS end_us,

@@ -126,17 +126,78 @@ object Text {
         FROM documents"""),
     ),
     // ---- t5: winnowing fingerprints via the custom codegen'd Catalyst
-    //      expression (rows-only check; guarantees tested in WinnowSpec) ----
+    //      expression. Output is scalar-only (count + md5 of the joined
+    //      fingerprint list) so the driver harness can sort/hash it, and
+    //      the DuckDB oracle re-derives the full winnowing algorithm in
+    //      SQL (rolling Rabin-Karp hashes in HUGEINT arithmetic, rightmost
+    //      -min windows via a (h, -pos)-packed window min, lag() for the
+    //      record-on-change rule) — kernel guarantees also in WinnowSpec ----
     Q(
       "t5_winnow",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
-        t(s, dir, "documents").select(
-          col("doc_id"),
-          expr("winnow_fp(text, 8, 5)").as("fingerprints"),
-          size(expr("winnow_fp(text, 8, 5)")).as("n_fp"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), expr("winnow_fp(text, 8, 5)").as("fps"))
+          .select(
+            col("doc_id"),
+            size(col("fps")).as("n_fp"),
+            md5(array_join(col("fps").cast("array<string>"), ",")).as("fp_md5"))
       },
-      None,
+      Some(winnowOracleSql(k = 8, w = 5)),
     ),
   )
+
+  /** DuckDB twin of `winnow_fp(text, k, w)` → (doc_id, n_fp, fp_md5).
+    * Mirrors graft.functions.WinnowKernel exactly: same base/modulus,
+    * byte-level k-grams over UTF-8 (bytes extracted via hex()+substr),
+    * rightmost-minimum winnowing windows (packed (h, -pos) min so one
+    * window min yields both the value and the argmin), record-on-change
+    * via lag(), and the short-document single-global-min branch.
+    * Validated against a Python port in scripts/proto_t5_oracle.py.
+    */
+  private def winnowOracleSql(k: Int, w: Int): String = {
+    val mod = (BigInt(1) << 61) - 1 // Mersenne prime 2^61-1, as in WinnowKernel
+    val pows = (0 until k).map(j => BigInt(257).modPow(BigInt(k - 1 - j), mod))
+    val powValues = pows.zipWithIndex
+      .map { case (p, j) => s"($j, $p::HUGEINT)" }.mkString(", ")
+    s"""
+        WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+          FROM documents),
+        b AS (
+          SELECT doc_id, p, CAST(('0x' || substr(hx, 2*p+1, 2)) AS INT) AS bv, nb - $k + 1 AS ng
+          FROM (SELECT doc_id, hx, nb, unnest(generate_series(0, nb-1)) AS p FROM d)),
+        hs AS (
+          SELECT doc_id, p - j AS pos, max(ng) AS ng,
+                 CAST(sum(CAST(bv AS HUGEINT) * powj) % $mod AS BIGINT) AS h
+          FROM b JOIN (VALUES $powValues) AS wts(j, powj) ON p - j BETWEEN 0 AND ng - 1
+          GROUP BY 1, 2),
+        win AS (
+          SELECT doc_id, pos AS start, ng,
+                 min(CAST(h AS HUGEINT) * 4294967296 + (4294967295 - pos))
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS combo
+          FROM hs WHERE ng > $w
+          QUALIFY start <= ng - $w),
+        sel AS (
+          SELECT doc_id, start,
+                 CAST(combo // 4294967296 AS BIGINT) AS fph,
+                 4294967295 - CAST(combo % 4294967296 AS BIGINT) AS minidx
+          FROM win),
+        emitted AS (
+          SELECT doc_id, start, fph
+          FROM (SELECT *, lag(minidx) OVER (PARTITION BY doc_id ORDER BY start) AS previdx FROM sel)
+          WHERE previdx IS NULL OR minidx <> previdx),
+        short AS (
+          SELECT doc_id, 0 AS start, min(h) AS fph
+          FROM hs WHERE ng BETWEEN 1 AND $w
+          GROUP BY doc_id),
+        fp AS (SELECT * FROM emitted UNION ALL SELECT * FROM short),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_fp,
+                 md5(string_agg(CAST(fph AS VARCHAR), ',' ORDER BY start)) AS fp_md5
+          FROM fp GROUP BY doc_id)
+        SELECT d0.doc_id, coalesce(a.n_fp, 0) AS n_fp, coalesce(a.fp_md5, md5('')) AS fp_md5
+        FROM documents d0 LEFT JOIN agg a ON d0.doc_id = a.doc_id"""
+  }
 }

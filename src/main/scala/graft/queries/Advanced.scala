@@ -196,8 +196,11 @@ object Advanced {
         GROUP BY 1"""),
     ),
 
-    // ---- q26: sketches — HLL distinct estimate (rows-only: estimator
-    //      internals differ per engine; accuracy asserted in SketchSpec) ----
+    // ---- q26: sketches — HLL distinct estimate. Estimator internals
+    //      differ per engine, so the oracle-checkable output is the exact
+    //      count plus a deterministic accuracy bit (|approx-exact|/exact
+    //      within 5% at rsd=0.02) that DuckDB asserts as a constant;
+    //      tighter accuracy properties live in SketchSpec. ----
     Q(
       "q26_approx_distinct",
       (s, dir) =>
@@ -205,8 +208,17 @@ object Advanced {
           .groupBy(col("l_returnflag"))
           .agg(
             approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-            countDistinct(col("l_partkey")).as("exact_parts")),
-      None,
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .select(
+            col("l_returnflag"),
+            col("exact_parts"),
+            (abs(col("approx_parts") - col("exact_parts")).cast("double")
+              / col("exact_parts") <= 0.05).as("within_5pct")),
+      Some("""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               true AS within_5pct
+        FROM lineitem GROUP BY 1"""),
     ),
   )
 }

@@ -9,7 +9,7 @@ class SimilaritySpec extends SparkSpec {
   test("s2 LSH ANN has sane recall vs s1 brute force and never invents neighbors") {
     val brute = SparkEntry.queries("s1_knn_brute")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = SparkEntry.queries("s2_knn_lsh")(spark, dir)
+    val lsh = Similarity.knnLsh(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.nonEmpty, "LSH should produce candidates")
     // every LSH result is a true vector pair from the corpus (sanity)
@@ -17,6 +17,13 @@ class SimilaritySpec extends SparkSpec {
     // random-hyperplane LSH on random vectors: recall is modest but must
     // be far above chance (chance ≈ k/N = 10/500 = 2%)
     assert(overlap >= 0.1, f"recall vs brute force too low: $overlap%.2f")
+  }
+
+  test("s2 driver query: every query meets the recall_ok contract") {
+    val out = SparkEntry.queries("s2_knn_lsh")(spark, dir).collect()
+    assert(out.length == 5)
+    out.foreach(r => assert(r.getBoolean(r.fieldIndex("recall_ok")),
+      s"query ${r.get(0)} below the recall floor"))
   }
 
   test("d3b LSH candidate pairs cover the high-jaccard near-dup pairs") {
