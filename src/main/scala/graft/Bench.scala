@@ -41,7 +41,7 @@ object Bench {
     // the µs-scale medians.
     val sweepPts =
       for {
-        caseName <- Seq("mixed-tuple", "dictionary-tuple")
+        caseName <- Seq("utf8-tuple", "mixed-tuple", "dictionary-tuple", "mixed-dictionary-tuple")
         p <- {
           val c = graft.datagen.Case.byName(caseName)
           val df = c.df(spark, 100000).persist()

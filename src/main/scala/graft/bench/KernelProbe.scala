@@ -9,7 +9,7 @@ import graft.sort.{BatchSort, ColumnSort, RowFormatSort}
 object KernelProbe {
   def main(args: Array[String]): Unit = {
     val size = if (args.nonEmpty) args(0).toInt else 70000
-    val c = Case.MixedTuple
+    val c = if (args.length > 1) Case.byName(args(1)) else Case.MixedTuple
     val batch = c.rows(size).toArray
     val ord = BatchSort.rowOrdering(c.schema)
     def once(run: () => Unit): Double = {
@@ -23,11 +23,20 @@ object KernelProbe {
     println("B: " + times.map(t => f"${t._2}%.0f").mkString(" "))
     // columnar kernels (the RecordBatch-faithful path used by the sweep)
     val cb = graft.sort.ColumnBatch.fromRows(c.rows(size), c.schema)
+      .dictEncoded(c.dictCols)
     val colA = () => { ColumnSort.sortBatch(cb, rowFormat = false); () }
     val colB = () => { ColumnSort.sortBatch(cb, rowFormat = true); () }
     (0 until 10).foreach(_ => { colA(); colB() })
     val colTimes = (0 until 30).map(_ => (once(colA), once(colB)))
     println("colA: " + colTimes.map(t => f"${t._1}%.0f").mkString(" "))
     println("colB: " + colTimes.map(t => f"${t._2}%.0f").mkString(" "))
+    // phase breakdown for strategy A: index sort vs gather
+    var idx: Array[Int] = null
+    val phaseIdx = () => { idx = ColumnSort.lexsortIndices(cb); () }
+    val phaseTake = () => { ColumnSort.take(cb, idx); () }
+    (0 until 10).foreach(_ => { phaseIdx(); phaseTake() })
+    val phases = (0 until 30).map(_ => (once(phaseIdx), once(phaseTake)))
+    println("lexsort: " + phases.map(t => f"${t._1}%.0f").mkString(" "))
+    println("take:    " + phases.map(t => f"${t._2}%.0f").mkString(" "))
   }
 }

@@ -69,9 +69,17 @@ sealed abstract class Case(val name: String) {
 
   /** The generated batch as a single-partition DataFrame (the Spark analog
     * of "one in-memory RecordBatch", SURVEY §1.4).
+    *
+    * Generation happens EXECUTOR-side: the task closure ships only this
+    * case object (i.e. the seed + recipe) and each task materializes its
+    * rows locally — the only datagen pattern that survives at cluster
+    * scale. Driver-side `parallelize(rows(n))` would serialize the whole
+    * batch into the task binary (the "task of very large size" warning).
     */
   def df(spark: SparkSession, n: Int): DataFrame = {
-    val rdd = spark.sparkContext.parallelize(rows(n), 1)
+    val self = this
+    val rdd = spark.sparkContext.parallelize(Seq(n), 1)
+      .mapPartitions(it => it.flatMap(self.rows))
     spark.createDataFrame(rdd, schema)
   }
 }

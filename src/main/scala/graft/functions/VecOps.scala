@@ -30,12 +30,19 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   }
   override def prettyName: String = "vec_dot"
 
+  /** Null result on length mismatch / null element (see kernel). */
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VecKernel.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VecKernel.dot($a, $b);")
+      s"""
+         java.lang.Double vecDotR = graft.functions.VecKernel.dotOrNull($a, $b);
+         if (vecDotR == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = vecDotR.doubleValue(); }
+       """)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
@@ -43,13 +50,21 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
 object VecKernel {
   /** Fused dot product; same left-to-right fold order as the
-    * `aggregate(zip_with(...))` spelling it replaces.
+    * `aggregate(zip_with(...))` spelling it replaces — INCLUDING its null
+    * semantics: `zip_with` pads a shorter array with nulls and a null
+    * element poisons the `aggregate` fold, so any length mismatch or null
+    * element yields NULL (not a silently-truncated or garbage product).
     */
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
-    acc
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
   }
 }

@@ -85,6 +85,16 @@ object Similarity {
       s"CASE WHEN list_dot_product(v, [${p.mkString(",")}]) >= 0 THEN 1 ELSE 0 END AS b$i"
     }.mkString(",\n               ")
 
+  /** (label, band) compare-bucket sizes — the quantity s3's scale safety
+    * rests on: all-pairs work is quadratic in the LARGEST of these, not
+    * in the largest label block (spec-asserted in ScaleTechniquesSpec).
+    */
+  def s3BucketSizes(s: SparkSession, dir: String): DataFrame =
+    withSignBits(vecs(s, dir))
+      .withColumn("band", explode(array(bandBuckets: _*)))
+      .groupBy(col("label"), col("band"))
+      .agg(count(lit(1)).as("n"))
+
   /** s1 kernel: exact brute-force cosine top-10 for query vectors id<5. */
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)

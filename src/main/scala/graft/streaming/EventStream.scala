@@ -42,39 +42,73 @@ object EventStream {
   final case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long, total_value: Double)
 
+  /** Event timestamp in microseconds — `getTime` alone truncates to
+    * milliseconds; the sub-millisecond part lives in `getNanos` (this is
+    * what keeps session boundaries aligned with the batch twin's
+    * `unix_micros`).
+    */
+  private def eventUs(e: Ev): Long =
+    e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * escape hatch for session semantics `session_window` can't express
     * (here: emit closed sessions only, with explicit state eviction).
+    *
+    * State is bounded two ways: a newer event past the gap closes and
+    * emits the previous session, and an event-time timeout flushes +
+    * evicts the open session of a user who stops sending events entirely
+    * (without it, one-visit users would pin state forever). EventTime
+    * rather than ProcessingTime timeout deliberately: processing-time
+    * timeouts make `shouldRunAnotherBatch` permanently true, so the query
+    * busy-loops no-data micro-batches (and `processAllAvailable` never
+    * returns); event-time timeouts re-batch only when the watermark
+    * advances. In batch mode the watermark node is optimized away and
+    * `setTimeoutTimestamp` is a no-op, so the SAME function serves the
+    * backfill path with closed-sessions-only semantics.
     */
   def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000000
     events
+      .withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
-          // sort this micro-batch's events; merge into open session state
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
-          var open = state.getOption.flatMap(_.headOption)
-          val closed = scala.collection.mutable.ListBuffer[SessionOut]()
-          for (e <- sorted) {
-            val us = e.ts.getTime * 1000
-            open match {
-              case Some(s) if us - s.lastUs <= gapUs =>
-                open = Some(s.copy(lastUs = us, n = s.n + 1, total = s.total + e.value))
-              case Some(s) =>
-                closed += SessionOut(userId, s.startUs, s.lastUs, s.n, s.total)
-                open = Some(SessionState(us, us, 1, e.value))
-              case None =>
-                open = Some(SessionState(us, us, 1, e.value))
+          if (state.hasTimedOut) {
+            // the watermark passed last-event-time + gap: the open
+            // session can never be extended — emit it and evict state
+            val flushed = state.getOption.flatMap(_.headOption).map(s =>
+              SessionOut(userId, s.startUs, s.lastUs, s.n, s.total))
+            state.remove()
+            flushed.iterator
+          } else {
+            // sort this micro-batch's events; merge into open session state
+            val sorted = evs.toSeq.sortBy(e => (eventUs(e), e.value))
+            var open = state.getOption.flatMap(_.headOption)
+            val closed = scala.collection.mutable.ListBuffer[SessionOut]()
+            for (e <- sorted) {
+              val us = eventUs(e)
+              open match {
+                case Some(s) if us - s.lastUs <= gapUs =>
+                  open = Some(s.copy(lastUs = us, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.startUs, s.lastUs, s.n, s.total)
+                  open = Some(SessionState(us, us, 1, e.value))
+                case None =>
+                  open = Some(SessionState(us, us, 1, e.value))
+              }
             }
+            open match {
+              case Some(s) =>
+                state.update(List(s))
+                // watermark filtering guarantees lastUs >= watermark, so
+                // this timestamp is always ahead of the watermark
+                state.setTimeoutTimestamp(s.lastUs / 1000 + gapMinutes.toLong * 60 * 1000)
+              case None => state.remove()
+            }
+            closed.iterator
           }
-          open match {
-            case Some(s) => state.update(List(s))
-            case None => state.remove()
-          }
-          closed.iterator
       }
   }
 

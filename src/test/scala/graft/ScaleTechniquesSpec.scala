@@ -42,6 +42,19 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("s3 near-dup compare buckets are materially smaller than label blocks") {
+    val dir = "/root/testdata/sf0.001"
+    val buckets = graft.pipeline.Similarity.s3BucketSizes(spark, dir)
+      .collect().map(r => (r.getAs[Number](0).longValue(), r.getLong(2)))
+    val maxBucket = buckets.map(_._2).max
+    val maxBlock = buckets.groupBy(_._1).values.map(_.map(_._2).sum / 4).max // 4 bands per vector
+    // pair work is quadratic in the largest COMPARE bucket; the band
+    // slice must cut the worst label block by well over half for the
+    // blocked-all-pairs scale risk to be gone
+    assert(maxBucket * 2 <= maxBlock,
+      s"band slicing is not bounding blocks: maxBucket=$maxBucket maxBlock=$maxBlock")
+  }
+
   test("watermark drops state for late data beyond the threshold") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext

@@ -55,6 +55,29 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("event-time timeout flushes and evicts idle users' open sessions") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val query = sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("timeout_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(ts(0), 1L, 1.0))
+      query.processAllAvailable()
+      // another user's event 5h later pushes the watermark (4:30) far past
+      // user 1's timeout (0:30) — the idle open session must be emitted
+      mem.addData(Ev(ts(300), 2L, 5.0))
+      query.processAllAvailable()
+      mem.addData(Ev(ts(301), 2L, 5.0)) // nudge one more batch for the timeout pass
+      query.processAllAvailable()
+      val out = spark.table("timeout_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSeq
+      assert(out == Seq((1L, 1L, 1.0)),
+        s"idle user's open session must flush via timeout, got $out")
+    } finally query.stop()
+  }
+
   test("file-source stream over the events parquet matches the batch aggregate") {
     val src = java.nio.file.Files.createTempDirectory("graft-stream-src")
     java.nio.file.Files.copy(
