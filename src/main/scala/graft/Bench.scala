@@ -39,10 +39,25 @@ object Bench {
     // iters) at the headline size from BASELINE.md — measured BEFORE the
     // query pass so heap churn from the heavy pipelines can't pollute
     // the µs-scale medians.
+    // JIT pre-pass first: heat EVERY case's comparator/encoder classes
+    // before any measurement — in one JVM the later cases otherwise get
+    // timed while C2 deoptimizes/recompiles the sort loop for the newly
+    // appearing column classes (observed 3-10x inflation on the
+    // dictionary cases when skipped; fresh-JVM-per-case sweeps match
+    // KernelProbe only with this pass in place).
+    val sweepCases = Seq("utf8-tuple", "mixed-tuple", "dictionary-tuple", "mixed-dictionary-tuple")
+    sweepCases.foreach { cn =>
+      val c = graft.datagen.Case.byName(cn)
+      val df = c.df(spark, 20000).persist()
+      df.count()
+      graft.bench.SortSweep.measureBoth(cn, df, 20000, 3)
+      df.unpersist(blocking = true)
+    }
     val sweepPts =
       for {
-        caseName <- Seq("utf8-tuple", "mixed-tuple", "dictionary-tuple", "mixed-dictionary-tuple")
+        caseName <- sweepCases
         p <- {
+          System.gc() // earlier cases' garbage must not bill this one
           val c = graft.datagen.Case.byName(caseName)
           val df = c.df(spark, 100000).persist()
           df.count()

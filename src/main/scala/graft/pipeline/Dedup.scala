@@ -33,12 +33,16 @@ object Dedup {
   private val Bs = Seq(463174L, 534096L, 392005L, 657170L, 881634L, 532155L, 542388L, 879771L)
   private val BandRows = 4 // 8 hashes → 2 bands of 4
 
-  /** d2 document-frequency cap: a shingle appearing in more than this
-    * many documents carries no Jaccard signal (boilerplate) and makes its
-    * inverted-index bucket O(df²) in the self-join — the classic hot-key
-    * scale-killer. Dropping them first is standard in production dedup.
+  /** d2 document-frequency cap: a shingle appearing in more than
+    * max(50, 1% of the corpus) documents carries no Jaccard signal
+    * (boilerplate) and makes its inverted-index bucket O(df²) in the
+    * self-join — the classic hot-key scale-killer. Dropping them first is
+    * standard in production dedup. Corpus-relative so the cap stays
+    * meaningful from the sf0.01 gate to a 100 TB corpus; the oracle
+    * computes the same bound in SQL.
     */
-  val MaxShingleDf = 50
+  val MinShingleDfCap = 50L
+  def shingleDfCap(nDocs: Long): Long = math.max(MinShingleDfCap, nDocs / 100)
 
   private def normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
@@ -69,18 +73,25 @@ object Dedup {
         // join key = 60-bit shingle hash: an 8-byte long shuffles and
         // compares far cheaper than a ~20-char string; the oracle hashes
         // identically so semantics match (collisions: ~n^2/2^61, nil)
+        // materialize the inverted shingle index ONCE — it feeds the hot
+        // set, both self-join sides, and the size table (without the
+        // persist each consumer re-runs the explode+distinct pipeline,
+        // the dominant cost; at 100 TB the index is a materialized table)
         val allSh = docs
           .select(col("doc_id"), explode(col("sh")).as("shingle"))
           .select(col("doc_id"), md5Long(col("shingle")).as("h"))
           .distinct() // set semantics for Jaccard
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tau = shingleDfCap(t(s, dir, "documents").count())
         // hot-shingle cap: the hot set is small by definition (few
         // boilerplate shingles exceed the df cap), so a broadcast
         // anti-join removes them without shuffling the big side
         val hot = allSh.groupBy("h")
           .agg(count(lit(1)).as("df"))
-          .filter(col("df") > MaxShingleDf)
+          .filter(col("df") > tau)
           .select("h")
         val exploded = allSh.join(broadcast(hot), Seq("h"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sizes = exploded.groupBy("doc_id")
           .agg(count(lit(1)).as("n_sh"))
         // inverted index self-join: only docs sharing a shingle meet.
@@ -109,7 +120,9 @@ object Dedup {
                 FROM documents)),
         sh AS (
           SELECT * FROM sh0 WHERE h NOT IN (
-            SELECT h FROM sh0 GROUP BY h HAVING count(*) > $MaxShingleDf)),
+            SELECT h FROM sh0 GROUP BY h
+            HAVING count(*) > greatest($MinShingleDfCap,
+                                       (SELECT count(*) // 100 FROM documents)))),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         pairs AS (
           SELECT x.doc_id AS doc1, y.doc_id AS doc2, count(*) AS n_common
