@@ -46,6 +46,18 @@ object Dedup {
 
   private def normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** Documents table re-sharded across the cluster before per-document
+    * EXPLOSION (shingles ×~2000, words ×tokens): a compact corpus file
+    * arrives in far fewer input splits than the explode output warrants
+    * (sf0.1 = one 0.6 MB row group = ONE scan task feeding a ~10M-row
+    * md5 pipeline single-threaded). Hash-sharding on doc_id costs one
+    * tiny shuffle of the raw text and buys full-cluster parallelism for
+    * the hash/explode stage — the same re-shard a 100 TB corpus of
+    * many small objects needs before fan-out work.
+    */
+  private def docsSharded(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "documents").repartition(col("doc_id"))
+
   def all: Seq[Q] = Seq(
     // ---- d1: exact dedup — group by normalized-text fingerprint, keep min id ----
     Q(
@@ -68,7 +80,7 @@ object Dedup {
       "d2_ngram_jaccard",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
-        val docs = t(s, dir, "documents")
+        val docs = docsSharded(s, dir)
           .select(col("doc_id"), shingles3(words(col("text"))).as("sh"))
         // join key = 60-bit shingle hash: an 8-byte long shuffles and
         // compares far cheaper than a ~20-char string; the oracle hashes
@@ -92,6 +104,13 @@ object Dedup {
           .select("h")
         val exploded = allSh.join(broadcast(hot), Seq("h"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // materialize the capped index EAGERLY: the self-join below reads
+        // it from three branches of ONE job, and a lazy persist lets those
+        // branches race to fill the cache (each recomputing the full
+        // explode+distinct — measured 3x slower than round 1's no-cache
+        // version). One count() = one build, then pure cache reads.
+        exploded.count()
+        allSh.unpersist(false) // superseded by the capped index
         val sizes = exploded.groupBy("doc_id")
           .agg(count(lit(1)).as("n_sh"))
         // inverted index self-join: only docs sharing a shingle meet.
@@ -140,7 +159,7 @@ object Dedup {
       "d3_minhash",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
-        val sh = t(s, dir, "documents")
+        val sh = docsSharded(s, dir)
           .select(col("doc_id"), explode(shingles3(words(col("text")))).as("shingle"))
           .distinct()
           .withColumn("h", pmod(md5Long(col("shingle")), lit(M)))
@@ -182,6 +201,8 @@ object Dedup {
         // recompute the full shingle -> minhash pipeline for BOTH sides
         val sig = all.find(_.name == "d3_minhash").get.run(s, dir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sig.count() // eager: both self-join sides must READ the cache,
+                    // not race to fill it (see d2's materialize note)
         val bands = sig.select(col("doc_id"), explode(array(
           concat_ws("|", lit(0), col("band0")),
           concat_ws("|", lit(1), col("band1")))).as("bucket"))
@@ -216,7 +237,7 @@ object Dedup {
       "d4_simhash",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
-        val tok = t(s, dir, "documents")
+        val tok = docsSharded(s, dir)
           .select(col("doc_id"), explode(words(col("text"))).as("tok"))
           .withColumn("h", md5Long(col("tok")))
         val bits = tok

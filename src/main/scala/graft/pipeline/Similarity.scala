@@ -138,6 +138,67 @@ object Similarity {
     */
   val MinRecallHits = 2
 
+  /** s4 IVF parameters: K data-derived centroids (the embedding vectors
+    * with `vec_id` in [CentroidLo, CentroidLo+NumCentroids)), queries
+    * probe the NProbe nearest cells. Data-derived centroids keep the
+    * whole operator deterministic AND fully DuckDB-expressible — unlike
+    * s2's Scala-side hyperplanes, the oracle recomputes the exact same
+    * index, so s4 gets a full hash check, not a recall contract.
+    */
+  val NumCentroids = 16
+  val CentroidLo = 100
+  val NProbe = 4
+
+  /** s4 kernel: IVF (inverted-file) ANN top-10, same output shape as s1.
+    *
+    * Index build: every corpus vector is assigned to its nearest centroid
+    * by `max_by` over a broadcast centroid join — the ×K candidate rows
+    * collapse back to one row per vector in the map-side partial
+    * aggregate, so the only full-corpus shuffle is the final agg (the
+    * one-time index-build cost; at 100 TB the `(cid, vec_id, v)` table is
+    * materialized once, partitioned by `cid`). Query path: probe the
+    * NProbe nearest cells through a broadcast join on `cid` — only the
+    * probed cells' vectors are ever scanned, the IVF contract.
+    */
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cent = e
+      .filter(col("vec_id") >= CentroidLo && col("vec_id") < CentroidLo + NumCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // nearest-centroid assignment: max_by on (rounded sim, -cid) == the
+    // oracle's ORDER BY sim DESC, cid ASC — rounding first so float
+    // noise can't tie-break differently across engines
+    val assigned = e.join(broadcast(cent))
+      .withColumn("c_sim", round(cosine("cv", "v"), 6))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cid"), struct(col("c_sim"), (-col("cid")).as("neg"))).as("cid"),
+        first(col("v")).as("v"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("c_sim").desc, col("cid").asc)
+    val probes = q.join(broadcast(cent))
+      .withColumn("c_sim", round(cosine("cv", "qv"), 6))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= NProbe)
+      .select(col("qid"), col("qv"), col("cid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    // each vector lives in exactly one cell and the probed cids are
+    // distinct, so the candidate join yields each (qid, vec) at most once
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", round(cosine("qv", "v"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
+  }
+
+  /** DuckDB cosine twin over DOUBLE[] columns a, b. */
+  private def cosSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
   def all: Seq[Q] = Seq(
     // ---- s1: brute-force cosine top-k for a fixed query set ----
     Q(
@@ -217,6 +278,42 @@ object Similarity {
         FROM pairs
         WHERE list_dot_product(v1, v2)
               / (sqrt(list_dot_product(v1, v1)) * sqrt(list_dot_product(v2, v2))) >= 0.25"""),
+    ),
+
+    // ---- s4: IVF ANN — data-derived centroids, nearest-cell assignment,
+    //      nprobe-cell probe; deterministic end-to-end so the oracle
+    //      recomputes the identical index and the driver hash-checks it ----
+    Q(
+      "s4_knn_ivf",
+      (s, dir) => knnIvf(s, dir),
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (
+          SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id >= $CentroidLo AND vec_id < ${CentroidLo + NumCentroids}),
+        asg AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, cent.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosSql("cv", "v")} DESC, cid ASC) AS arn
+            FROM e, cent)
+          WHERE arn = 1),
+        probes AS (
+          SELECT qid, qv, cid FROM (
+            SELECT e.vec_id AS qid, e.v AS qv, cent.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosSql("cv", "qv")} DESC, cid ASC) AS prn
+            FROM e, cent WHERE e.vec_id < 5)
+          WHERE prn <= $NProbe),
+        cand AS (
+          SELECT qid, asg.vec_id AS vec_id, ${cosSql("qv", "v")} AS cos_sim
+          FROM asg JOIN probes USING (cid)
+          WHERE asg.vec_id != qid)
+        SELECT qid, vec_id, cos_sim, rn
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                           ORDER BY cos_sim DESC, vec_id ASC) AS rn
+              FROM cand)
+        WHERE rn <= 10"""),
     ),
   )
 }

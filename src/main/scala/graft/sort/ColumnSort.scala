@@ -206,8 +206,53 @@ object ColumnSort {
     case other => throw new IllegalArgumentException(s"bad column $other")
   }
 
+  /** Normalized 8-byte leading key for the FIRST sort column, when one
+    * exists whose unsigned-long order is EXACT (a key tie means the
+    * column values are equal, so the chain may fall through to column 1):
+    * f64 → order-preserving bit flip, i64 → sign flip, dict → rank,
+    * short-only utf8 → the zero-padded prefix. The first column decides
+    * the vast majority of comparisons in a lexsort, and inlining it as a
+    * primitive long compare removes the megamorphic comparator dispatch +
+    * NaN/zero normalization from the hot path (the same reason Spark's
+    * UnsafeExternalSorter sorts on an 8-byte radix prefix first).
+    * Returns null when no exact key exists (general utf8: a prefix tie
+    * does NOT imply equality).
+    */
+  private def exactLeadingKey(col: AnyRef): Array[Long] = col match {
+    case a: Array[Double] =>
+      val k = new Array[Long](a.length); var i = 0
+      while (i < a.length) { k(i) = KeyCodec.doubleBits(a(i)); i += 1 }; k
+    case a: Array[Long] =>
+      val k = new Array[Long](a.length); var i = 0
+      while (i < a.length) { k(i) = a(i) ^ Long.MinValue; i += 1 }; k
+    case d: DictCol =>
+      val r = d.ranks; val c = d.codes
+      val k = new Array[Long](c.length); var i = 0
+      while (i < c.length) { k(i) = r(c(i)).toLong; i += 1 }; k
+    case a: Utf8Col if a.allShort => a.prefixes
+    case _ => null
+  }
+
   /** Strategy A: chained per-column comparators over an index vector. */
   def lexsortIndices(batch: ColumnBatch): Array[Int] = {
+    val k0 = if (batch.cols.nonEmpty) exactLeadingKey(batch.cols(0)) else null
+    if (k0 != null) {
+      val rest = batch.cols.drop(1).map(colCmp)
+      val chain = new IndexCmp {
+        def lt(i: Int, j: Int): Boolean = {
+          val c0 = java.lang.Long.compareUnsigned(k0(i), k0(j))
+          if (c0 != 0) return c0 < 0
+          var k = 0
+          while (k < rest.length) {
+            val c = rest(k).cmp(i, j)
+            if (c != 0) return c < 0
+            k += 1
+          }
+          false
+        }
+      }
+      return sortedIndices(batch.numRows, chain)
+    }
     val cmps = batch.cols.map(colCmp) // comparator chain built per call, like the reference
     val chain = new IndexCmp {
       def lt(i: Int, j: Int): Boolean = {
@@ -222,6 +267,7 @@ object ColumnSort {
     }
     sortedIndices(batch.numRows, chain)
   }
+
 
   /** Strategy B: row-format (normalized-key) encode into one slab, then
     * byte-compare sort (`src/lib.rs:35-53` rebuilt columnar).

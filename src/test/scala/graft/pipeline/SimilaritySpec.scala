@@ -26,6 +26,27 @@ class SimilaritySpec extends SparkSpec {
       s"query ${r.get(0)} below the recall floor"))
   }
 
+  test("s4 IVF ANN: full top-10 per query, exact within probed cells, sane recall") {
+    val ivf = SparkEntry.queries("s4_knn_ivf")(spark, dir).collect()
+    assert(ivf.length == 50, s"expected 5 queries x 10 rows, got ${ivf.length}")
+    // per query: ranks are 1..10 and cos_sim is non-increasing in rank
+    ivf.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq == (1 to 10),
+        s"query $qid ranks not 1..10")
+      val sims = byRank.map(_.getDouble(2)).toSeq
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"query $qid cos_sim not sorted")
+    }
+    // probing NProbe of NumCentroids cells must beat chance recall by a
+    // wide margin (near vectors concentrate in the query's own cells)
+    val brute = SparkEntry.queries("s1_knn_brute")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = hits.intersect(brute).size.toDouble / brute.size
+    assert(overlap >= 0.1, f"IVF recall vs brute force too low: $overlap%.2f")
+  }
+
   test("d3b LSH candidate pairs cover the high-jaccard near-dup pairs") {
     val jacPairs = SparkEntry.queries("d2_ngram_jaccard")(spark, dir)
       .filter("jaccard >= 0.5")
