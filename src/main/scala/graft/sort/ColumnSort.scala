@@ -323,8 +323,81 @@ object ColumnSort {
     case other => throw new IllegalArgumentException(s"bad column $other")
   }
 
+  /** Bits of normalized key a column contributes when it is FIXED-width
+    * and register-packable; -1 when it isn't. Dict columns need only
+    * ceil(log2(|dict|)) bits (the rank), primitives 64, short zero-free
+    * utf8 64 (the padded prefix is a complete order-preserving key).
+    */
+  private def packedBits(col: AnyRef): Int = col match {
+    case d: DictCol =>
+      math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, d.dict.length - 1L)).toInt)
+    case _: Array[Long] => 64
+    case _: Array[Double] => 64
+    case a: Utf8Col if a.allShort && a.noZeroBytes => 64
+    case _ => -1
+  }
+
+  private def packedField(col: AnyRef): Int => Long = col match {
+    case d: DictCol =>
+      val r = d.ranks; val c = d.codes
+      i => r(c(i)).toLong
+    case a: Array[Long] => i => a(i) ^ Long.MinValue
+    case a: Array[Double] => i => KeyCodec.doubleBits(a(i))
+    case a: Utf8Col => a.prefixes(_)
+  }
+
+  /** Row-format fast path: when every column's normalized key is fixed
+    * width and they sum to ≤128 bits, the whole row key packs into one
+    * or two machine words (dict ranks in log2(|dict|) bits, primitives/
+    * short-utf8 in 64) — the same normalized-key bytes as the slab
+    * encoding, but compared as longs in registers instead of a memcmp
+    * over a heap slab. Keys are COMPLETE (every column participates), so
+    * a key tie means identical rows and ordering among ties is
+    * irrelevant to the output.
+    */
+  private def packedRowIndices(batch: ColumnBatch, bits: Array[Int]): Array[Int] = {
+    val n = batch.numRows
+    val fields = batch.cols.map(packedField)
+    val his = new Array[Long](n)
+    val los = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var hi = 0L; var lo = 0L
+      var j = 0
+      while (j < fields.length) {
+        val b = bits(j)
+        val v = fields(j)(i)
+        // shift the 128-bit (hi, lo) accumulator left by b, then OR in v.
+        // b == 64: everything accumulated so far still fits in lo (total
+        // key ≤ 128 bits), so the shift is exactly hi ← lo, lo ← v.
+        if (b == 64) { hi = lo; lo = v }
+        else { hi = (hi << b) | (lo >>> (64 - b)); lo = (lo << b) | v }
+        j += 1
+      }
+      his(i) = hi; los(i) = lo
+      i += 1
+    }
+    val anyHi = bits.sum > 64
+    val chain: IndexCmp =
+      if (anyHi) new IndexCmp {
+        def lt(i: Int, j: Int): Boolean = {
+          val c = java.lang.Long.compareUnsigned(his(i), his(j))
+          if (c != 0) c < 0
+          else java.lang.Long.compareUnsigned(los(i), los(j)) < 0
+        }
+      }
+      else new IndexCmp {
+        def lt(i: Int, j: Int): Boolean =
+          java.lang.Long.compareUnsigned(los(i), los(j)) < 0
+      }
+    sortedIndices(n, chain)
+  }
+
   def rowFormatIndices(batch: ColumnBatch): Array[Int] = {
     val n = batch.numRows
+    val bits = batch.cols.map(packedBits)
+    if (batch.cols.nonEmpty && !bits.contains(-1) && bits.sum <= 128)
+      return packedRowIndices(batch, bits)
     val encs = batch.cols.map(colEnc) // hoisted: no per-row type dispatch
     val w = new KeyWriter(math.max(64, n * batch.cols.length * 12))
     val offsets = new Array[Int](n + 1)

@@ -112,6 +112,23 @@ object EventStream {
       }
   }
 
+  /** Streaming exact-dedup twin of batch d1: drop repeated documents /
+    * events by content fingerprint as they arrive. State is bounded by
+    * the watermark — `dropDuplicatesWithinWatermark` evicts a
+    * fingerprint's state once the watermark passes its event time, so
+    * the dedup map never grows beyond one watermark-window of distinct
+    * keys (an unbounded `dropDuplicates` would pin every fingerprint
+    * ever seen — a scale-killer on an infinite stream). Exactly the
+    * ingest-time shape of a 100 TB pipeline: near-duplicate bursts
+    * (retries, crawler refetches) collapse inside the window; the
+    * batch d1 pass remains the global, exact backstop.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("fingerprint", md5(concat_ws("|", col("user_id"), col("event_type"), col("value"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** File-source streaming reader with the events schema — at scale this
     * is the replay path over a parquet landing zone.
     */

@@ -35,6 +35,28 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupStream drops repeats within the watermark, keeps first occurrence") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val query = dedupStream(df, watermark = "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts(0), 1L, "click", 1.0), (ts(5), 1L, "click", 1.0), // dup content
+        (ts(10), 2L, "view", 3.0))
+      query.processAllAvailable()
+      mem.addData((ts(20), 1L, "click", 1.0)) // still inside watermark: dup
+      query.processAllAvailable()
+      val out = spark.table("deduped").collect()
+      assert(out.length == 2, s"expected 2 distinct rows, got ${out.length}")
+      val users = out.map(_.getLong(out.head.fieldIndex("user_id"))).toSet
+      assert(users == Set(1L, 2L))
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions and keeps open state") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
