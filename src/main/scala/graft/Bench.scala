@@ -53,7 +53,7 @@ object Bench {
       graft.bench.SortSweep.measureBoth(cn, df, 20000, 3)
       df.unpersist(blocking = true)
     }
-    val sweepPts =
+    def sweepPass(): Seq[(String, Double)] =
       for {
         caseName <- sweepCases
         p <- {
@@ -66,6 +66,7 @@ object Bench {
           pts
         }
       } yield s"${p.caseName}|${p.strategy}|${p.batchSize}" -> p.avgUs
+    val sweepPass1 = sweepPass()
 
     val results = SparkEntry.inventory.map { q =>
       System.gc() // stabilize: don't bill query N for query N-1's garbage
@@ -88,6 +89,15 @@ object Bench {
       val t = if (t1 > 2.0) math.min(t1, once()) else t1
       q.name -> t
     }
+
+    // Second sweep pass AFTER the query pass (~minutes later), min-merged
+    // per cell: this container's single-core throughput swings ~1.5x over
+    // minutes (co-tenant load), and the in-task sweep medians are fully
+    // exposed to it. Two windows far apart make one quiet window likely;
+    // min = the kernel's actual cost, not the neighbors'.
+    val sweepPass2 = sweepPass()
+    val sweepPts = (sweepPass1 ++ sweepPass2)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }.toSeq
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")

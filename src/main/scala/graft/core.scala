@@ -21,6 +21,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** NOTE on scan parallelism: a parquet ROW GROUP is the unit of scan
+    * parallelism (byte-range splits cannot subdivide one), and every
+    * driver testdata table is a single row group — so every scan here is
+    * ONE task. A blanket re-shard after the scan was tried and REVERTED:
+    * for plain scan→filter→agg queries the extra shuffle of the raw rows
+    * costs more than the parallelism buys at gate scale (bench total
+    * 53 s → 78 s). Re-sharding pays only when downstream work per row is
+    * LARGE — explode/hash amplification — which is why only those
+    * pipelines re-shard, at their own call sites (`Dedup.docsSharded`).
+    */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects

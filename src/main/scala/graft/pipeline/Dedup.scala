@@ -159,9 +159,14 @@ object Dedup {
       "d3_minhash",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
+        // NO distinct before the min-aggregation: min over a multiset
+        // equals min over its set, so deduplicating shingles first would
+        // only add a full shuffle of every (doc, shingle) string pair —
+        // the signature pipeline's partial mins combine map-side and the
+        // one real shuffle carries |docs| rows, not |shingles|. (The
+        // oracle keeps its DISTINCT; both reduce to the same mins.)
         val sh = docsSharded(s, dir)
           .select(col("doc_id"), explode(shingles3(words(col("text")))).as("shingle"))
-          .distinct()
           .withColumn("h", pmod(md5Long(col("shingle")), lit(M)))
         val mhCols = As.zip(Bs).zipWithIndex.map { case ((a, b), j) =>
           min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"mh$j")

@@ -160,20 +160,33 @@ object Similarity {
     * NProbe nearest cells through a broadcast join on `cid` — only the
     * probed cells' vectors are ever scanned, the IVF contract.
     */
-  def knnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
-    val cent = e
-      .filter(col("vec_id") >= CentroidLo && col("vec_id") < CentroidLo + NumCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // nearest-centroid assignment: max_by on (rounded sim, -cid) == the
-    // oracle's ORDER BY sim DESC, cid ASC — rounding first so float
-    // noise can't tie-break differently across engines
-    val assigned = e.join(broadcast(cent))
+  private def ivfCentroids(e: DataFrame): DataFrame = e
+    .filter(col("vec_id") >= CentroidLo && col("vec_id") < CentroidLo + NumCentroids)
+    .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+  /** Nearest-centroid assignment: max_by on (rounded sim, -cid) == the
+    * oracle's ORDER BY sim DESC, cid ASC — rounding first so float
+    * noise can't tie-break differently across engines.
+    */
+  private def ivfAssigned(e: DataFrame): DataFrame =
+    e.join(broadcast(ivfCentroids(e)))
       .withColumn("c_sim", round(cosine("cv", "v"), 6))
       .groupBy(col("vec_id"))
       .agg(
         max_by(col("cid"), struct(col("c_sim"), (-col("cid")).as("neg"))).as("cid"),
         first(col("v")).as("v"))
+
+  /** IVF cell sizes — the quantity s4's probe-cost bound rests on: a
+    * query scans only its `NProbe` probed cells, so probe work is the
+    * sum of a few of these, never the corpus (spec-asserted).
+    */
+  def ivfCellSizes(s: SparkSession, dir: String): DataFrame =
+    ivfAssigned(vecs(s, dir)).groupBy("cid").agg(count(lit(1)).as("n"))
+
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cent = ivfCentroids(e)
+    val assigned = ivfAssigned(e)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val pw = Window.partitionBy(col("qid"))

@@ -12,6 +12,17 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  /** Plan AFTER execution: AQE finalizes stages (and wraps them in
+    * WholeStageCodegen) only once the query runs, so codegen assertions
+    * must look at the final adaptive plan, not the initial one.
+    */
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // a write would spawn a SEPARATE QueryExecution; collect
+    // finalizes THIS one's adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
   test("q2: filter is pushed into the parquet scan and columns are pruned") {
     val p = plan("q2_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull"), s"expected pushed filters in scan:\n$p")
@@ -49,13 +60,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("whole-stage codegen covers the scan->filter->project pipeline of q2") {
-    val p = plan("q2_filter_project")
-    // executedPlan.toString marks codegen stages with "*(n)"
+    val p = executedPlan("q2_filter_project")
+    // the final adaptive plan marks codegen stages with "*(n)"
     assert(p.contains("*(1)"), s"pipeline should be codegen'd:\n$p")
   }
 
   test("t3 text ops stay in one codegen stage with a pruned scan") {
-    val p = plan("t3_tokens")
+    val p = executedPlan("t3_tokens")
     assert(p.contains("*(1)"), s"should be codegen'd:\n$p")
     assert(p.contains("doc_id") && p.contains("text")
       && !p.contains("lang"), s"documents scan should prune:\n$p")

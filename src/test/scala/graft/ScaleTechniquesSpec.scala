@@ -55,6 +55,22 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"band slicing is not bounding blocks: maxBucket=$maxBucket maxBlock=$maxBlock")
   }
 
+  test("s4 IVF cells spread the corpus; probe cost is a corpus fraction") {
+    val dir = "/root/testdata/sf0.001"
+    val cells = graft.pipeline.Similarity.ivfCellSizes(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val corpus = cells.map(_._2).sum
+    // every centroid attracts SOME vectors (no collapsed index) and the
+    // probe bound holds: NProbe worst-case cells stay well under the
+    // corpus — the quantity that makes IVF cheaper than brute force
+    assert(cells.length == graft.pipeline.Similarity.NumCentroids,
+      s"expected every cell non-empty, got ${cells.length}")
+    val worstProbe = cells.map(_._2).sorted.reverse
+      .take(graft.pipeline.Similarity.NProbe).sum
+    assert(worstProbe * 2 <= corpus,
+      s"probing $worstProbe of $corpus rows — IVF not bounding probe cost")
+  }
+
   test("watermark drops state for late data beyond the threshold") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext

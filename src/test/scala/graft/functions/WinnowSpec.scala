@@ -43,10 +43,13 @@ class WinnowSpec extends SparkSpec {
     // time; a parquet scan exercises the real generated pipeline
     val df = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), expr("winnow_fp(text, 8, 5)").as("f"))
+    // AQE wraps stages in WholeStageCodegen only once the query runs —
+    // collect THIS df (a write would spawn a separate QueryExecution),
+    // then inspect the finalized adaptive plan
+    val rows = df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), s"winnow_fp fell out of codegen:\n$plan")
-    val rows = df.limit(5).collect()
-    assert(rows.nonEmpty && rows.forall(_.getSeq[Long](1).nonEmpty))
+    assert(rows.nonEmpty && rows.take(5).forall(_.getSeq[Long](1).nonEmpty))
   }
 
   test("t5_winnow query runs over documents with one fingerprint set per doc") {
