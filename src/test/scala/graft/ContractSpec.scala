@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants that don't need a SparkSession: the
+  * correctness gate hash-checks every query against its DuckDB oracle,
+  * so a query silently missing an oracle (or a name collision shadowing
+  * one) would weaken the gate without failing anything — pin it here.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  test("inventory names are unique") {
+    val names = SparkEntry.inventory.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct).distinct}")
+  }
+
+  test("every inventory query carries a DuckDB oracle") {
+    val missing = SparkEntry.inventory.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("oracle SQL references only driver testdata tables") {
+    val known = Tables.names.toSet
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val froms = "(?i)(?:from|join)\\s+([a-z_][a-z0-9_]*)".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val unknown = froms -- known -- Set("unnest") // CTE names resolve first
+      // CTE aliases are fine — just require that every base table
+      // mentioned anywhere in FROM/JOIN position is either a CTE defined
+      // in the same query or a known testdata table
+      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s+as\\s*\\(".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      assert((unknown -- ctes).isEmpty,
+        s"$name oracle references unknown tables: ${unknown -- ctes}")
+    }
+  }
+}
