@@ -29,13 +29,18 @@ object Bench {
     // reference's numbers are likewise warm means over 50 iterations
     // (BASELINE.md protocol). Costs ~20s, removes 3-6x cold-start skew
     // on the heavy hash/explode pipelines.
+    val tStart = System.nanoTime()
+    def mark(phase: String): Unit =
+      System.err.println(f"[bench] $phase done at t=${(System.nanoTime() - tStart) / 1e9}%.0f s")
+
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.inventory.foreach { q =>
       try q.run(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
+    mark("warmup")
 
-    // Reference-protocol sort sweep (µs per sorted batch, median of
+    // Reference-protocol sort sweep (µs per sorted batch, min of
     // iters) at the headline size from BASELINE.md — measured BEFORE the
     // query pass so heap churn from the heavy pipelines can't pollute
     // the µs-scale medians.
@@ -67,6 +72,7 @@ object Bench {
         }
       } yield s"${p.caseName}|${p.strategy}|${p.batchSize}" -> p.avgUs
     val sweepPass1 = sweepPass()
+    mark("sweep pass 1")
 
     val results = SparkEntry.inventory.map { q =>
       System.gc() // stabilize: don't bill query N for query N-1's garbage
@@ -89,6 +95,7 @@ object Bench {
       val t = if (t1 > 2.0) math.min(t1, once()) else t1
       q.name -> t
     }
+    mark("query pass")
 
     // Second sweep pass AFTER the query pass (~minutes later), min-merged
     // per cell: this container's single-core throughput swings ~1.5x over
@@ -96,6 +103,7 @@ object Bench {
     // exposed to it. Two windows far apart make one quiet window likely;
     // min = the kernel's actual cost, not the neighbors'.
     val sweepPass2 = sweepPass()
+    mark("sweep pass 2")
     val sweepPts = (sweepPass1 ++ sweepPass2)
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }.toSeq
 
