@@ -154,6 +154,27 @@ class SortDifferentialSpec extends SparkSpec {
     }
   }
 
+  // The case generators PRE-SORT their batches, which the adaptive
+  // fast path now short-circuits in O(n) — so the merge/packed-key
+  // machinery must additionally be proven on UNSORTED input, or the
+  // sorted-input tests above would pass vacuously.
+  for (c <- Case.all; rowFormat <- Seq(false, true)) {
+    val label = if (rowFormat) "rows-format" else "lexsort"
+    test(s"columnar kernel ($label) agrees with row comparator on shuffled ${c.name}") {
+      val rng = new scala.util.Random(7)
+      val rows = rng.shuffle(c.rows(2500))
+      val batch = ColumnBatch.fromRows(rows, c.schema).dictEncoded(c.dictCols)
+      val sorted = ColumnSort.sortBatch(batch, rowFormat).toRows
+      val expected = rows.toArray
+      val ord = BatchSort.rowOrdering(c.schema)
+      java.util.Arrays.sort(expected, ord)
+      sorted.zip(expected).zipWithIndex.foreach { case ((x, y), i) =>
+        assert(ord.compare(x, y) == 0, s"columnar $label disagrees at $i: $x vs $y")
+      }
+      assert(sorted.size == rows.size)
+    }
+  }
+
   for (c <- Seq(Case.DictionaryTuple, Case.MixedDictionaryTuple); rowFormat <- Seq(false, true)) {
     val label = if (rowFormat) "rows-format" else "lexsort"
     test(s"dict-encoded columnar kernel ($label) agrees with plain on ${c.name}") {
