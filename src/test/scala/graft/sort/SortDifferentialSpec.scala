@@ -187,6 +187,42 @@ class SortDifferentialSpec extends SparkSpec {
     }
   }
 
+  // Regression: <=8-byte strings containing 0x00 zero-pad to the SAME
+  // prefix long as their shorter twin ("a" vs "a\u0000"), so every
+  // prefix-tie-means-equal shortcut must either require noZeroBytes or
+  // tie-break by length — a false tie falls through to later sort
+  // columns and produces genuinely mis-ordered output.
+  private val nulShort = IndexedSeq( // every string <=8 bytes: allShort comparator path
+    Row("a\u0000\u0000", 1L), Row("a", 9L), Row("a\u0000", 5L),
+    Row("\u0000", 8L), Row("", 10L), Row("a\u0000b", 0L),
+    Row("b", 2L), Row("a", 3L), Row("a\u0000", 4L))
+  private val nulMixed = nulShort ++ IndexedSeq( // >8-byte strings: general comparator path
+    Row("longer-than-8-bytes\u0000", -1L), Row("longer-than-8-bytes", -2L),
+    Row("len8-pad\u0000", -3L), Row("len8-pad", -4L))
+  for (rowFormat <- Seq(false, true);
+       (fixtureName, rows) <- Seq("all-short" -> nulShort, "mixed-length" -> nulMixed)) {
+    val label = if (rowFormat) "rows-format" else "lexsort"
+    test(s"columnar kernel ($label, $fixtureName) orders short strings with NUL bytes (prefix-tie regression)") {
+      val schema = StructType(Seq(
+        StructField("s", StringType, nullable = false),
+        StructField("l", LongType, nullable = false)))
+      // paired with longs DESCENDING where the strings ascend, so a false
+      // string tie surfaces as a visible l-column mis-order
+      val batch = ColumnBatch.fromRows(rows, schema)
+      val sorted = ColumnSort.sortBatch(batch, rowFormat).toRows
+      val expected = rows.toArray
+      val ord = BatchSort.rowOrdering(schema)
+      java.util.Arrays.sort(expected, ord)
+      sorted.zip(expected).zipWithIndex.foreach { case ((x, y), i) =>
+        assert(ord.compare(x, y) == 0, s"columnar $label disagrees at $i: $x vs $y")
+      }
+      // the NUL-bearing column must not collapse distinct values
+      assert(sorted.map(_.getString(0)).toSeq ==
+        rows.map(_.getString(0)).sorted(Ordering.comparatorToOrdering(
+          (a: String, b: String) => BatchSort.compareUtf8(a, b))))
+    }
+  }
+
   test("sort key covers every column in schema order, ascending") {
     val df = Case.MixedTuple.df(spark, 10)
     val exprs = BatchSort.sortExprs(df.schema)
