@@ -35,8 +35,7 @@ object DProbe {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     phase("allSh build+cache")(allSh.count())
-    val tau = graft.pipeline.Dedup.shingleDfCap(
-      graft.Tables.t(spark, dir, "documents").count())
+    val tau = graft.pipeline.Dedup.ShingleDfCap
     val hot = allSh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > tau).select("h")
     phase("hot agg")(hot.count())

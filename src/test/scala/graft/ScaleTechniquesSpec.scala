@@ -42,6 +42,29 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("d2 shingle df cap is ABSOLUTE: bucket size bounded regardless of corpus size") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // synthetic corpus where one boilerplate shingle spans every doc —
+    // the hot-key shape that makes a corpus-RELATIVE cap (n/100)
+    // quadratic at scale: here n=600 docs, so the boilerplate df (600)
+    // must exceed the cap and be dropped, while per-doc shingles survive
+    val docs = (0 until 600).map { i =>
+      (i.toLong, s"common boiler plate here unique text item nr$i x$i y$i")
+    }.toDF("doc_id", "text")
+    val raw = graft.pipeline.Dedup.rawShingles(docs)
+    val rawMaxDf = raw.groupBy("h").count().agg(max("count")).first().getLong(0)
+    assert(rawMaxDf > graft.pipeline.Dedup.ShingleDfCap,
+      s"fixture must contain a hot shingle: rawMaxDf=$rawMaxDf")
+    val capped = graft.pipeline.Dedup.applyDfCap(raw)
+    val cappedMaxDf = capped.groupBy("h").count().agg(max("count")).first().getLong(0)
+    // the surviving df — and so the worst join bucket, O(df²) — is
+    // bounded by the cap CONSTANT, independent of how many docs exist
+    assert(cappedMaxDf <= graft.pipeline.Dedup.ShingleDfCap,
+      s"cap not absolute: maxDf=$cappedMaxDf > ${graft.pipeline.Dedup.ShingleDfCap}")
+    assert(capped.count() > 0, "cap must not drop the whole index")
+  }
+
   test("s3 near-dup compare buckets are materially smaller than label blocks") {
     val dir = "/root/testdata/sf0.001"
     val buckets = graft.pipeline.Similarity.s3BucketSizes(spark, dir)
