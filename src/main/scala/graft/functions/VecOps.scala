@@ -37,12 +37,18 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     VecKernel.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: with non-nullable children nullSafeCodeGen emits this
+      // block without enclosing braces, so a fixed local name would
+      // collide when one projection holds several vec_dot calls (cosine
+      // expands to three) and Janino would reject the whole stage
+      val r = ctx.freshName("vecDotR")
       s"""
-         java.lang.Double vecDotR = graft.functions.VecKernel.dotOrNull($a, $b);
-         if (vecDotR == null) { ${ev.isNull} = true; }
-         else { ${ev.value} = vecDotR.doubleValue(); }
-       """)
+         java.lang.Double $r = graft.functions.VecKernel.dotOrNull($a, $b);
+         if ($r == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = $r.doubleValue(); }
+       """
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)

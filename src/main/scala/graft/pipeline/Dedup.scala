@@ -113,24 +113,6 @@ object Dedup {
       df
     })
 
-  /** Persist-with-replacement for per-query derived tables (d2's capped
-    * index, d3b's signature table): the derived table must be persisted
-    * AND eagerly built — a lazy persist lets the self-join branches race
-    * to fill the cache, each recomputing the upstream (measured 3×
-    * slower) — but per-invocation persists that are never released leak
-    * a cache entry per call (Bench runs every heavy query twice).
-    * Keying by name caps the leak at ONE live copy per table: each
-    * rebuild unpersists the copy it supersedes.
-    */
-  private val liveDerived =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def materialized(key: String, df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    p.count()
-    liveDerived.put(key, p).foreach(_.unpersist(false))
-    p
-  }
-
   /** MinHash band-signature table (d3's output, d3b's input): 8 portable
     * permutation mins folded into 2 band strings. Reads the shared
     * [[shingleIndex]]; the mins aggregate combines map-side, so the only
@@ -196,7 +178,7 @@ object Dedup {
         // join key = 60-bit shingle hash: an 8-byte long shuffles and
         // compares far cheaper than a ~20-char string; the oracle hashes
         // identically so semantics match (collisions: ~n^2/2^61, nil)
-        val exploded = materialized(s"d2.capped|$dir",
+        val exploded = Materialized(s"d2.capped|$dir",
           applyDfCap(shingleIndex(s, dir)))
         val sizes = exploded.groupBy("doc_id")
           .agg(count(lit(1)).as("n_sh"))
@@ -256,7 +238,7 @@ object Dedup {
         // dedup uses: signatures are computed in one pass and reused by
         // every band join) — without this, the self-join below would
         // recompute the minhash aggregate for BOTH sides
-        val sig = materialized(s"d3b.sig|$dir", minhashSignatures(s, dir))
+        val sig = Materialized(s"d3b.sig|$dir", minhashSignatures(s, dir))
         val bands = sig.select(col("doc_id"), explode(array(
           concat_ws("|", lit(0), col("band0")),
           concat_ws("|", lit(1), col("band1")))).as("bucket"))

@@ -1,0 +1,25 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Persist-with-replacement for derived tables that several branches of
+  * one query read (an index self-join, a signature bucket join): the
+  * derived table must be persisted AND eagerly built — a lazy persist
+  * lets the join branches race to fill the cache, each recomputing the
+  * upstream (measured 3× slower) — but per-invocation persists that are
+  * never released leak a cache entry per call (Bench runs every heavy
+  * query twice). Keying by name caps the leak at ONE live copy per
+  * table: each rebuild unpersists the copy it supersedes.
+  */
+private[graft] object Materialized {
+  private val live =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def apply(key: String, df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    p.count() // eager: one fill, then pure cache reads
+    live.put(key, p).foreach(_.unpersist(false))
+    p
+  }
+}

@@ -20,13 +20,15 @@ import scala.util.Random
   * The driver-facing s2 query emits per-query recall-vs-s1 booleans so
   * the DuckDB oracle can hash-check it (the hyperplanes live in Scala).
   * s3 is blocked near-dup detection: within a blocking key (`label`),
-  * candidates must ALSO share one of 4 LSH sign-bit bands before the
-  * exact cosine check — so the largest compare bucket is a band slice of
-  * a block, never a whole block. Blocked-all-pairs is quadratic in the
-  * largest block (a scale-killer when one label holds millions of
-  * vectors); band slicing bounds it multiplicatively (~1/2^bits per
-  * band) while keeping near-identical recall for true near-dups (sign
-  * agreement → band hit probability ≈ 1 as cosine → 1).
+  * candidates must ALSO share an LSH sign-bit band before the exact
+  * cosine check — and the band WIDTH adapts to the block size (
+  * [[s3Bits]]), so the largest compare bucket is bounded by an absolute
+  * constant, not by a fixed fraction of the block. Blocked-all-pairs is
+  * quadratic in the largest block (a scale-killer when one label holds
+  * millions of vectors); fixed-width slicing only divides that by a
+  * constant — adaptive width keeps bucket ≈ [[S3TargetBucket]]
+  * regardless of how hot the label is.
+  * s4 is IVF ANN with a √n-sized coarse quantizer ([[numCentroids]]).
   *
   * Cosine is computed with codegen'd array expressions
   * (`zip_with`/`aggregate`) — no UDF, stays in WholeStageCodegen.
@@ -48,19 +50,73 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
   }
 
-  /** 16 seed-7 hyperplanes over 64 dims, folded to 4 bands of 4 sign
-    * bits. Literal constants so the computation is pure column algebra —
-    * and inlinable into the DuckDB oracle (list_dot_product matches the
-    * `aggregate(zip_with(...))` fold bitwise).
+  /** The fixed audit/query sample: vectors with `vec_id <` this. Every
+    * ANN operator (s1/s2/s4) answers for this query set, and s2's recall
+    * audit compares against s1 over it — so audit cost is
+    * O(sample · corpus) with a CONSTANT sample, not O(corpus²), as the
+    * corpus grows. (At gate SFs the sample is the whole query
+    * population, so the contract stays exact where the driver checks
+    * it.)
     */
-  private val Hyperplanes: Seq[Seq[Double]] = {
-    val rng = new Random(7)
-    Seq.fill(16)(Seq.fill(64)(math.rint((rng.nextDouble() * 2 - 1) * 1000) / 1000))
+  val AuditQueries = 5
+
+  /** s3 band geometry: [[S3Bands]] independent bands; each band uses
+    * `nbits` hyperplane sign bits where `nbits` GROWS with the label
+    * block so the expected bucket `block / 2^nbits` stays ≈
+    * [[S3TargetBucket]]. nbits is the smallest b in
+    * [[[S3MinBits]], [[S3MaxBits]]] with `block ≤ S3TargetBucket · 2^b`
+    * — a pure integer-threshold ladder, so Spark and the DuckDB oracle
+    * compute bit-identical widths (no float log2 at a ceil boundary).
+    * A true near-dup (cosine → 1) agrees on each sign bit with
+    * probability 1 − θ/π → 1, so widening bands for hot blocks trades
+    * a little recall on the hottest labels for a bounded pair count —
+    * the multi-band OR keeps near-dup recall high.
+    */
+  val S3Bands = 4
+  val S3MinBits = 4
+  val S3MaxBits = 12
+  val S3TargetBucket = 16L
+
+  /** Scala-side band width for a block of `blockN` vectors. */
+  def s3Bits(blockN: Long): Int = {
+    var b = S3MinBits
+    while (b < S3MaxBits && blockN > S3TargetBucket * (1L << b)) b += 1
+    b
   }
 
-  /** Adds sign-bit columns b0..b15 for the 16 hyperplanes. */
-  private def withSignBits(e: DataFrame): DataFrame = {
-    val planes = Hyperplanes.zipWithIndex.map { case (p, i) =>
+  /** Column twin of [[s3Bits]] (same integer thresholds). */
+  private def s3BitsCol(blockN: Column): Column =
+    (S3MinBits until S3MaxBits).foldRight(lit(S3MaxBits): Column) { (b, rest) =>
+      when(blockN <= S3TargetBucket * (1L << b), lit(b)).otherwise(rest)
+    }
+
+  /** DuckDB twin of [[s3Bits]] over a `block_n` column. */
+  private def s3BitsSql: String =
+    (S3MinBits until S3MaxBits)
+      .map(b => s"WHEN block_n <= ${S3TargetBucket * (1L << b)} THEN $b")
+      .mkString("CASE ", " ", s" ELSE $S3MaxBits END")
+
+  /** Hyperplanes for every sign-bit consumer, seed-7: enough for s3's
+    * widest adaptive bands (S3Bands × S3MaxBits); the first 16 are the
+    * (unchanged) fixed geometry s2 uses. Sequential draws from one rng
+    * mean extending the pool never perturbs earlier planes. Literal
+    * constants so the computation is pure column algebra — and inlinable
+    * into the DuckDB oracle (list_dot_product matches the
+    * `aggregate(zip_with(...))` fold bitwise).
+    */
+  private val MaxPlanes = S3Bands * S3MaxBits
+  private val Hyperplanes: Seq[Seq[Double]] = {
+    val rng = new Random(7)
+    Seq.fill(MaxPlanes)(Seq.fill(64)(math.rint((rng.nextDouble() * 2 - 1) * 1000) / 1000))
+  }
+
+  /** Adds sign-bit columns b0..b{nPlanes-1}. Only the planes a consumer
+    * actually needs are computed — each plane costs a 64-dim dot per
+    * vector, so s3 requests `S3Bands · maxNbits(corpus)` (16 at the gate
+    * SFs) rather than all [[MaxPlanes]].
+    */
+  private def withSignBits(e: DataFrame, nPlanes: Int = 16): DataFrame = {
+    val planes = Hyperplanes.take(nPlanes).zipWithIndex.map { case (p, i) =>
       val dot = expr(s"""aggregate(zip_with(v, array(${p.mkString(",")}),
                                    (x, y) -> x * y), 0D, (acc, c) -> acc + c)""")
       when(dot >= 0, lit(1)).otherwise(lit(0)).as(s"b$i")
@@ -68,37 +124,61 @@ object Similarity {
     e.select(e.columns.map(col).toSeq ++ planes: _*)
   }
 
-  /** "bi|bbbb" band-bucket strings (4 bands of 4 sign bits). */
+  /** s2's fixed "bi|bbbb" band-bucket strings (4 bands of 4 sign bits —
+    * the kNN regime wants short bands for recall; near-dup s3 uses the
+    * adaptive scheme instead).
+    */
   private def bandBuckets: Seq[Column] =
     (0 until 4).map { bi =>
       concat_ws("|", lit(bi),
         concat_ws("", (bi * 4 until bi * 4 + 4).map(i => col(s"b$i")): _*))
     }
 
-  /** DuckDB twin of one band-bucket string, over sign-bit columns b0..b15. */
-  private def bandBucketSql(bi: Int): String =
-    s"concat($bi, '|', ${(bi * 4 until bi * 4 + 4).map(i => s"b$i").mkString(", ")})"
+  /** DuckDB twin of one adaptive band-bucket string over `sbits`/`nbits`. */
+  private def s3BandSql(bi: Int): String =
+    s"concat($bi, '|', substr(sbits, $bi * nbits + 1, nbits))"
 
-  /** DuckDB twin of the sign-bit projection (hyperplane literals inlined). */
-  private def signBitsSql: String =
-    Hyperplanes.zipWithIndex.map { case (p, i) =>
+  /** DuckDB twin of the sign-bit projection for planes [0, n). */
+  private def signBitsSql(n: Int): String =
+    Hyperplanes.take(n).zipWithIndex.map { case (p, i) =>
       s"CASE WHEN list_dot_product(v, [${p.mkString(",")}]) >= 0 THEN 1 ELSE 0 END AS b$i"
     }.mkString(",\n               ")
 
+  /** s3 banded corpus for an arbitrary (vec_id, label, v) DataFrame:
+    * per-label adaptive band width, one output row per (vector, band).
+    * The block-size table is tiny (one row per blocking key) and
+    * broadcast; the only driver-side scalar is the max block size, which
+    * fixes how many sign-bit columns the plan needs.
+    */
+  private[graft] def s3BandedDf(e: DataFrame): DataFrame = {
+    val blocks = e.groupBy("label").agg(count(lit(1)).as("block_n"))
+    val maxBlock = blocks.agg(max("block_n")).first().getLong(0)
+    val maxNbits = s3Bits(maxBlock)
+    val sig = withSignBits(e, S3Bands * maxNbits)
+      .join(broadcast(blocks), "label")
+      .withColumn("nbits", s3BitsCol(col("block_n")))
+      .withColumn("sbits",
+        concat((0 until S3Bands * maxNbits).map(i => col(s"b$i").cast("string")): _*))
+    sig
+      .withColumn("band", explode(array((0 until S3Bands).map(bi =>
+        concat_ws("|", lit(bi), expr(s"substr(sbits, $bi * nbits + 1, nbits)"))): _*)))
+      .select(col("vec_id"), col("label"), col("v"), col("band"))
+  }
+
   /** (label, band) compare-bucket sizes — the quantity s3's scale safety
-    * rests on: all-pairs work is quadratic in the LARGEST of these, not
-    * in the largest label block (spec-asserted in ScaleTechniquesSpec).
+    * rests on: all-pairs work is quadratic in the LARGEST of these, and
+    * adaptive band width holds it near [[S3TargetBucket]] regardless of
+    * block size (spec-asserted, including on a skewed fixture).
     */
   def s3BucketSizes(s: SparkSession, dir: String): DataFrame =
-    withSignBits(vecs(s, dir))
-      .withColumn("band", explode(array(bandBuckets: _*)))
+    s3BandedDf(vecs(s, dir))
       .groupBy(col("label"), col("band"))
       .agg(count(lit(1)).as("n"))
 
-  /** s1 kernel: exact brute-force cosine top-10 for query vectors id<5. */
+  /** s1 kernel: exact brute-force cosine top-10 for the audit queries. */
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val q = e.filter(col("vec_id") < 5)
+    val q = e.filter(col("vec_id") < AuditQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
@@ -118,7 +198,7 @@ object Similarity {
     val banded = withSignBits(e)
       .withColumn("bucket", explode(array(bandBuckets: _*)))
       .select(col("vec_id"), col("v"), col("bucket"))
-    val q = banded.filter(col("vec_id") < 5)
+    val q = banded.filter(col("vec_id") < AuditQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
@@ -138,38 +218,58 @@ object Similarity {
     */
   val MinRecallHits = 2
 
-  /** s4 IVF parameters: K data-derived centroids (the embedding vectors
-    * with `vec_id` in [CentroidLo, CentroidLo+NumCentroids)), queries
-    * probe the NProbe nearest cells. Data-derived centroids keep the
-    * whole operator deterministic AND fully DuckDB-expressible — unlike
-    * s2's Scala-side hyperplanes, the oracle recomputes the exact same
-    * index, so s4 gets a full hash check, not a recall contract.
+  /** s4 IVF coarse quantizer size: K ≈ √n (the IVF balance point —
+    * probe work NProbe·n/K and quantizer work both scale as √n per
+    * query). K is derived from the corpus count, so the probe FRACTION
+    * NProbe/K shrinks as the corpus grows — a fixed K would leave probes
+    * scanning a constant fraction of the corpus forever. The floor keeps
+    * tiny test corpora from degenerating to a handful of cells.
+    * `ceil(sqrt(...))` is IEEE-exact in both engines (unlike log), so
+    * the DuckDB oracle recomputes the identical K.
     */
-  val NumCentroids = 16
+  val NumCentroidsFloor = 16
+  def numCentroids(n: Long): Int =
+    math.max(NumCentroidsFloor, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** DuckDB twin of [[numCentroids]] over the embeddings table. */
+  private def numCentroidsSql: String =
+    s"greatest($NumCentroidsFloor, CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))"
+
   val CentroidLo = 100
   val NProbe = 4
 
   /** s4 kernel: IVF (inverted-file) ANN top-10, same output shape as s1.
+    *
+    * The K centroids are data-derived (the embedding vectors with
+    * `vec_id` in [CentroidLo, CentroidLo+K)) — a deterministic sample,
+    * which keeps the whole operator fully DuckDB-expressible: unlike
+    * s2's Scala-side hyperplanes, the oracle recomputes the exact same
+    * index, so s4 gets a full hash check, not a recall contract. (A
+    * production build would Lloyd-refine the sample into true k-means
+    * centroids for better cell balance; sampling is the standard
+    * initialization and changes none of the plan shapes.)
     *
     * Index build: every corpus vector is assigned to its nearest centroid
     * by `max_by` over a broadcast centroid join — the ×K candidate rows
     * collapse back to one row per vector in the map-side partial
     * aggregate, so the only full-corpus shuffle is the final agg (the
     * one-time index-build cost; at 100 TB the `(cid, vec_id, v)` table is
-    * materialized once, partitioned by `cid`). Query path: probe the
-    * NProbe nearest cells through a broadcast join on `cid` — only the
-    * probed cells' vectors are ever scanned, the IVF contract.
+    * materialized once, partitioned by `cid`, and assignment itself goes
+    * through a hierarchical quantizer once n·√n dots get expensive).
+    * Query path: probe the NProbe nearest cells through a broadcast join
+    * on `cid` — only the probed cells' vectors are ever scanned
+    * (NProbe·n/K ≈ NProbe·√n rows), the IVF contract.
     */
-  private def ivfCentroids(e: DataFrame): DataFrame = e
-    .filter(col("vec_id") >= CentroidLo && col("vec_id") < CentroidLo + NumCentroids)
+  private def ivfCentroids(e: DataFrame, k: Int): DataFrame = e
+    .filter(col("vec_id") >= CentroidLo && col("vec_id") < CentroidLo + k)
     .select(col("vec_id").as("cid"), col("v").as("cv"))
 
   /** Nearest-centroid assignment: max_by on (rounded sim, -cid) == the
     * oracle's ORDER BY sim DESC, cid ASC — rounding first so float
     * noise can't tie-break differently across engines.
     */
-  private def ivfAssigned(e: DataFrame): DataFrame =
-    e.join(broadcast(ivfCentroids(e)))
+  private def ivfAssigned(e: DataFrame, k: Int): DataFrame =
+    e.join(broadcast(ivfCentroids(e, k)))
       .withColumn("c_sim", round(cosine("cv", "v"), 6))
       .groupBy(col("vec_id"))
       .agg(
@@ -178,16 +278,22 @@ object Similarity {
 
   /** IVF cell sizes — the quantity s4's probe-cost bound rests on: a
     * query scans only its `NProbe` probed cells, so probe work is the
-    * sum of a few of these, never the corpus (spec-asserted).
+    * sum of a few of these, never the corpus (spec-asserted, including
+    * that the probe FRACTION shrinks as the corpus grows).
     */
-  def ivfCellSizes(s: SparkSession, dir: String): DataFrame =
-    ivfAssigned(vecs(s, dir)).groupBy("cid").agg(count(lit(1)).as("n"))
+  def ivfCellSizes(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    ivfAssigned(e, numCentroids(e.count())).groupBy("cid").agg(count(lit(1)).as("n"))
+  }
 
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val cent = ivfCentroids(e)
-    val assigned = ivfAssigned(e)
-    val q = e.filter(col("vec_id") < 5)
+    // one scalar count fixes K — index-build metadata, same role as the
+    // max-block scalar in s3 (parquet count(*) is a metadata read)
+    val k = numCentroids(e.count())
+    val cent = ivfCentroids(e, k)
+    val assigned = ivfAssigned(e, k)
+    val q = e.filter(col("vec_id") < AuditQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val pw = Window.partitionBy(col("qid"))
       .orderBy(col("c_sim").desc, col("cid").asc)
@@ -217,9 +323,9 @@ object Similarity {
     Q(
       "s1_knn_brute",
       (s, dir) => knnBrute(s, dir),
-      Some("""
+      Some(s"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $AuditQueries),
         p AS (SELECT qid, vec_id,
                      round(list_dot_product(qv, v)
                            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
@@ -235,32 +341,39 @@ object Similarity {
     //      recall-vs-s1 contract (>= MinRecallHits of the exact top-10
     //      recovered), which the oracle asserts as a constant; the raw
     //      top-k kernel is `knnLsh` (recall distribution also asserted in
-    //      SimilaritySpec) ----
+    //      SimilaritySpec). The audit's brute-force leg costs
+    //      O(AuditQueries · corpus) — a fixed query sample, so the audit
+    //      stays linear in the corpus. ----
     Q(
       "s2_knn_lsh",
       (s, dir) => {
         val ex = knnBrute(s, dir).select(col("qid"), col("vec_id"))
         val lsh = knnLsh(s, dir).select(col("qid"), col("vec_id"))
-        val qids = ex.select("qid").distinct()
+        // qids come straight from the query predicate — deriving them
+        // from `ex` would evaluate the whole brute-force leg twice
+        val qids = vecs(s, dir).filter(col("vec_id") < AuditQueries)
+          .select(col("vec_id").as("qid"))
         val hits = lsh.join(ex, Seq("qid", "vec_id"))
           .groupBy("qid").agg(count(lit(1)).as("n_hit"))
         qids.join(hits, Seq("qid"), "left_outer")
           .select(col("qid"),
             (coalesce(col("n_hit"), lit(0L)) >= MinRecallHits).as("recall_ok"))
       },
-      Some("""
+      Some(s"""
         SELECT vec_id AS qid, true AS recall_ok
-        FROM embeddings WHERE vec_id < 5"""),
+        FROM embeddings WHERE vec_id < $AuditQueries"""),
     ),
 
-    // ---- s3: blocked cosine near-dup pairs — block on label, then LSH
-    //      band slice within the block (bounded buckets, never whole-block
-    //      all-pairs), exact cosine threshold on survivors ----
+    // ---- s3: blocked cosine near-dup pairs — block on label, then an
+    //      ADAPTIVE-width LSH band slice within the block (bucket size
+    //      held near S3TargetBucket whatever the block size), exact
+    //      cosine threshold on survivors ----
     Q(
       "s3_cosine_neardup",
       (s, dir) => {
-        val banded = withSignBits(vecs(s, dir))
-          .withColumn("band", explode(array(bandBuckets: _*)))
+        // the banded table feeds BOTH self-join sides: materialize it
+        // once (sign-bit dots are the dominant per-row cost)
+        val banded = Materialized(s"s3.banded|$dir", s3BandedDf(vecs(s, dir)))
         val x = banded.select(col("vec_id").as("id1"), col("label"), col("v").as("v1"), col("band"))
         val y = banded.select(col("vec_id").as("id2"), col("label"), col("v").as("v2"), col("band"))
         x.join(y, Seq("label", "band")).filter(col("id1") < col("id2"))
@@ -272,14 +385,20 @@ object Similarity {
       },
       Some(s"""
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        blocks AS (SELECT label, count(*) AS block_n FROM e GROUP BY 1),
+        nb AS (SELECT label, $s3BitsSql AS nbits FROM blocks),
         sig AS (
           SELECT vec_id, label, v,
-               $signBitsSql
+               ${signBitsSql(MaxPlanes)}
           FROM e),
+        sb AS (
+          SELECT vec_id, label, v,
+                 concat(${(0 until MaxPlanes).map(i => s"b$i").mkString(", ")}) AS sbits
+          FROM sig),
         banded AS (
           SELECT vec_id, label, v,
-                 unnest([${(0 until 4).map(bandBucketSql).mkString(", ")}]) AS band
-          FROM sig),
+                 unnest([${(0 until S3Bands).map(s3BandSql).mkString(", ")}]) AS band
+          FROM sb JOIN nb USING (label)),
         pairs AS (
           SELECT DISTINCT x.label AS label, x.vec_id AS id1, y.vec_id AS id2,
                           x.v AS v1, y.v AS v2
@@ -293,9 +412,10 @@ object Similarity {
               / (sqrt(list_dot_product(v1, v1)) * sqrt(list_dot_product(v2, v2))) >= 0.25"""),
     ),
 
-    // ---- s4: IVF ANN — data-derived centroids, nearest-cell assignment,
-    //      nprobe-cell probe; deterministic end-to-end so the oracle
-    //      recomputes the identical index and the driver hash-checks it ----
+    // ---- s4: IVF ANN — √n data-derived centroids, nearest-cell
+    //      assignment, nprobe-cell probe; deterministic end-to-end so the
+    //      oracle recomputes the identical index and the driver
+    //      hash-checks it ----
     Q(
       "s4_knn_ivf",
       (s, dir) => knnIvf(s, dir),
@@ -303,7 +423,7 @@ object Similarity {
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         cent AS (
           SELECT vec_id AS cid, v AS cv FROM e
-          WHERE vec_id >= $CentroidLo AND vec_id < ${CentroidLo + NumCentroids}),
+          WHERE vec_id >= $CentroidLo AND vec_id < $CentroidLo + $numCentroidsSql),
         asg AS (
           SELECT vec_id, v, cid FROM (
             SELECT e.vec_id, e.v, cent.cid,
@@ -316,7 +436,7 @@ object Similarity {
             SELECT e.vec_id AS qid, e.v AS qv, cent.cid,
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY ${cosSql("cv", "qv")} DESC, cid ASC) AS prn
-            FROM e, cent WHERE e.vec_id < 5)
+            FROM e, cent WHERE e.vec_id < $AuditQueries)
           WHERE prn <= $NProbe),
         cand AS (
           SELECT qid, asg.vec_id AS vec_id, ${cosSql("qv", "v")} AS cos_sim

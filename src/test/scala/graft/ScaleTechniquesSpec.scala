@@ -78,20 +78,54 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"band slicing is not bounding blocks: maxBucket=$maxBucket maxBlock=$maxBlock")
   }
 
-  test("s4 IVF cells spread the corpus; probe cost is a corpus fraction") {
-    val dir = "/root/testdata/sf0.001"
-    val cells = graft.pipeline.Similarity.ivfCellSizes(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val corpus = cells.map(_._2).sum
-    // every centroid attracts SOME vectors (no collapsed index) and the
-    // probe bound holds: NProbe worst-case cells stay well under the
-    // corpus — the quantity that makes IVF cheaper than brute force
-    assert(cells.length == graft.pipeline.Similarity.NumCentroids,
-      s"expected every cell non-empty, got ${cells.length}")
-    val worstProbe = cells.map(_._2).sorted.reverse
-      .take(graft.pipeline.Similarity.NProbe).sum
-    assert(worstProbe * 2 <= corpus,
-      s"probing $worstProbe of $corpus rows — IVF not bounding probe cost")
+  test("s4 IVF: K grows as sqrt(n) and the probe FRACTION shrinks as the corpus grows") {
+    import graft.pipeline.Similarity
+    def probeStats(dir: String): (Double, Int, Long) = {
+      val cells = Similarity.ivfCellSizes(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val corpus = cells.map(_._2).sum
+      val k = Similarity.numCentroids(corpus)
+      // every centroid attracts SOME vectors (its own vector at least —
+      // no collapsed index)
+      assert(cells.length == k, s"expected $k non-empty cells, got ${cells.length}")
+      val worstProbe = cells.map(_._2).sorted.reverse.take(Similarity.NProbe).sum
+      // probe bound: NProbe worst-case cells stay well under the corpus
+      // — the quantity that makes IVF cheaper than brute force
+      assert(worstProbe * 2 <= corpus,
+        s"probing $worstProbe of $corpus rows — IVF not bounding probe cost")
+      (worstProbe.toDouble / corpus, k, corpus)
+    }
+    val (fracSmall, kSmall, nSmall) = probeStats("/root/testdata/sf0.001")
+    val (fracBig, kBig, nBig) = probeStats("/root/testdata/sf0.1")
+    assert(nBig > nSmall && kBig > kSmall,
+      s"fixture regression: need growing corpora, got n=$nSmall->$nBig K=$kSmall->$kBig")
+    // the round-2 weakness was K fixed at 16: probing NProbe/K = 1/4 of
+    // the corpus FOREVER. With K ~ sqrt(n) the probed fraction must fall
+    // as the corpus grows.
+    assert(fracBig < fracSmall,
+      f"probe fraction not shrinking: $fracSmall%.3f (n=$nSmall) -> $fracBig%.3f (n=$nBig)")
+  }
+
+  test("s3 adaptive band width bounds compare buckets even on a skewed hot label") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val rng = new scala.util.Random(11)
+    // one label holds HALF the corpus — the hot-block shape a FIXED band
+    // width cannot bound (bucket = block/2^4 grows with the block)
+    val rows = (0 until 2000).map { i =>
+      val label = if (i < 1000) 0L else 1L + (i % 7)
+      (i.toLong, label, Seq.fill(64)(rng.nextDouble() * 2 - 1))
+    }
+    val e = rows.toDF("vec_id", "label", "v")
+    assert(Similarity.s3Bits(1000) > Similarity.S3MinBits,
+      "adaptivity must engage on a 1000-vector block")
+    val buckets = Similarity.s3BandedDf(e).groupBy("label", "band").count()
+    val maxBucket = buckets.agg(max("count")).first().getLong(0)
+    // adaptive width holds the largest (label, band) bucket near the
+    // ABSOLUTE target — not a fixed fraction of the hot block
+    assert(maxBucket <= 8 * Similarity.S3TargetBucket,
+      s"hot-label bucket not bounded: $maxBucket > ${8 * Similarity.S3TargetBucket}")
   }
 
   test("watermark drops state for late data beyond the threshold") {
