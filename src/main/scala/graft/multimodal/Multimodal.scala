@@ -65,6 +65,34 @@ object Multimodal {
     df
   }
 
+  /** Column-algebra twin of [[fakeDecodeFeatures]]: the same byte-class
+    * histogram as pure `transform`/`filter` array expressions. Unlike the
+    * RDD path, this stays inside WholeStageCodegen and keeps column
+    * pruning/filter pushdown through the decode stage, so the whole m3
+    * inventory plan is codegen-clean. [[fakeDecodeFeatures]] remains the
+    * documented seam for REAL codecs (a JPEG/opus decoder is a
+    * row-iterator library call, not column algebra); the two are
+    * differential-tested equal in MultimodalSpec.
+    */
+  def decodeFeaturesColumnar(blobs: DataFrame): DataFrame = {
+    val keep = blobs.columns.filterNot(_ == "payload").map(col)
+    blobs
+      .withColumn("hx", hex(col("payload")))
+      .withColumn("nb", octet_length(col("payload")))
+      // byte p (via its two hex chars) → class index in [0, FeatureDim)
+      .withColumn("bks", expr(
+        s"""CASE WHEN nb = 0 THEN CAST(array() AS ARRAY<INT>)
+            ELSE transform(sequence(0, nb - 1),
+                           p -> CAST(conv(substr(hx, 2*p + 1, 2), 16, 10) AS INT) % $FeatureDim)
+            END"""))
+      // histogram: one filter-count per class, normalized by raw IEEE
+      // division (count/total) to match fakeDecodeFeatures bitwise
+      .withColumn("features", expr(
+        s"""transform(sequence(0, ${FeatureDim - 1}),
+                      j -> size(filter(bks, b -> b = j)) / CAST(greatest(nb, 1) AS DOUBLE))"""))
+      .select(keep :+ col("features"): _*)
+  }
+
   /** Frame chunking + every-k-th sampling as pure column algebra (no
     * UDF): frames = payload split into FrameBytes chunks; sample stride k.
     */
@@ -124,16 +152,18 @@ object Multimodal {
         FROM f GROUP BY 1"""),
     ),
 
-    // ---- m3: stubbed decode → feature extraction. Output is exploded to
-    //      one scalar row per (id, dim) — the driver harness can't sort
-    //      array columns — and the oracle recomputes the byte-class
-    //      histogram in SQL (bytes via hex()+substr; validated against a
-    //      Python twin in scripts/proto_m3_oracle.py). Determinism +
-    //      shape also asserted in MultimodalSpec. ----
+    // ---- m3: stubbed decode → feature extraction, via the column-algebra
+    //      stub (codegen-clean; the mapPartitions seam for real codecs is
+    //      fakeDecodeFeatures, differential-tested equal). Output is
+    //      exploded to one scalar row per (id, dim) — the driver harness
+    //      can't sort array columns — and the oracle recomputes the
+    //      byte-class histogram in SQL (bytes via hex()+substr; validated
+    //      against a Python twin in scripts/proto_m3_oracle.py).
+    //      Determinism + shape also asserted in MultimodalSpec. ----
     Q(
       "m3_decode_features",
       (s, dir) =>
-        fakeDecodeFeatures(blobs(s, dir))
+        decodeFeaturesColumnar(blobs(s, dir))
           .select(col("id"), col("modality"), posexplode(col("features")))
           .withColumnsRenamed(Map("pos" -> "dim", "col" -> "feat")),
       Some(s"""

@@ -29,6 +29,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeFeaturesColumnar: bitwise-equal to the mapPartitions stub, codegen-clean") {
+    val b = Multimodal.blobs(spark, dir)
+    val viaRdd = Multimodal.fakeDecodeFeatures(b).orderBy("id").collect()
+    val viaCols = Multimodal.decodeFeaturesColumnar(b).orderBy("id").collect()
+    assert(viaRdd.length == viaCols.length && viaRdd.nonEmpty)
+    viaRdd.zip(viaCols).foreach { case (a, c) =>
+      assert(a.getLong(a.fieldIndex("id")) == c.getLong(c.fieldIndex("id")))
+      // exact equality: both compute count/total in IEEE doubles
+      assert(a.getSeq[Double](a.fieldIndex("features")) ==
+        c.getSeq[Double](c.fieldIndex("features")))
+    }
+    // the columnar stub must stay in the Tungsten pipeline: codegen'd
+    // stages below it (the `*(n)` markers; the higher-order transform
+    // itself has no codegen in Spark) and NO RDD round-trip — the RDD
+    // seam severs pruning/pushdown at an opaque ExistingRDD scan
+    val plan = Multimodal.decodeFeaturesColumnar(b)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("),
+      s"columnar decode lost all whole-stage codegen:\n$plan")
+    assert(!plan.contains("Scan ExistingRDD"),
+      s"columnar decode must not round-trip through an RDD:\n$plan")
+    // and column pruning survives: a projection of (id, features) must
+    // not drag every documents column through the scan
+    val pruned = Multimodal.decodeFeaturesColumnar(b).select("id", "features")
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"pruning severed — scan reads more than doc_id+text:\n$pruned")
+  }
+
   test("frameSample: stride sampling yields ceil(n_frames/stride) frames of <= FrameBytes") {
     val b = Multimodal.blobs(spark, dir)
     val frames = Multimodal.frameSample(b, stride = 4)
