@@ -1,0 +1,65 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Skewed-data bench fixtures: deterministic zipf-head transforms of the
+  * uniform SF tables, written once per bench run under `target/`.
+  *
+  * Every driver testdata table is uniform, so the scale-killers the
+  * engine defends against — hot shingles (d2's df cap), hot blocking
+  * labels (s3's adaptive bands), hot join keys (q5's big join under
+  * AQE) — never fire in the uniform gate. These fixtures make them
+  * fire at bench scale:
+  *  - `documents`: 30% of docs share a 40-word boilerplate prefix, so
+  *    ~38 shingles land in 30% of the corpus (df >> the absolute cap at
+  *    sf0.1 — the broadcast anti-join must shed them);
+  *  - `embeddings`: every even vec_id collapses into label 0 (one block
+  *    holds >half the corpus — the adaptive band width must engage);
+  *  - `lineitem`: 20% of line items point at ONE hot order key (a
+  *    zipf head on the probe side of the q5 star join).
+  * Unchanged tables are byte-copied so the fixture directory serves the
+  * same `Tables.t` layout as the source SF dir.
+  */
+object SkewBench {
+
+  /** The shared boilerplate prefix (40 deterministic pseudo-words). */
+  private[graft] val Boilerplate: String =
+    (1 to 40).map(i => s"bp$i").mkString("", " ", " ")
+
+  private val CopiedTables =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "events")
+
+  /** Build (or rebuild) the skew fixture for `sfDir`; returns its path. */
+  def prepare(spark: SparkSession, sfDir: String): String = {
+    val out = s"target/skewdata/${new java.io.File(sfDir).getName}"
+    new java.io.File(out).mkdirs()
+    for (tn <- CopiedTables)
+      java.nio.file.Files.copy(
+        java.nio.file.Path.of(s"$sfDir/$tn.parquet"),
+        java.nio.file.Path.of(s"$out/$tn.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) < 3, concat(lit(Boilerplate), col("text")))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb
+      .withColumn("label",
+        when(pmod(col("vec_id"), lit(2)) === 0, lit(0).cast(emb.schema("label").dataType))
+          .otherwise(col("label")))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val hotKey = li.agg(min("l_orderkey")).first().getLong(0)
+    li
+      .withColumn("l_orderkey",
+        when(pmod(col("l_orderkey"), lit(5)) === 0, lit(hotKey)).otherwise(col("l_orderkey")))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    out
+  }
+}

@@ -65,32 +65,41 @@ object Multimodal {
     df
   }
 
-  /** Column-algebra twin of [[fakeDecodeFeatures]]: the same byte-class
-    * histogram as pure `transform`/`filter` array expressions. Unlike the
-    * RDD path, this stays inside WholeStageCodegen and keeps column
-    * pruning/filter pushdown through the decode stage, so the whole m3
-    * inventory plan is codegen-clean. [[fakeDecodeFeatures]] remains the
-    * documented seam for REAL codecs (a JPEG/opus decoder is a
+  /** Column-algebra twin of [[fakeDecodeFeatures]], in EXPLODED form (one
+    * row per (id, dim)): explode the payload into per-byte class rows,
+    * hash-aggregate counts, zero-fill against a per-doc dim spine, and
+    * normalize with the same raw IEEE division. Every expression is a
+    * native codegen'd one (split/explode/conv/hash-agg) — deliberately
+    * NOT `transform`/`filter` array lambdas, which Spark interprets
+    * per element (measured 50× slower at sf0.1) and which would pin the
+    * whole histogram of one blob on one row. The explode→agg shape is
+    * also the 100 TB shape: per-byte rows combine map-side into
+    * |docs|·FeatureDim partials, and pruning/pushdown survive because no
+    * stage leaves the Tungsten pipeline. [[fakeDecodeFeatures]] remains
+    * the documented seam for REAL codecs (a JPEG/opus decoder is a
     * row-iterator library call, not column algebra); the two are
     * differential-tested equal in MultimodalSpec.
     */
-  def decodeFeaturesColumnar(blobs: DataFrame): DataFrame = {
-    val keep = blobs.columns.filterNot(_ == "payload").map(col)
-    blobs
+  def decodeFeaturesExploded(blobs: DataFrame): DataFrame = {
+    val b = blobs
       .withColumn("hx", hex(col("payload")))
       .withColumn("nb", octet_length(col("payload")))
-      // byte p (via its two hex chars) → class index in [0, FeatureDim)
-      .withColumn("bks", expr(
-        s"""CASE WHEN nb = 0 THEN CAST(array() AS ARRAY<INT>)
-            ELSE transform(sequence(0, nb - 1),
-                           p -> CAST(conv(substr(hx, 2*p + 1, 2), 16, 10) AS INT) % $FeatureDim)
-            END"""))
-      // histogram: one filter-count per class, normalized by raw IEEE
-      // division (count/total) to match fakeDecodeFeatures bitwise
-      .withColumn("features", expr(
-        s"""transform(sequence(0, ${FeatureDim - 1}),
-                      j -> size(filter(bks, b -> b = j)) / CAST(greatest(nb, 1) AS DOUBLE))"""))
-      .select(keep :+ col("features"): _*)
+      .drop("payload")
+    val keep = b.columns.filterNot(c => c == "hx" || c == "nb").map(col)
+    // (id, byte-class) rows: hex pairs via a \G chunking split — all
+    // native expressions, map-side-combining into ≤ FeatureDim rows/doc
+    val counts = b
+      .select(col("id"), explode(split(col("hx"), "(?<=\\G..)")).as("hb"))
+      .filter(length(col("hb")) === 2) // empty payload → [""] → no bytes
+      .select(col("id"), (conv(col("hb"), 16, 10).cast("int") % FeatureDim).as("dim"))
+      .groupBy("id", "dim").agg(count(lit(1)).as("c"))
+    // dim spine: every (doc, dim) appears, zero-filled where no byte hit
+    b.select(keep :+ col("nb") :+
+        explode(sequence(lit(0), lit(FeatureDim - 1))).as("dim"): _*)
+      .join(counts, Seq("id", "dim"), "left_outer")
+      .withColumn("feat",
+        coalesce(col("c"), lit(0L)) / greatest(col("nb"), lit(1)).cast("double"))
+      .drop("c", "nb")
   }
 
   /** Frame chunking + every-k-th sampling as pure column algebra (no
@@ -153,9 +162,9 @@ object Multimodal {
     ),
 
     // ---- m3: stubbed decode → feature extraction, via the column-algebra
-    //      stub (codegen-clean; the mapPartitions seam for real codecs is
-    //      fakeDecodeFeatures, differential-tested equal). Output is
-    //      exploded to one scalar row per (id, dim) — the driver harness
+    //      explode→agg stub (codegen-clean; the mapPartitions seam for
+    //      real codecs is fakeDecodeFeatures, differential-tested equal).
+    //      Output is one scalar row per (id, dim) — the driver harness
     //      can't sort array columns — and the oracle recomputes the
     //      byte-class histogram in SQL (bytes via hex()+substr; validated
     //      against a Python twin in scripts/proto_m3_oracle.py).
@@ -163,9 +172,8 @@ object Multimodal {
     Q(
       "m3_decode_features",
       (s, dir) =>
-        decodeFeaturesColumnar(blobs(s, dir))
-          .select(col("id"), col("modality"), posexplode(col("features")))
-          .withColumnsRenamed(Map("pos" -> "dim", "col" -> "feat")),
+        decodeFeaturesExploded(blobs(s, dir))
+          .select(col("id"), col("modality"), col("dim"), col("feat")),
       Some(s"""
         WITH b AS (
           SELECT doc_id AS id,

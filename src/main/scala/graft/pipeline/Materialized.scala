@@ -16,10 +16,20 @@ private[graft] object Materialized {
   private val live =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  def apply(key: String, df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    p.count() // eager: one fill, then pure cache reads
-    live.put(key, p).foreach(_.unpersist(false))
-    p
+  def apply(key: String, df: DataFrame): DataFrame = live.get(key) match {
+    // Re-invocation with the SAME plan (bench min-of-two, repeated
+    // Verify calls): reuse the live copy. Re-persisting would no-op
+    // (Spark caches by logical plan) and then unpersisting the "old"
+    // handle would evict that shared entry, leaving the new handle
+    // UNCACHED — the leak fix would have un-materialized the table.
+    case Some(prev)
+        if prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) =>
+      prev
+    case prev =>
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count() // eager: one fill, then pure cache reads
+      live.put(key, p)
+      prev.foreach(_.unpersist(false))
+      p
   }
 }

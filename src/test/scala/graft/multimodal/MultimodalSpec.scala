@@ -29,30 +29,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("decodeFeaturesColumnar: bitwise-equal to the mapPartitions stub, codegen-clean") {
+  test("decodeFeaturesExploded: bitwise-equal to the mapPartitions stub, codegen-clean") {
     val b = Multimodal.blobs(spark, dir)
-    val viaRdd = Multimodal.fakeDecodeFeatures(b).orderBy("id").collect()
-    val viaCols = Multimodal.decodeFeaturesColumnar(b).orderBy("id").collect()
-    assert(viaRdd.length == viaCols.length && viaRdd.nonEmpty)
-    viaRdd.zip(viaCols).foreach { case (a, c) =>
-      assert(a.getLong(a.fieldIndex("id")) == c.getLong(c.fieldIndex("id")))
-      // exact equality: both compute count/total in IEEE doubles
-      assert(a.getSeq[Double](a.fieldIndex("features")) ==
-        c.getSeq[Double](c.fieldIndex("features")))
-    }
+    // exact equality: both compute count/total in IEEE doubles
+    val viaRdd = Multimodal.fakeDecodeFeatures(b).collect()
+      .flatMap { r =>
+        val id = r.getLong(r.fieldIndex("id"))
+        r.getSeq[Double](r.fieldIndex("features")).zipWithIndex.map {
+          case (f, d) => (id, d) -> f
+        }
+      }.toMap
+    val dfExploded = Multimodal.decodeFeaturesExploded(b)
+    val viaCols = dfExploded.collect()
+      .map { r =>
+        (r.getLong(r.fieldIndex("id")), r.getInt(r.fieldIndex("dim"))) ->
+          r.getDouble(r.fieldIndex("feat"))
+      }.toMap
+    assert(viaCols.nonEmpty && viaCols.size == viaRdd.size)
+    assert(viaCols == viaRdd, "explode-agg decode must equal the row-loop stub exactly")
     // the columnar stub must stay in the Tungsten pipeline: codegen'd
-    // stages below it (the `*(n)` markers; the higher-order transform
-    // itself has no codegen in Spark) and NO RDD round-trip — the RDD
-    // seam severs pruning/pushdown at an opaque ExistingRDD scan
-    val plan = Multimodal.decodeFeaturesColumnar(b)
-      .queryExecution.executedPlan.toString
+    // stages (`*(n)` markers — read AFTER the action so AQE has
+    // finalized) and NO RDD round-trip — the RDD seam severs
+    // pruning/pushdown at an opaque ExistingRDD scan
+    val plan = dfExploded.queryExecution.executedPlan.toString
     assert(plan.contains("*("),
       s"columnar decode lost all whole-stage codegen:\n$plan")
     assert(!plan.contains("Scan ExistingRDD"),
       s"columnar decode must not round-trip through an RDD:\n$plan")
-    // and column pruning survives: a projection of (id, features) must
-    // not drag every documents column through the scan
-    val pruned = Multimodal.decodeFeaturesColumnar(b).select("id", "features")
+    // and column pruning survives: a projection that needs only id+bytes
+    // must not drag every documents column through the scan
+    val pruned = Multimodal.decodeFeaturesExploded(b).select("id", "dim", "feat")
       .queryExecution.executedPlan.toString
     assert(pruned.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"pruning severed — scan reads more than doc_id+text:\n$pruned")
