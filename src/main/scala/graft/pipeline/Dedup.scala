@@ -257,7 +257,12 @@ object Dedup {
         FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id"""),
     ),
 
-    // ---- d4: SimHash — 32-bit signature from token hashes, per document ----
+    // ---- d4: SimHash — 32-bit signature from token hashes, per document.
+    //      One aggregation pass: 32 conditional ±1 sums per doc (wide agg,
+    //      map-side partials of 32 longs), then the signature folds in a
+    //      projection. A per-bit explode (×32 rows + a (doc, bit) shuffle)
+    //      was measured 3× slower and amplifies the row count exactly
+    //      where a 100 TB corpus can least afford it. ----
     Q(
       "d4_simhash",
       (s, dir) => {
@@ -265,14 +270,13 @@ object Dedup {
         val tok = docsSharded(s, dir)
           .select(col("doc_id"), explode(words(col("text"))).as("tok"))
           .withColumn("h", md5Long(col("tok")))
-        val bits = tok
-          .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("bit"))
-          .withColumn("contrib",
-            when(expr("(h div shiftleft(1L, bit)) % 2") === 1L, 1L).otherwise(-1L))
-          .groupBy(col("doc_id"), col("bit"))
-          .agg(sum(col("contrib")).as("w"))
-        bits.groupBy("doc_id")
-          .agg(sum(when(col("w") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash32"))
+        val bitSums = (0 until 32).map { b =>
+          sum(when(expr(s"(h div ${1L << b}L) % 2") === 1L, 1L).otherwise(-1L)).as(s"w$b")
+        }
+        tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"),
+            (0 until 32).map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+              .reduce(_ + _).as("simhash32"))
       },
       Some(s"""
         WITH tok AS (
