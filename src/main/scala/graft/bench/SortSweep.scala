@@ -73,7 +73,8 @@ object SortSweep {
           + f"${p.avgUs}%.2f")).mkString("\n") + "\n"
     Files.writeString(csvPath, csv)
     Files.writeString(Paths.get(opt.out, s"${opt.caseName}.svg"), SvgChart.render(points))
-    println(s"[sweep] wrote ${points.size} points -> $csvPath")
+    Files.write(Paths.get(opt.out, s"${opt.caseName}.png"), PngChart.render(points))
+    println(s"[sweep] wrote ${points.size} points -> $csvPath (+ .svg/.png)")
     spark.stop()
   }
 
@@ -155,6 +156,84 @@ object SortSweep {
       DataPoint(caseName, size, "dyn-comparator", iters, best(perIter.map(_._1))),
       DataPoint(caseName, size, "rows-format", iters, best(perIter.map(_._2))),
     )
+  }
+}
+
+/** PNG line chart matching the reference's plotters sink
+  * (`src/lib.rs:97-160`): a 1024×500 white-background bitmap, x = batch
+  * size, y = µs, red DynComparator / blue rows-format series with a
+  * legend — rendered with the JDK's own `BufferedImage`/`ImageIO`
+  * (headless-safe, no dependencies).
+  */
+object PngChart {
+  import java.awt.{BasicStroke, Color, RenderingHints}
+  import java.awt.image.BufferedImage
+
+  def render(points: Seq[DataPoint]): Array[Byte] = {
+    System.setProperty("java.awt.headless", "true")
+    val (w, h, mL, mB, mT, mR) = (1024, 500, 70, 45, 36, 20)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_ANTIALIASING, RenderingHints.VALUE_ANTIALIAS_ON)
+      g.setRenderingHint(RenderingHints.KEY_TEXT_ANTIALIASING, RenderingHints.VALUE_TEXT_ANTIALIAS_ON)
+      g.setColor(Color.WHITE); g.fillRect(0, 0, w, h)
+      if (points.nonEmpty) {
+        val xs = points.map(_.batchSize.toDouble)
+        val ys = points.map(_.avgUs)
+        val (x0, x1) = (xs.min, math.max(xs.max, xs.min + 1))
+        val (y0, y1) = (0.0, math.max(ys.max, 1.0))
+        def px(x: Double): Int = (mL + (x - x0) / (x1 - x0) * (w - mL - mR)).round.toInt
+        def py(y: Double): Int = (h - mB - (y - y0) / (y1 - y0) * (h - mB - mT)).round.toInt
+        val red = new Color(0xcc, 0x22, 0x22)
+        val blue = new Color(0x22, 0x22, 0xcc)
+        val colors = Map("dyn-comparator" -> red, "rows-format" -> blue)
+        // axes + labels (the reference's x_desc/y_desc/caption)
+        g.setColor(Color.BLACK)
+        g.drawLine(mL, h - mB, w - mR, h - mB)
+        g.drawLine(mL, mT, mL, h - mB)
+        g.setFont(g.getFont.deriveFont(15f))
+        val caption = points.head.caseName
+        g.drawString(caption, (w - g.getFontMetrics.stringWidth(caption)) / 2, 20)
+        g.setFont(g.getFont.deriveFont(12f))
+        val xDesc = "batch size (row count)"
+        g.drawString(xDesc, (w - g.getFontMetrics.stringWidth(xDesc)) / 2, h - 8)
+        val old = g.getTransform
+        g.rotate(-math.Pi / 2, 14, h / 2.0)
+        val yDesc = "avg runtime (microsecs)"
+        g.drawString(yDesc, 14 - g.getFontMetrics.stringWidth(yDesc) / 2, h / 2 + 4)
+        g.setTransform(old)
+        g.drawString(f"${x0.toInt}%d", mL, h - mB + 16)
+        val xMaxS = f"${x1.toInt}%d"
+        g.drawString(xMaxS, w - mR - g.getFontMetrics.stringWidth(xMaxS), h - mB + 16)
+        val yMaxS = f"${y1.toInt}%d"
+        g.drawString(yMaxS, mL - 6 - g.getFontMetrics.stringWidth(yMaxS), py(y1) + 4)
+        g.drawString("0", mL - 6 - g.getFontMetrics.stringWidth("0"), h - mB)
+        // series polylines
+        g.setStroke(new BasicStroke(1.5f))
+        points.groupBy(_.strategy).toSeq.sortBy(_._1).foreach { case (name, pts) =>
+          g.setColor(colors.getOrElse(name, Color.DARK_GRAY))
+          val sorted = pts.sortBy(_.batchSize)
+          sorted.sliding(2).foreach {
+            case Seq(a, b) =>
+              g.drawLine(px(a.batchSize.toDouble), py(a.avgUs), px(b.batchSize.toDouble), py(b.avgUs))
+            case _ =>
+          }
+        }
+        // legend (bordered, like configure_series_labels().border_style(BLACK));
+        // series names as in the reference's .label() calls
+        val (lx, ly) = (w - 190, mT + 4)
+        g.setColor(Color.WHITE); g.fillRect(lx - 6, ly - 4, 176, 44)
+        g.setColor(Color.BLACK); g.drawRect(lx - 6, ly - 4, 176, 44)
+        g.setColor(red); g.fillRect(lx, ly + 2, 12, 12)
+        g.setColor(Color.BLACK); g.drawString("DynComparator sort", lx + 18, ly + 12)
+        g.setColor(blue); g.fillRect(lx, ly + 20, 12, 12)
+        g.setColor(Color.BLACK); g.drawString("Rows format sort", lx + 18, ly + 30)
+      }
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 }
 

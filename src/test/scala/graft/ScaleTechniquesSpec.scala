@@ -65,6 +65,25 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(capped.count() > 0, "cap must not drop the whole index")
   }
 
+  test("repeated dedup invocations reuse materialized tables; no cache-entry leak") {
+    val dir = "/root/testdata/sf0.001"
+    def persisted: Int = spark.sparkContext.getPersistentRDDs.size
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+    run("d2_ngram_jaccard") // builds shared shingle index + capped index
+    val after1 = persisted
+    run("d2_ngram_jaccard") // identical plan: must REUSE, not re-persist
+    run("d3_minhash")       // reads the shared index, persists nothing new
+    val after2 = persisted
+    assert(after2 == after1,
+      s"dedup re-invocations grew the cache: $after1 -> $after2 persisted RDDs")
+    run("d3b_lsh_pairs")    // adds its signature table ONCE
+    run("d3b_lsh_pairs")
+    val after3 = persisted
+    assert(after3 <= after1 + 1,
+      s"d3b re-invocation leaked cache entries: $after1 -> $after3")
+  }
+
   test("s3 near-dup compare buckets are materially smaller than label blocks") {
     val dir = "/root/testdata/sf0.001"
     val buckets = graft.pipeline.Similarity.s3BucketSizes(spark, dir)
