@@ -78,6 +78,37 @@ class PlanSpec extends SparkSpec {
       s"query set should broadcast:\n$p")
   }
 
+  test("d2: hot-shingle cap is a broadcast ANTI-join — big side never shuffles to filter") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // assert on the UNCACHED builder: in the inventory query the capped
+    // index is materialized, so its plan hides inside an InMemoryRelation
+    val docs = Seq((1L, "one two three four"), (2L, "two three four five"))
+      .toDF("doc_id", "text")
+    val p = graft.pipeline.Dedup.applyDfCap(graft.pipeline.Dedup.rawShingles(docs))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"df cap must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"df cap must not shuffle the index:\n$p")
+  }
+
+  test("s4: centroid assignment and probes broadcast; no cartesian product") {
+    val p = plan("s4_knn_ivf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroid/probe joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"IVF must never plan a cartesian product:\n$p")
+  }
+
+  test("m3: byte-histogram aggregate combines map-side before the exchange") {
+    val p = plan("m3_decode_features")
+    assert(p.contains("partial_count"),
+      s"per-byte rows must partial-aggregate before shuffling:\n$p")
+    assert(!p.contains("Scan ExistingRDD"),
+      s"decode stub must stay in the Tungsten pipeline:\n$p")
+  }
+
   test("splitBatch scatters into n single-stream partitions") {
     import graft.datagen.{Case, SplitBatch}
     val df = Case.MixedTuple.df(spark, 1000)
