@@ -152,6 +152,38 @@ object Dedup {
                  }.mkString(",\n                 ")}
           FROM h GROUP BY 1)"""
 
+  /** d4's signature table (doc_id, simhash32), shared with d4b. */
+  private def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val tok = docsSharded(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      .withColumn("h", md5Long(col("tok")))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(expr(s"(h div ${1L << b}L) % 2") === 1L, 1L).otherwise(-1L)).as(s"w$b")
+    }
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash32"))
+  }
+
+  /** DuckDB twin of the SimHash signature pipeline (CTEs `tok`, `bits`,
+    * `sig`), shared by the d4 and d4b oracles.
+    */
+  private def simhashCtes: String =
+    s"""tok AS (
+          SELECT doc_id, ${md5LongSql("tok")} AS h
+          FROM (SELECT doc_id, unnest(${wordsSql("text")}) AS tok FROM documents)),
+        bits AS (
+          SELECT doc_id, bit,
+                 sum(CASE WHEN (h // (1::BIGINT << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS w
+          FROM tok, (SELECT unnest(generate_series(0, 31)) AS bit)
+          GROUP BY 1, 2),
+        sig AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash32
+          FROM bits GROUP BY 1)"""
+
   def all: Seq[Q] = Seq(
     // ---- d1: exact dedup — group by normalized-text fingerprint: the
     //      canonical-id assignment (keep_id) plus copy count per
@@ -327,31 +359,55 @@ object Dedup {
     //      where a 100 TB corpus can least afford it. ----
     Q(
       "d4_simhash",
+      (s, dir) => simhashSignatures(s, dir),
+      Some(s"""
+        WITH $simhashCtes
+        SELECT doc_id, simhash32 FROM sig"""),
+    ),
+
+    // ---- d4b: SimHash near-dup pairing via pigeonhole bucketing (the
+    //      classic web-dedup pattern): hamming(s1, s2) <= 3 over 32 bits
+    //      means at least one of the 4 byte pieces is IDENTICAL, so
+    //      candidates meet through an equi-join on (piece idx, piece
+    //      value) — never an all-pairs hamming scan — and the exact
+    //      bit_count verdict runs only on bucket collisions. Scale note:
+    //      8-bit pieces bound buckets at ~n/256; a 100 TB corpus widens
+    //      the signature (64/128-bit) and splits into k+1 pieces for
+    //      hamming k, growing 2^(bits/pieces) with the corpus — the
+    //      same adaptive-width argument as s3's bands, constrained here
+    //      by d4's fixed 32-bit signature contract. ----
+    Q(
+      "d4b_simhash_pairs",
       (s, dir) => {
-        graft.functions.GraftFunctions.register(s)
-        val tok = docsSharded(s, dir)
-          .select(col("doc_id"), explode(words(col("text"))).as("tok"))
-          .withColumn("h", md5Long(col("tok")))
-        val bitSums = (0 until 32).map { b =>
-          sum(when(expr(s"(h div ${1L << b}L) % 2") === 1L, 1L).otherwise(-1L)).as(s"w$b")
-        }
-        tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"),
-            (0 until 32).map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-              .reduce(_ + _).as("simhash32"))
+        val sig = Materialized(s"d4.sig|$dir", simhashSignatures(s, dir))
+        val pieces = sig.select(col("doc_id"), col("simhash32"),
+            explode(array((0 until 4).map(i =>
+              expr(s"(simhash32 div ${1L << (8 * i)}L) % 256 + ${i * 256}").as(s"p$i")): _*)).as("piece"))
+        val cand = pieces.as("x").join(pieces.as("y"),
+            col("x.piece") === col("y.piece") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
+            col("x.simhash32").as("sh1"), col("y.simhash32").as("sh2"))
+          .distinct()
+        cand
+          .withColumn("hamming", expr("CAST(bit_count(sh1 ^ sh2) AS INT)"))
+          .filter(col("hamming") <= 3) // exact verify: keep true near-dups
+          .select(col("doc1"), col("doc2"), col("hamming"))
       },
       Some(s"""
-        WITH tok AS (
-          SELECT doc_id, ${md5LongSql("tok")} AS h
-          FROM (SELECT doc_id, unnest(${wordsSql("text")}) AS tok FROM documents)),
-        bits AS (
-          SELECT doc_id, bit,
-                 sum(CASE WHEN (h // (1::BIGINT << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS w
-          FROM tok, (SELECT unnest(generate_series(0, 31)) AS bit)
-          GROUP BY 1, 2)
-        SELECT doc_id,
-               CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash32
-        FROM bits GROUP BY 1"""),
+        WITH $simhashCtes,
+        pieces AS (
+          SELECT doc_id, simhash32,
+                 (simhash32 // (1::BIGINT << (8 * pi))) % 256 + pi * 256 AS piece
+          FROM sig, (SELECT unnest(generate_series(0, 3)) AS pi)),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2,
+                          x.simhash32 AS sh1, y.simhash32 AS sh2
+          FROM pieces x JOIN pieces y
+            ON x.piece = y.piece AND x.doc_id < y.doc_id)
+        SELECT doc1, doc2,
+               CAST(bit_count(xor(sh1, sh2)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh1, sh2)) <= 3"""),
     ),
   )
 }
