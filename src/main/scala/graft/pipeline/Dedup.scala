@@ -152,6 +152,23 @@ object Dedup {
                  }.mkString(",\n                 ")}
           FROM h GROUP BY 1)"""
 
+  /** LSH candidate pairs (d3b's output, d5's input): band-bucket
+    * self-join over the materialized signature table, distinct pairs.
+    * Materialized too — d3b emits it and d5 verifies it, and the bands
+    * self-join is the expensive step both share.
+    */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sig = Materialized(s"d3b.sig|$dir", minhashSignatures(s, dir))
+    val bands = sig.select(col("doc_id"), explode(array(
+      concat_ws("|", lit(0), col("band0")),
+      concat_ws("|", lit(1), col("band1")))).as("bucket"))
+    Materialized(s"d3b.pairs|$dir",
+      bands.as("x").join(bands.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+        .distinct())
+  }
+
   /** d4's signature table (doc_id, simhash32), shared with d4b. */
   private def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -265,20 +282,7 @@ object Dedup {
     // ---- d3b: LSH candidate pairs — bucket-join on band signatures ----
     Q(
       "d3b_lsh_pairs",
-      (s, dir) => {
-        // materialize the signature table once (the pattern a 100 TB
-        // dedup uses: signatures are computed in one pass and reused by
-        // every band join) — without this, the self-join below would
-        // recompute the minhash aggregate for BOTH sides
-        val sig = Materialized(s"d3b.sig|$dir", minhashSignatures(s, dir))
-        val bands = sig.select(col("doc_id"), explode(array(
-          concat_ws("|", lit(0), col("band0")),
-          concat_ws("|", lit(1), col("band1")))).as("bucket"))
-        bands.as("x").join(bands.as("y"),
-            col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
-          .distinct()
-      },
+      (s, dir) => lshCandidates(s, dir),
       Some(s"""
         WITH $minhashCtes,
         bands AS (
@@ -299,14 +303,7 @@ object Dedup {
     Q(
       "d5_lsh_verified",
       (s, dir) => {
-        val sig = Materialized(s"d3b.sig|$dir", minhashSignatures(s, dir))
-        val bands = sig.select(col("doc_id"), explode(array(
-          concat_ws("|", lit(0), col("band0")),
-          concat_ws("|", lit(1), col("band1")))).as("bucket"))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
-          .distinct()
+        val cand = lshCandidates(s, dir)
         // only candidate documents' shingles participate in the exact
         // verification — the broadcast semi-join prunes the index scan
         val candDocs = cand.select(col("doc1").as("doc_id"))
