@@ -77,10 +77,10 @@ class ScaleTechniquesSpec extends SparkSpec {
     val after2 = persisted
     assert(after2 == after1,
       s"dedup re-invocations grew the cache: $after1 -> $after2 persisted RDDs")
-    run("d3b_lsh_pairs")    // adds its signature table ONCE
+    run("d3b_lsh_pairs")    // adds its signature + candidate tables ONCE
     run("d3b_lsh_pairs")
     val after3 = persisted
-    assert(after3 <= after1 + 1,
+    assert(after3 <= after1 + 2,
       s"d3b re-invocation leaked cache entries: $after1 -> $after3")
   }
 
