@@ -10,7 +10,15 @@ object KernelProbe {
   def main(args: Array[String]): Unit = {
     val size = if (args.nonEmpty) args(0).toInt else 70000
     val c = if (args.length > 1) Case.byName(args(1)) else Case.MixedTuple
-    val batch = c.rows(size).toArray
+    // Optional third arg "shuffled": permute the (pre-sorted) generated
+    // batch with a fixed seed so the probe can measure full merge cost
+    // rather than the adaptive presorted fast path.
+    val shuffled = args.length > 2 && args(2) == "shuffled"
+    val rows0 = c.rows(size)
+    val rows =
+      if (shuffled) new scala.util.Random(42).shuffle(rows0.toVector)
+      else rows0
+    val batch = rows.toArray
     val ord = BatchSort.rowOrdering(c.schema)
     def once(run: () => Unit): Double = {
       val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e3
@@ -22,7 +30,7 @@ object KernelProbe {
     println("A: " + times.map(t => f"${t._1}%.0f").mkString(" "))
     println("B: " + times.map(t => f"${t._2}%.0f").mkString(" "))
     // columnar kernels (the RecordBatch-faithful path used by the sweep)
-    val cb = graft.sort.ColumnBatch.fromRows(c.rows(size), c.schema)
+    val cb = graft.sort.ColumnBatch.fromRows(rows, c.schema)
       .dictEncoded(c.dictCols)
     val colA = () => { ColumnSort.sortBatch(cb, rowFormat = false); () }
     val colB = () => { ColumnSort.sortBatch(cb, rowFormat = true); () }
