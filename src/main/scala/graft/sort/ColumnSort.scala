@@ -474,8 +474,33 @@ object ColumnSort {
   /** `take`: gather every column by the index vector (`src/lib.rs:56-73`;
     * bounds checks are JVM-inherent — the reference disables Arrow's,
     * `src/lib.rs:67-69`).
+    *
+    * Identity fast path: when the index vector is the identity
+    * permutation (what the adaptive presorted sort path emits), the
+    * gather degenerates to a contiguous copy — `clone()` compiles to a
+    * memcpy intrinsic, where the general loop pays a data-dependent load
+    * per element. Rust gets the same effect for free: a gather over
+    * sequential indices auto-vectorizes to block copies. Output is still
+    * a fresh batch (same take semantics, no aliased mutation hazards
+    * beyond the shared immutable byte arrays the general path also
+    * shares).
     */
   def take(batch: ColumnBatch, idx: Array[Int]): ColumnBatch = {
+    var ident = idx.length == batch.numRows
+    var ii = 0
+    while (ident && ii < idx.length) { ident = idx(ii) == ii; ii += 1 }
+    if (ident) {
+      val out: Array[AnyRef] = batch.cols.map {
+        case a: Array[Double] => a.clone(): AnyRef
+        case a: Array[Long] => a.clone(): AnyRef
+        case a: Utf8Col =>
+          Utf8Col.withPrefixes(
+            a.values.clone(), a.prefixes.clone(), a.allShort, a.noZeroBytes): AnyRef
+        case d: DictCol => new DictCol(d.codes.clone(), d.dict): AnyRef
+        case other => throw new IllegalArgumentException(s"bad column $other")
+      }
+      return ColumnBatch(batch.schema, out)
+    }
     val out: Array[AnyRef] = batch.cols.map {
       case a: Array[Double] =>
         val r = new Array[Double](idx.length); var i = 0
