@@ -169,6 +169,59 @@ object Dedup {
         .distinct())
   }
 
+  /** d5's core (shared with p1's near-dup stage): LSH candidate pairs
+    * verified with EXACT Jaccard over the candidate docs' shingle sets.
+    * Only candidate documents' shingles participate in the verification —
+    * the broadcast semi-join prunes the index scan.
+    */
+  private[pipeline] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val cand = lshCandidates(s, dir)
+    val candDocs = cand.select(col("doc1").as("doc_id"))
+      .union(cand.select(col("doc2").as("doc_id"))).distinct()
+    val subIdx = shingleIndex(s, dir).join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val sizes = subIdx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = subIdx.as("a")
+      .join(subIdx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_common"))
+    cand
+      .join(common, Seq("doc1", "doc2"), "left_outer")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1")), "doc1")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2")), "doc2")
+      .withColumn("jaccard", round(
+        coalesce(col("n_common"), lit(0L)).cast("double")
+          / (col("n1") + col("n2") - coalesce(col("n_common"), lit(0L))), 6))
+      .select(col("doc1"), col("doc2"), col("jaccard"),
+        (col("jaccard") >= 0.5).as("is_dup"))
+  }
+
+  /** DuckDB twin of [[lshVerifiedPairs]], ending in a `verified` CTE
+    * (doc1, doc2, jaccard, is_dup) — shared by the d5 and p1 oracles.
+    */
+  private[pipeline] def lshVerifiedCtes: String =
+    s"""$minhashCtes,
+        bands AS (
+          SELECT doc_id, concat_ws('|', '0', concat_ws('_', ${(0 until BandRows).map(j => s"mh$j").mkString(", ")})) AS bucket FROM mins
+          UNION ALL
+          SELECT doc_id, concat_ws('|', '1', concat_ws('_', ${(BandRows until 2 * BandRows).map(j => s"mh$j").mkString(", ")})) AS bucket FROM mins),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+          FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY 1),
+        common AS (
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+          FROM sh0 a JOIN sh0 b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        verified AS (
+          SELECT cand.doc1, cand.doc2,
+                 round(coalesce(n_common, 0) / CAST(s1.n_sh + s2.n_sh - coalesce(n_common, 0) AS DOUBLE), 6) AS jaccard,
+                 round(coalesce(n_common, 0) / CAST(s1.n_sh + s2.n_sh - coalesce(n_common, 0) AS DOUBLE), 6) >= 0.5 AS is_dup
+          FROM cand
+          LEFT JOIN common ON cand.doc1 = common.doc1 AND cand.doc2 = common.doc2
+          JOIN sizes s1 ON cand.doc1 = s1.doc_id
+          JOIN sizes s2 ON cand.doc2 = s2.doc_id)"""
+
   /** d4's signature table (doc_id, simhash32), shared with d4b. */
   private def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -302,50 +355,10 @@ object Dedup {
     //      broadcasts to slice the shared shingle index. ----
     Q(
       "d5_lsh_verified",
-      (s, dir) => {
-        val cand = lshCandidates(s, dir)
-        // only candidate documents' shingles participate in the exact
-        // verification — the broadcast semi-join prunes the index scan
-        val candDocs = cand.select(col("doc1").as("doc_id"))
-          .union(cand.select(col("doc2").as("doc_id"))).distinct()
-        val subIdx = shingleIndex(s, dir).join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-        val sizes = subIdx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val common = subIdx.as("a")
-          .join(subIdx.as("b"),
-            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-          .agg(count(lit(1)).as("n_common"))
-        cand
-          .join(common, Seq("doc1", "doc2"), "left_outer")
-          .join(broadcast(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1")), "doc1")
-          .join(broadcast(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2")), "doc2")
-          .withColumn("jaccard", round(
-            coalesce(col("n_common"), lit(0L)).cast("double")
-              / (col("n1") + col("n2") - coalesce(col("n_common"), lit(0L))), 6))
-          .select(col("doc1"), col("doc2"), col("jaccard"),
-            (col("jaccard") >= 0.5).as("is_dup"))
-      },
+      (s, dir) => lshVerifiedPairs(s, dir),
       Some(s"""
-        WITH $minhashCtes,
-        bands AS (
-          SELECT doc_id, concat_ws('|', '0', concat_ws('_', ${(0 until BandRows).map(j => s"mh$j").mkString(", ")})) AS bucket FROM mins
-          UNION ALL
-          SELECT doc_id, concat_ws('|', '1', concat_ws('_', ${(BandRows until 2 * BandRows).map(j => s"mh$j").mkString(", ")})) AS bucket FROM mins),
-        cand AS (
-          SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-          FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY 1),
-        common AS (
-          SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
-          FROM sh0 a JOIN sh0 b ON a.h = b.h AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-        SELECT cand.doc1, cand.doc2,
-               round(coalesce(n_common, 0) / CAST(s1.n_sh + s2.n_sh - coalesce(n_common, 0) AS DOUBLE), 6) AS jaccard,
-               round(coalesce(n_common, 0) / CAST(s1.n_sh + s2.n_sh - coalesce(n_common, 0) AS DOUBLE), 6) >= 0.5 AS is_dup
-        FROM cand
-        LEFT JOIN common ON cand.doc1 = common.doc1 AND cand.doc2 = common.doc2
-        JOIN sizes s1 ON cand.doc1 = s1.doc_id
-        JOIN sizes s2 ON cand.doc2 = s2.doc_id"""),
+        WITH $lshVerifiedCtes
+        SELECT doc1, doc2, jaccard, is_dup FROM verified"""),
     ),
 
     // ---- d4: SimHash — 32-bit signature from token hashes, per document.

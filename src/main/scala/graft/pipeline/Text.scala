@@ -27,36 +27,50 @@ object Text {
     "zh" -> "[\\x{4e00}-\\x{9fff}]", // \x{...}: valid in both Java regex and RE2
   )
 
+  /** Per-language hit-count columns (n_en..n_zh), shared by t1 and p1. */
+  private[pipeline] def langCountCols: Seq[Column] =
+    langPatterns.map { case (l, p) =>
+      regexp_count(lower(col("text")), lit(p)).as(s"n_$l")
+    }
+
+  /** Argmax over the n_* columns in scope — the language decision rule
+    * (zh script presence wins, then first-in-priority max), shared by t1
+    * and p1.
+    */
+  private[pipeline] def predLangCol: Column =
+    when(col("n_zh") > 0, "zh")
+      .when(col("n_en") >= col("n_de") && col("n_en") >= col("n_fr") && col("n_en") >= col("n_es"), "en")
+      .when(col("n_de") >= col("n_fr") && col("n_de") >= col("n_es"), "de")
+      .when(col("n_fr") >= col("n_es"), "fr")
+      .otherwise("es")
+
+  /** DuckDB twins of the count columns / decision rule. */
+  private[pipeline] def langCountsSql: String =
+    langPatterns.map { case (l, p) =>
+      s"CAST(len(regexp_extract_all(lower(text), '${p.replace("\\", "\\")}')) AS INT) AS n_$l"
+    }.mkString(",\n                 ")
+  private[pipeline] def predLangSql: String =
+    """CASE WHEN n_zh > 0 THEN 'zh'
+                    WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+                    WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+                    WHEN n_fr >= n_es THEN 'fr'
+                    ELSE 'es' END"""
+
   def all: Seq[Q] = Seq(
     // ---- t1: language ID — per-language stopword/script hit counts + argmax ----
     Q(
       "t1_lang_id",
       (s, dir) => {
-        val base = t(s, dir, "documents").select(
-          col("doc_id") +:
-            langPatterns.map { case (l, p) =>
-              regexp_count(lower(col("text")), lit(p)).as(s"n_$l")
-            }: _*)
-        val pred = when(col("n_zh") > 0, "zh")
-          .when(col("n_en") >= col("n_de") && col("n_en") >= col("n_fr") && col("n_en") >= col("n_es"), "en")
-          .when(col("n_de") >= col("n_fr") && col("n_de") >= col("n_es"), "de")
-          .when(col("n_fr") >= col("n_es"), "fr")
-          .otherwise("es")
-        base.withColumn("pred_lang", pred)
+        val base = t(s, dir, "documents").select(col("doc_id") +: langCountCols: _*)
+        base.withColumn("pred_lang", predLangCol)
       },
       Some(s"""
         WITH c AS (
           SELECT doc_id,
-                 ${langPatterns.map { case (l, p) =>
-                   s"CAST(len(regexp_extract_all(lower(text), '${p.replace("\\", "\\")}')) AS INT) AS n_$l"
-                 }.mkString(",\n                 ")}
+                 $langCountsSql
           FROM documents)
         SELECT doc_id, n_en, n_de, n_fr, n_es, n_zh,
-               CASE WHEN n_zh > 0 THEN 'zh'
-                    WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
-                    WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
-                    WHEN n_fr >= n_es THEN 'fr'
-                    ELSE 'es' END AS pred_lang
+               $predLangSql AS pred_lang
         FROM c"""),
     ),
 

@@ -14,5 +14,6 @@ object Registry {
       graft.pipeline.Dedup.all ++
       graft.pipeline.Similarity.all ++
       graft.pipeline.Events.all ++
+      graft.pipeline.Curation.all ++
       graft.multimodal.Multimodal.all
 }

@@ -109,6 +109,16 @@ class PlanSpec extends SparkSpec {
       s"decode stub must stay in the Tungsten pipeline:\n$p")
   }
 
+  test("p1: near-dup removal is a broadcast anti-join; dedup window is partitioned") {
+    val p = plan("p1_curation")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"verified-loser removal must broadcast, never shuffle the corpus:\n$p")
+    // the exact-dedup window must hash-partition on fingerprint — a
+    // global (empty-key) window would serialize the corpus on one task
+    assert(p.contains("hashpartitioning(fingerprint"),
+      s"dedup row_number must partition by fingerprint:\n$p")
+  }
+
   test("splitBatch scatters into n single-stream partitions") {
     import graft.datagen.{Case, SplitBatch}
     val df = Case.MixedTuple.df(spark, 1000)
