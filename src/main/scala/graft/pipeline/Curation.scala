@@ -34,8 +34,8 @@ object Curation {
   import Tables.t
   import Text.{langCountCols, langCountsSql, predLangCol, predLangSql}
 
-  private val MinWords = 20
-  private val MaxWords = 1000
+  private[graft] val MinWords = 20
+  private[graft] val MaxWords = 1000
 
   def all: Seq[Q] = Seq(
     Q(

@@ -28,7 +28,7 @@ object Text {
   )
 
   /** Per-language hit-count columns (n_en..n_zh), shared by t1 and p1. */
-  private[pipeline] def langCountCols: Seq[Column] =
+  private[graft] def langCountCols: Seq[Column] =
     langPatterns.map { case (l, p) =>
       regexp_count(lower(col("text")), lit(p)).as(s"n_$l")
     }
@@ -37,7 +37,7 @@ object Text {
     * (zh script presence wins, then first-in-priority max), shared by t1
     * and p1.
     */
-  private[pipeline] def predLangCol: Column =
+  private[graft] def predLangCol: Column =
     when(col("n_zh") > 0, "zh")
       .when(col("n_en") >= col("n_de") && col("n_en") >= col("n_fr") && col("n_en") >= col("n_es"), "en")
       .when(col("n_de") >= col("n_fr") && col("n_de") >= col("n_es"), "de")
@@ -45,11 +45,11 @@ object Text {
       .otherwise("es")
 
   /** DuckDB twins of the count columns / decision rule. */
-  private[pipeline] def langCountsSql: String =
+  private[graft] def langCountsSql: String =
     langPatterns.map { case (l, p) =>
       s"CAST(len(regexp_extract_all(lower(text), '${p.replace("\\", "\\")}')) AS INT) AS n_$l"
     }.mkString(",\n                 ")
-  private[pipeline] def predLangSql: String =
+  private[graft] def predLangSql: String =
     """CASE WHEN n_zh > 0 THEN 'zh'
                     WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
                     WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming twin of the p1 curation pipeline's INGEST stages: the same
+  * per-document feature algebra (language ID, length gate, token
+  * counts, content fingerprint — all stateless, codegen'd column
+  * expressions shared with the batch operators in
+  * [[graft.pipeline.Text]]/[[graft.pipeline.Curation]]) followed by
+  * watermark-bounded exact dedup on the fingerprint.
+  *
+  * The split mirrors how a 100 TB pipeline deploys curation: the
+  * stateless gate + in-window dedup run AT INGEST (bursty duplicates —
+  * crawler refetches, retries — collapse before they ever land), while
+  * the corpus-wide stages that need a global index (LSH near-dup
+  * removal, batch d1 as the exact backstop) run as the periodic batch
+  * p1 pass over the landed data. State here is bounded:
+  * `dropDuplicatesWithinWatermark` evicts a fingerprint once the
+  * watermark passes its arrival time, so the dedup map holds one
+  * watermark-window of distinct keys, not the stream's history.
+  */
+object DocStream {
+
+  /** docs: streaming DataFrame with (ingest_ts TIMESTAMP, doc_id BIGINT,
+    * text STRING). Emits gated, in-window-deduped docs with the p1
+    * manifest columns.
+    */
+  def curationIngest(docs: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    import graft.pipeline.{Curation, Portable, Text}
+    val feats = docs.select(
+      col("ingest_ts") +: col("doc_id") +: Text.langCountCols :+
+        size(Portable.words(col("text"))).as("n_words") :+
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .as("bpe_tokens") :+
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"): _*)
+    feats
+      .filter(col("n_words").between(Curation.MinWords, Curation.MaxWords))
+      .withColumn("pred_lang", Text.predLangCol)
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select("ingest_ts", "doc_id", "pred_lang", "n_words", "bpe_tokens", "fingerprint")
+  }
+}
