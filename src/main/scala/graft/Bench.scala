@@ -74,27 +74,37 @@ object Bench {
     val sweepPass1 = sweepPass()
     mark("sweep pass 1")
 
-    val results = SparkEntry.inventory.map { q =>
+    // BASELINE.md's reference numbers are warm means (50-iteration
+    // protocol); a one-shot cold run of a codegen-heavy pipeline is
+    // dominated by C2-compile-queue state and swings up to 4x run to
+    // run (measured: d2 cold 27-128 s, steady-state 3-5 s). Heavy
+    // queries get one re-run and report the min — the steady-state,
+    // like-for-like number. Persisted indexes (d2/d3b) intentionally
+    // carry into the re-run: index reuse IS their production shape.
+    // A FAILED run reports -1.0, not its elapsed time: a crash's
+    // wall-clock is meaningless and must not masquerade as a fast cell
+    // in round-over-round comparisons (the failure itself also prints
+    // to stderr, which the driver captures in the bench tail).
+    def timeQuery(q: Q, dir: String): Double = {
       System.gc() // stabilize: don't bill query N for query N-1's garbage
       def once(): Double = {
         val t0 = System.nanoTime()
-        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        try {
+          q.run(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} @ $dir failed: ${e.getMessage}")
+            -1.0
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      // BASELINE.md's reference numbers are warm means (50-iteration
-      // protocol); a one-shot cold run of a codegen-heavy pipeline is
-      // dominated by C2-compile-queue state and swings up to 4x run to
-      // run (measured: d2 cold 27-128 s, steady-state 3-5 s). Heavy
-      // queries get one re-run and report the min — the steady-state,
-      // like-for-like number. Persisted indexes (d2/d3b) intentionally
-      // carry into the re-run: index reuse IS their production shape.
       val t1 = once()
-      val t = if (t1 > 2.0) math.min(t1, once()) else t1
-      q.name -> t
+      if (t1 < 0) t1
+      else if (t1 > 2.0) { val t2 = once(); if (t2 < 0) t1 else math.min(t1, t2) }
+      else t1
     }
+
+    val results = SparkEntry.inventory.map(q => q.name -> timeQuery(q, sfDir))
     mark("query pass")
 
     // Skewed-data cells: hot shingles / hot labels / hot join keys only
@@ -103,23 +113,28 @@ object Bench {
     // three cells re-run the operators whose scale defenses the skew
     // targets. Reported in a separate `skew_queries` object so `total`
     // stays comparable round over round.
-    val skewDir = graft.bench.SkewBench.prepare(spark, sfDir)
-    mark("skew prep")
-    val skewResults = Seq("d2_ngram_jaccard", "s3_cosine_neardup", "q5_star_join").map { qn =>
-      val q = SparkEntry.inventory.find(_.name == qn).get
-      System.gc()
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try q.run(spark, skewDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] skew_${q.name} failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    // The skew fixture is optional: a prepare failure (unwritable
+    // target/, missing source table) must cost the skew cells only,
+    // never the multi-minute results already measured above.
+    val skewResults =
+      try {
+        val skewDir = graft.bench.SkewBench.prepare(spark, sfDir)
+        mark("skew prep")
+        val cells = Seq("d2_ngram_jaccard", "s3_cosine_neardup", "q5_star_join")
+          .flatMap(qn => SparkEntry.inventory.find(_.name == qn))
+          .map(q => s"skew_${q.name}" -> timeQuery(q, skewDir))
+        // release the skew fixture's materialized tables before sweep
+        // pass 2: a second full cache set (shingle index, capped index,
+        // banded vectors) left on-heap would pressure the µs-scale
+        // kernel timings the second window exists to keep quiet
+        graft.pipeline.Materialized.releaseMatching(_.endsWith(s"|$skewDir"))
+        graft.pipeline.Dedup.releaseIndex(spark, skewDir)
+        cells
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] skew fixture failed: ${e.getMessage}")
+          Seq.empty[(String, Double)]
       }
-      val t1 = once()
-      val t = if (t1 > 2.0) math.min(t1, once()) else t1
-      s"skew_$qn" -> t
-    }
     mark("skew pass")
 
     // Second sweep pass AFTER the query pass (~minutes later), min-merged

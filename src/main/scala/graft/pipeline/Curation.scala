@@ -43,10 +43,9 @@ object Curation {
       (s, dir) => {
         val feats = t(s, dir, "documents").select(
           col("doc_id") +: langCountCols :+
-            size(Portable.words(col("text"))).as("n_words") :+
-            size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
-              .as("bpe_tokens") :+
-            md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"): _*)
+            Portable.nWords(col("text")).as("n_words") :+
+            Portable.bpeTokens(col("text")).as("bpe_tokens") :+
+            Portable.normFingerprint(col("text")).as("fingerprint"): _*)
         val gated = feats
           .filter(col("n_words").between(MinWords, MaxWords))
           .withColumn("pred_lang", predLangCol)

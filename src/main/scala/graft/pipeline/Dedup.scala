@@ -104,6 +104,13 @@ object Dedup {
     */
   private val indexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Unpersist and forget the shingle index for a corpus dir (fixture
+    * teardown — e.g. Bench's skew pass releasing its throwaway corpus).
+    */
+  private[graft] def releaseIndex(s: SparkSession, dir: String): Unit =
+    indexCache.remove((s, dir)).foreach(_.unpersist(false))
+
   private[graft] def shingleIndex(s: SparkSession, dir: String): DataFrame =
     indexCache.getOrElseUpdate((s, dir), {
       graft.functions.GraftFunctions.register(s)
@@ -263,8 +270,7 @@ object Dedup {
       "d1_exact_dedup",
       (s, dir) =>
         t(s, dir, "documents")
-          .select(col("doc_id"),
-            md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"))
+          .select(col("doc_id"), normFingerprint(col("text")).as("fingerprint"))
           .groupBy(col("fingerprint"))
           .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
       Some(s"""

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Persist-with-replacement for derived tables that several branches of
@@ -9,27 +9,40 @@ import org.apache.spark.storage.StorageLevel
   * lets the join branches race to fill the cache, each recomputing the
   * upstream (measured 3× slower) — but per-invocation persists that are
   * never released leak a cache entry per call (Bench runs every heavy
-  * query twice). Keying by name caps the leak at ONE live copy per
-  * table: each rebuild unpersists the copy it supersedes.
+  * query twice). Keying by (session, name) caps the leak at ONE live
+  * copy per table: each rebuild unpersists the copy it supersedes, and
+  * a fresh session never receives a DataFrame bound to a previous
+  * (possibly stopped) session's context.
   */
 private[graft] object Materialized {
   private val live =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def apply(key: String, df: DataFrame): DataFrame = live.get(key) match {
-    // Re-invocation with the SAME plan (bench min-of-two, repeated
-    // Verify calls): reuse the live copy. Re-persisting would no-op
-    // (Spark caches by logical plan) and then unpersisting the "old"
-    // handle would evict that shared entry, leaving the new handle
-    // UNCACHED — the leak fix would have un-materialized the table.
-    case Some(prev)
-        if prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) =>
-      prev
-    case prev =>
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      p.count() // eager: one fill, then pure cache reads
-      live.put(key, p)
-      prev.foreach(_.unpersist(false))
-      p
+  def apply(key: String, df: DataFrame): DataFrame = {
+    val k = (df.sparkSession, key)
+    live.get(k) match {
+      // Re-invocation with the SAME plan (bench min-of-two, repeated
+      // Verify calls): reuse the live copy. Re-persisting would no-op
+      // (Spark caches by logical plan) and then unpersisting the "old"
+      // handle would evict that shared entry, leaving the new handle
+      // UNCACHED — the leak fix would have un-materialized the table.
+      case Some(prev)
+          if prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) =>
+        prev
+      case prev =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count() // eager: one fill, then pure cache reads
+        live.put(k, p)
+        prev.foreach(_.unpersist(false))
+        p
+    }
   }
+
+  /** Unpersist and forget every live table whose string key matches —
+    * e.g. all tables derived from a throwaway fixture directory.
+    */
+  def releaseMatching(p: String => Boolean): Unit =
+    live.keys.filter { case (_, key) => p(key) }.foreach { k =>
+      live.remove(k).foreach(_.unpersist(false))
+    }
 }

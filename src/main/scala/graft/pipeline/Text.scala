@@ -47,7 +47,9 @@ object Text {
   /** DuckDB twins of the count columns / decision rule. */
   private[graft] def langCountsSql: String =
     langPatterns.map { case (l, p) =>
-      s"CAST(len(regexp_extract_all(lower(text), '${p.replace("\\", "\\")}')) AS INT) AS n_$l"
+      // patterns are emitted verbatim: they contain no quotes, and both
+      // regex dialects (Java, DuckDB's RE2) read them identically
+      s"CAST(len(regexp_extract_all(lower(text), '$p')) AS INT) AS n_$l"
     }.mkString(",\n                 ")
   private[graft] def predLangSql: String =
     """CASE WHEN n_zh > 0 THEN 'zh'
@@ -80,19 +82,19 @@ object Text {
       (s, dir) => {
         val d = t(s, dir, "documents")
         val nChars = length(col("text"))
-        val nWords = size(words(col("text")))
+        val nW = nWords(col("text"))
         val nPunct = regexp_count(col("text"), lit("[\\.,;:!\\?]"))
         val nDigit = regexp_count(col("text"), lit("[0-9]"))
         val nStop = regexp_count(lower(col("text")), lit("\\b(the|a|is|of|and|to|in)\\b"))
         d.select(
           col("doc_id"),
           nChars.as("n_chars_m"),
-          nWords.as("n_words"),
+          nW.as("n_words"),
           round(nPunct.cast("double") / nChars, 6).as("punct_ratio"),
           round(nDigit.cast("double") / nChars, 6).as("digit_ratio"),
-          round(nStop.cast("double") / nWords, 6).as("stopword_ratio"),
-          round(nChars.cast("double") / nWords, 6).as("mean_word_len"),
-          (nWords >= 20 && nWords <= 1000).as("len_ok"))
+          round(nStop.cast("double") / nW, 6).as("stopword_ratio"),
+          round(nChars.cast("double") / nW, 6).as("mean_word_len"),
+          (nW >= Curation.MinWords && nW <= Curation.MaxWords).as("len_ok"))
       },
       Some(s"""
         SELECT doc_id,
@@ -113,9 +115,8 @@ object Text {
       (s, dir) =>
         t(s, dir, "documents").select(
           col("doc_id"),
-          size(words(col("text"))).as("ws_tokens"),
-          size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
-            .as("bpe_tokens")),
+          nWords(col("text")).as("ws_tokens"),
+          bpeTokens(col("text")).as("bpe_tokens")),
       Some("""
         SELECT doc_id,
                CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS ws_tokens,
@@ -130,8 +131,8 @@ object Text {
         graft.functions.GraftFunctions.register(s)
         t(s, dir, "documents").select(
           col("doc_id"),
-          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"),
-          md5Long(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp60"))
+          normFingerprint(col("text")).as("fingerprint"),
+          md5Long(normText(col("text"))).as("fp60"))
       },
       Some(s"""
         SELECT doc_id,

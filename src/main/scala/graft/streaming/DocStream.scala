@@ -30,10 +30,9 @@ object DocStream {
     import graft.pipeline.{Curation, Portable, Text}
     val feats = docs.select(
       col("ingest_ts") +: col("doc_id") +: Text.langCountCols :+
-        size(Portable.words(col("text"))).as("n_words") :+
-        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
-          .as("bpe_tokens") :+
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"): _*)
+        Portable.nWords(col("text")).as("n_words") :+
+        Portable.bpeTokens(col("text")).as("bpe_tokens") :+
+        Portable.normFingerprint(col("text")).as("fingerprint"): _*)
     feats
       .filter(col("n_words").between(Curation.MinWords, Curation.MaxWords))
       .withColumn("pred_lang", Text.predLangCol)
