@@ -8,9 +8,13 @@ object SparkEntry {
   /** Full query inventory, assembled from the module registries. */
   def inventory: Seq[Q] = graft.queries.Registry.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * p1 is the library's thesis in one query: text features, quality
+    * gating, exact dedup and LSH-verified near-dup removal composed into
+    * a single declarative plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q5_star_join")(spark, "/root/testdata/sf0.001")
+    queries("p1_curation")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -119,6 +119,10 @@ class PlanSpec extends SparkSpec {
       s"dedup row_number must partition by fingerprint:\n$p")
   }
 
+  test("entry flagship returns rows (the driver's smoke check)") {
+    assert(SparkEntry.entry(spark).count() > 0, "entry must return rows at sf0.001")
+  }
+
   test("splitBatch scatters into n single-stream partitions") {
     import graft.datagen.{Case, SplitBatch}
     val df = Case.MixedTuple.df(spark, 1000)
