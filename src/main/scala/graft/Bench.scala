@@ -129,6 +129,7 @@ object Bench {
         // kernel timings the second window exists to keep quiet
         graft.pipeline.Materialized.releaseMatching(_.endsWith(s"|$skewDir"))
         graft.pipeline.Dedup.releaseIndex(spark, skewDir)
+        graft.pipeline.Similarity.releaseBlockStats(spark)
         cells
       } catch {
         case e: Throwable =>

@@ -13,6 +13,24 @@ final case class Q(
     oracle: Option[String],
 )
 
+/** Cross-engine aggregation recipes shared by every query module. */
+object Agg {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.sum
+  import org.apache.spark.sql.types.DecimalType
+
+  /** Exact sum of a fixed-decimal money column, returned as DOUBLE —
+    * the one way a Spark sum hash-matches DuckDB's at any parallelism:
+    * per-row cast to DECIMAL(30, scale) makes the sum order-insensitive
+    * (double summation reorders under partial aggregation and drifts in
+    * the last ulp), and the final cast back to double renders
+    * identically in both engines. The oracle twin is
+    * `CAST(sum(CAST(x AS DECIMAL(30,s))) AS DOUBLE)`.
+    */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(30, scale))).cast("double")
+}
+
 /** Table loader for the driver testdata layout (`TESTDATA.md`):
   * one parquet file per table under the scale-factor directory.
   */

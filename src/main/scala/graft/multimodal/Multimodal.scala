@@ -109,8 +109,13 @@ object Multimodal {
     blobs
       .withColumn("n_frames",
         ceil(octet_length(col("payload")).cast("double") / FrameBytes).cast("int"))
+      // n_frames = 0 guard: Spark's sequence(0, -1) is the DESCENDING
+      // sequence [0, -1] (DuckDB's generate_series(0, -1) is empty), so
+      // an empty payload would otherwise emit a phantom frame 0 and
+      // break both the oracle parity and the ceil(n/stride) contract
       .withColumn("frame_idx",
-        explode(expr(s"filter(sequence(0, n_frames - 1), i -> i % $stride = 0)")))
+        explode(expr(
+          s"CASE WHEN n_frames > 0 THEN filter(sequence(0, n_frames - 1), i -> i % $stride = 0) ELSE array() END")))
       .withColumn("frame",
         expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)"))
       .select(col("id"), col("modality"), col("frame_idx"), col("frame"),

@@ -153,10 +153,17 @@ object Similarity {
   /** Memo for the one driver-side scalar the banded plan needs (max
     * block size fixes the sign-bit column count): keyed by the INPUT
     * plan's canonical form, so bench re-runs and d5-style reuse don't
-    * re-scan the corpus for a number that cannot have changed.
+    * re-scan the corpus for a number that cannot have changed. NOT
+    * change-detecting: rewriting a fixture dir in-place within one
+    * session must call [[releaseBlockStats]] (Bench's skew teardown
+    * does), or the stale scalar under-sizes the sign-bit columns.
     */
   private val maxBlockCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Long]
+
+  /** Drop every memoized block scalar for a session (fixture teardown). */
+  private[graft] def releaseBlockStats(s: SparkSession): Unit =
+    maxBlockCache.keys.filter(_._1 eq s).foreach(maxBlockCache.remove)
 
   private[graft] def s3BandedDf(e: DataFrame): DataFrame = {
     val blocks = e.groupBy("label").agg(count(lit(1)).as("block_n"))

@@ -14,8 +14,7 @@ import org.apache.spark.sql.types.DecimalType
 object Advanced {
   import Tables.t
 
-  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
-    sum(c.cast(DecimalType(30, scale))).cast("double")
+  import graft.Agg.dsum
 
   def all: Seq[Q] = Seq(
     // ---- q21: CUBE aggregation ----

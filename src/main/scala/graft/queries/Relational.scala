@@ -22,9 +22,7 @@ import org.apache.spark.sql.types.DecimalType
 object Relational {
   import Tables.t
 
-  /** Exact sum of a 2-decimal money column, returned as DOUBLE. */
-  private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(30, scale))).cast("double")
+  import graft.Agg.dsum
 
   def all: Seq[Q] = Seq(
     // ---- q1: full-scan aggregation with map-side partial agg (TPC-H Q1) ----
@@ -379,7 +377,9 @@ object Relational {
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""),
     ),
 
-    // ---- q18: correlated-style subquery: quantity below 20% of part avg (TPC-H Q17) ----
+    // ---- q18: correlated-style subquery: quantity below HALF the part
+    //      avg — TPC-H Q17's shape, with 0.5 instead of Q17's 0.2
+    //      threshold (both Spark and the oracle use 0.5) ----
     Q(
       "q18_subquery_avg",
       (s, dir) => {

@@ -44,13 +44,7 @@ final class Utf8Col private (
       * can then bulk-copy the bytes (no per-byte escape loop).
       */
     val noZeroBytes: Boolean,
-) extends Serializable {
-  def this(values: Array[Array[Byte]]) = this(
-    values,
-    Utf8Col.buildPrefixes(values),
-    values.forall(_.length <= 8),
-    values.forall(b => !b.contains(0: Byte)))
-}
+) extends Serializable
 
 object Utf8Col {
   /** Gather-path constructor: the per-column stats are permutation-
@@ -62,19 +56,36 @@ object Utf8Col {
       allShort: Boolean, noZeroBytes: Boolean): Utf8Col =
     new Utf8Col(values, prefixes, allShort, noZeroBytes)
 
-  def buildPrefixes(values: Array[Array[Byte]]): Array[Long] = {
+  /** Build a column in ONE pass over the byte arrays: prefixes,
+    * allShort, and noZeroBytes all fall out of the same walk (three
+    * separate passes would pointer-chase every array thrice — wasted
+    * setup in the very kernels this module exists to time).
+    */
+  def apply(values: Array[Array[Byte]]): Utf8Col = {
     val p = new Array[Long](values.length)
+    var allShort = true
+    var noZero = true
     var i = 0
     while (i < values.length) {
       val b = values(i)
+      if (b.length > 8) allShort = false
       val m = if (b.length < 8) b.length else 8
       var v = 0L
       var j = 0
-      while (j < m) { v |= (b(j) & 0xffL) << ((7 - j) * 8); j += 1 }
+      while (j < m) {
+        val by = b(j)
+        if (by == 0) noZero = false
+        v |= (by & 0xffL) << ((7 - j) * 8)
+        j += 1
+      }
+      while (noZero && j < b.length) { // tail bytes of >8-byte strings
+        if (b(j) == 0) noZero = false
+        j += 1
+      }
       p(i) = v
       i += 1
     }
-    p
+    new Utf8Col(values, p, allShort, noZero)
   }
 }
 
@@ -156,7 +167,7 @@ object ColumnBatch {
             a(i) = rows(i).getString(j).getBytes(java.nio.charset.StandardCharsets.UTF_8)
             i += 1
           }
-          new Utf8Col(a): AnyRef
+          Utf8Col(a): AnyRef
         case other => throw new IllegalArgumentException(s"unsupported columnar type $other")
       }
     }
@@ -528,7 +539,7 @@ object ColumnSort {
   def sortBatch(batch: ColumnBatch, rowFormat: Boolean): ColumnBatch =
     take(batch, if (rowFormat) rowFormatIndices(batch) else lexsortIndices(batch))
 
-  private abstract class IndexCmp {
+  private[sort] abstract class IndexCmp {
     def lt(i: Int, j: Int): Boolean
   }
 
@@ -536,7 +547,7 @@ object ColumnSort {
     * already-ordered-segments shortcut (presorted input → O(n) compares).
     * Primitive int arrays: a `Comparator[Integer]` would box every index.
     */
-  private def sortedIndices(n: Int, c: IndexCmp): Array[Int] =
+  private[sort] def sortedIndices(n: Int, c: IndexCmp): Array[Int] =
     if (scanSorted(n, c) == n) Array.tabulate(n)(identity)
     else mergeIndices(n, c)
 

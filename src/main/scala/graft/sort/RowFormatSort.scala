@@ -94,54 +94,18 @@ object RowFormatSort {
       i += 1
     }
     val slab = w.buf
-    val idx = new Array[Int](n)
-    i = 0
-    while (i < n) { idx(i) = i; i += 1 }
-    indirectMergeSort(idx, slab, offsets)
+    // Shared stable bottom-up merge (ColumnSort.sortedIndices — one
+    // implementation of the stability-critical loop, with the same
+    // presorted O(n) fast path), keyed here by slab-range memcmp.
+    val chain = new ColumnSort.IndexCmp {
+      def lt(a: Int, b: Int): Boolean =
+        java.util.Arrays.compareUnsigned(
+          slab, offsets(a), offsets(a + 1), slab, offsets(b), offsets(b + 1)) < 0
+    }
+    val idx = ColumnSort.sortedIndices(n, chain)
     val outRows = new Array[Row](n)
     i = 0
     while (i < n) { outRows(i) = rows(idx(i)); i += 1 }
     outRows
-  }
-
-  /** Bottom-up merge sort of an int permutation array keyed by slab ranges
-    * — a `Comparator[Integer]` sort would box every index in the hot loop.
-    * Stable, so ties keep input order (deterministic; the reference's
-    * `sort_unstable_by` leaves tie order arbitrary).
-    */
-  private def indirectMergeSort(idx: Array[Int], slab: Array[Byte], offsets: Array[Int]): Unit = {
-    val n = idx.length
-    if (n < 2) return
-    @inline def lt(a: Int, b: Int): Boolean =
-      java.util.Arrays.compareUnsigned(
-        slab, offsets(a), offsets(a + 1), slab, offsets(b), offsets(b + 1)) < 0
-    var src = idx
-    var dst = new Array[Int](n)
-    var width = 1
-    while (width < n) {
-      var lo = 0
-      while (lo < n) {
-        val mid = math.min(lo + width, n)
-        val hi = math.min(lo + 2 * width, n)
-        if (mid == hi || !lt(src(mid), src(mid - 1))) {
-          // segments already in order (e.g. presorted input): plain copy
-          System.arraycopy(src, lo, dst, lo, hi - lo)
-          lo = hi
-        } else {
-        var i = lo; var j = mid; var k = lo
-        while (i < mid && j < hi) {
-          if (lt(src(j), src(i))) { dst(k) = src(j); j += 1 }
-          else { dst(k) = src(i); i += 1 } // <=: stability
-          k += 1
-        }
-        while (i < mid) { dst(k) = src(i); i += 1; k += 1 }
-        while (j < hi) { dst(k) = src(j); j += 1; k += 1 }
-        lo = hi
-        }
-      }
-      val tmp = src; src = dst; dst = tmp
-      width *= 2
-    }
-    if (!(src eq idx)) System.arraycopy(src, 0, idx, 0, n)
   }
 }
