@@ -76,4 +76,16 @@ class MultimodalSpec extends SparkSpec {
     val bad = frames.filter(col("frame_bytes") > Multimodal.FrameBytes).count()
     assert(bad == 0)
   }
+
+  test("frameSample: empty payload yields ZERO frames (sequence(0,-1) guard)") {
+    import spark.implicits._
+    // Spark's sequence(0, -1) is the DESCENDING sequence [0, -1], not
+    // empty — an unguarded explode would emit a phantom frame 0 here
+    val b = Seq((1L, "image", Array.empty[Byte]), (2L, "audio", "xyz".getBytes))
+      .toDF("id", "modality", "payload")
+    val frames = Multimodal.frameSample(b, stride = 4)
+    assert(frames.filter(col("id") === 1L).count() == 0,
+      "empty payload must produce no frames")
+    assert(frames.filter(col("id") === 2L).count() == 1)
+  }
 }
