@@ -151,13 +151,20 @@ object Bench {
     val sweepPts = (sweepPass1 ++ sweepPass2)
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }.toSeq
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    // Locale.ROOT: the f"" interpolator uses the JVM default locale, and
+    // a comma-decimal locale would emit invalid JSON.
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 4) }
       .mkString("{", ",", "}")
-    val sk = skewResults.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    val sk = skewResults.map { case (k, v) => "\"" + k + "\":" + num(v, 4) }
       .mkString("{", ",", "}")
-    val sw = sweepPts.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+    val sw = sweepPts.map { case (k, v) => "\"" + k + "\":" + num(v, 1) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // -1.0 failure sentinels stay visible per-query but must not be
+    // SUMMED: subtracting a second from the headline total would make a
+    // crashed round rank as a faster one.
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skew_queries":$sk,"sort_sweep_us":$sw,"sf":"$sfDir"}""")
     spark.stop()

@@ -14,7 +14,13 @@ final case class DataPoint(
     batchSize: Int,
     strategy: String, // "dyn-comparator" | "rows-format"
     iters: Int,
-    avgUs: Double, // mean µs to sort one batch
+    /** µs to sort one batch — the MIN over `iters` byte-identical runs
+      * (the microbenchmark estimator that discards co-tenant CPU noise;
+      * see measureBoth). The field/CSV column keeps the reference's
+      * `avg_us` NAME for chart/format parity, but the statistic is a
+      * min, so read cross-engine comparisons accordingly.
+      */
+    avgUs: Double,
 )
 
 /** The reference's benchmark sweep harness (`src/main.rs:23-73`,
@@ -70,7 +76,9 @@ object SortSweep {
     val csv = ("case,batch_size,strategy,iters,avg_us" +:
       points.map(p =>
         s"${p.caseName},${p.batchSize},${p.strategy},${p.iters},"
-          + f"${p.avgUs}%.2f")).mkString("\n") + "\n"
+          // Locale.ROOT: a comma-decimal default locale would corrupt the CSV
+          + String.format(java.util.Locale.ROOT, "%.2f", Double.box(p.avgUs))))
+      .mkString("\n") + "\n"
     Files.writeString(csvPath, csv)
     Files.writeString(Paths.get(opt.out, s"${opt.caseName}.svg"), SvgChart.render(points))
     Files.write(Paths.get(opt.out, s"${opt.caseName}.png"), PngChart.render(points))
@@ -125,7 +133,9 @@ object SortSweep {
     val schema = input.schema
     val warm = math.max(3, iters / 5)
     val enc = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
-    val dictCols = Case.all.find(_.name == caseName).map(_.dictCols).getOrElse(Set.empty)
+    // byName THROWS on an unknown case — a silent no-dict fallback would
+    // time the wrong columnar layout without any error
+    val dictCols = Case.byName(caseName).dictCols
     val perIter = input.mapPartitions { it =>
       // materialize the columnar batch (the RecordBatch analog) OUTSIDE
       // the timed region — the reference's input is a pre-built columnar

@@ -111,41 +111,53 @@ object WinnowKernel {
 
 /** Session-level registration of the custom functions — the runtime twin
   * of wiring them through `SparkSessionExtensions.injectFunction` (the
-  * driver owns the session here, so we register on first use).
+  * driver owns the session here, so we register on first use). The
+  * (identifier, info, builder) triples are defined ONCE here and shared
+  * with [[GraftExtensions]] — two copies of a builder can silently
+  * diverge between the config-injected and runtime-registered paths.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    val winnowIdent = FunctionIdentifier("winnow_fp")
-    if (!spark.sessionState.functionRegistry.functionExists(winnowIdent)) {
-      spark.sessionState.functionRegistry.registerFunction(
-        winnowIdent,
-        new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fp"),
-        { exprs: Seq[Expression] =>
-          require(exprs.length == 3, "winnow_fp(text, k, w)")
-          WinnowFingerprint(exprs.head,
-            exprs(1).eval().asInstanceOf[Number].intValue(),
-            exprs(2).eval().asInstanceOf[Number].intValue())
-        })
-    }
-    val md5Ident = FunctionIdentifier("md5_long")
-    if (!spark.sessionState.functionRegistry.functionExists(md5Ident)) {
-      spark.sessionState.functionRegistry.registerFunction(
-        md5Ident,
-        new ExpressionInfo(classOf[Md5Long].getName, "md5_long"),
-        { exprs: Seq[Expression] =>
-          require(exprs.length == 1, "md5_long(s)")
-          Md5Long(exprs.head)
-        })
-    }
-    val dotIdent = FunctionIdentifier("vec_dot")
-    if (!spark.sessionState.functionRegistry.functionExists(dotIdent)) {
-      spark.sessionState.functionRegistry.registerFunction(
-        dotIdent,
-        new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-        { exprs: Seq[Expression] =>
-          require(exprs.length == 2, "vec_dot(a, b)")
-          VecDot(exprs.head, exprs(1))
-        })
-    }
+
+  /** Evaluate a literal int argument with a contract-naming error when
+    * the caller passes a column or NULL (a bare eval() would throw an
+    * obscure UnresolvedException / NPE deep in analysis).
+    */
+  private def literalInt(e: Expression, fn: String, arg: String): Int = {
+    require(e.foldable, s"$fn: $arg must be a literal integer, got $e")
+    val v = e.eval()
+    require(v != null, s"$fn: $arg must not be NULL")
+    v.asInstanceOf[Number].intValue()
   }
+
+  private[functions] val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fp"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3, "winnow_fp(text, k, w)")
+        WinnowFingerprint(exprs.head,
+          literalInt(exprs(1), "winnow_fp", "k"),
+          literalInt(exprs(2), "winnow_fp", "w"))
+      }),
+    (
+      FunctionIdentifier("md5_long"),
+      new ExpressionInfo(classOf[Md5Long].getName, "md5_long"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "md5_long(s)")
+        Md5Long(exprs.head)
+      }),
+    (
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "vec_dot(a, b)")
+        VecDot(exprs.head, exprs(1))
+      }),
+  )
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(ident))
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Scale notes: windowed aggregations carry watermarks so state is
   * bounded and late data older than the watermark is dropped;
-  * sessionization uses `flatMapGroupsWithState` with a processing-time
+  * sessionization uses `flatMapGroupsWithState` with an event-time
   * timeout so per-user state is evicted once a session closes.
   */
 object EventStream {
@@ -25,7 +25,7 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(30, 2))).cast("double").as("sum_value"))
+        graft.Agg.dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
   /** Built-in session windows (30-min gap), the declarative path. */
@@ -34,7 +34,7 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(30, 2))).cast("double").as("session_value"))
+        graft.Agg.dsum(col("value")).as("session_value"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("session_value"))
 
@@ -91,7 +91,15 @@ object EventStream {
               val us = eventUs(e)
               open match {
                 case Some(s) if us - s.lastUs <= gapUs =>
-                  open = Some(s.copy(lastUs = us, n = s.n + 1, total = s.total + e.value))
+                  // min/max, not overwrite: a LATE event (cross-batch,
+                  // above-watermark) has us < lastUs, and assigning it
+                  // would move the session end BACKWARD — corrupting
+                  // end_us and every later gap check, and splitting
+                  // sessions the batch twin keeps whole
+                  open = Some(s.copy(
+                    startUs = math.min(s.startUs, us),
+                    lastUs = math.max(s.lastUs, us),
+                    n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
                   closed += SessionOut(userId, s.startUs, s.lastUs, s.n, s.total)
                   open = Some(SessionState(us, us, 1, e.value))
@@ -125,7 +133,14 @@ object EventStream {
     */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
-      .withColumn("fingerprint", md5(concat_ws("|", col("user_id"), col("event_type"), col("value"))))
+      // CONTENT fingerprint (deliberately no event_id/ts: retries and
+      // refetch bursts arrive with fresh ids, and collapsing them is the
+      // point). to_json(struct(...)) rather than concat_ws: concat_ws
+      // SKIPS nulls, so (7, NULL, "42.0") and (7, "42.0", NULL) would
+      // collide on "7|42.0" — JSON names each present field, so distinct
+      // null patterns always fingerprint differently.
+      .withColumn("fingerprint",
+        md5(to_json(struct(col("user_id"), col("event_type"), col("value")))))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 

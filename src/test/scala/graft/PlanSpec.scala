@@ -130,6 +130,13 @@ class PlanSpec extends SparkSpec {
     assert(parts.rdd.getNumPartitions == 4)
     val total = parts.count()
     assert(total == 1000)
+    // THE invariant: partition i holds exactly stream i (a merge
+    // consumer reads each partition as one pre-sorted stream)
+    val perPart = parts.rdd
+      .mapPartitionsWithIndex((pi, it) => it.map(r => (pi, r.getAs[Int]("stream"))))
+      .distinct().collect()
+    assert(perPart.forall { case (pi, s) => pi == s },
+      s"stream must equal its partition id: ${perPart.filterNot(p => p._1 == p._2).toSeq}")
     // deterministic under the fixed seed
     val a = SplitBatch.splitBatch(df, 4).groupBy("stream").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
