@@ -77,6 +77,35 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("late above-watermark event must not move the session end backwards") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val query = sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(ts(0), 1L, 1.0), Ev(ts(20), 1L, 2.0))
+      query.processAllAvailable()
+      // LATE event at t=5 (watermark is 20-30 < 0, so it's admitted):
+      // with an overwrite merge lastUs would regress to 5 and the t=40
+      // event (40-5=35 > gap) would WRONGLY split the session the batch
+      // twin keeps whole (40-20=20 <= gap)
+      mem.addData(Ev(ts(5), 1L, 0.5))
+      query.processAllAvailable()
+      mem.addData(Ev(ts(40), 1L, 1.0))
+      query.processAllAvailable()
+      // close the session with a far-future event
+      mem.addData(Ev(ts(120), 1L, 9.0))
+      query.processAllAvailable()
+      val out = spark.table("late_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+      val us = (m: Int) => ts(m).getTime * 1000
+      assert(out == Seq((1L, us(0), us(40), 4L, 4.5)),
+        s"one whole session 0->40 with 4 events expected, got $out")
+    } finally query.stop()
+  }
+
   test("event-time timeout flushes and evicts idle users' open sessions") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
