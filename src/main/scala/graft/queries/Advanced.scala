@@ -219,5 +219,34 @@ object Advanced {
                true AS within_5pct
         FROM lineitem GROUP BY 1"""),
     ),
+
+    // ---- q30: GROUPING SETS — the general form cube/rollup specialize
+    //      (q21/q17 cover those); explicit sets + grouping() markers
+    //      disambiguate aggregate NULLs from grouping NULLs. Spark
+    //      expands the sets into one Expand node feeding a single hash
+    //      aggregate (still map-side partial), so the shuffle carries
+    //      |sets| x |groups| rows, never |sets| x |input|. ----
+    Q(
+      "q30_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""
+          SELECT l_returnflag, l_linestatus,
+                 grouping(l_returnflag) AS g_flag,
+                 grouping(l_linestatus) AS g_status,
+                 count(*) AS n,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+          FROM lineitem_v
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS TINYINT) AS g_status,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""),
+    ),
   )
 }
