@@ -255,16 +255,23 @@ object Similarity {
   val CentroidLo = 100
   val NProbe = 4
 
+  /** Lloyd (k-means) refinement iterations over the sampled seeds. Fixed
+    * small count: k-means converges fast from a data sample, every extra
+    * iteration is a full corpus × K assignment pass, and a FIXED count
+    * (rather than a convergence test) keeps the whole index
+    * deterministic and DuckDB-replayable.
+    */
+  val LloydIters = 2
+
   /** s4 kernel: IVF (inverted-file) ANN top-10, same output shape as s1.
     *
-    * The K centroids are data-derived (the embedding vectors with
-    * `vec_id` in [CentroidLo, CentroidLo+K)) — a deterministic sample,
-    * which keeps the whole operator fully DuckDB-expressible: unlike
-    * s2's Scala-side hyperplanes, the oracle recomputes the exact same
-    * index, so s4 gets a full hash check, not a recall contract. (A
-    * production build would Lloyd-refine the sample into true k-means
-    * centroids for better cell balance; sampling is the standard
-    * initialization and changes none of the plan shapes.)
+    * The K centroids are true k-means: a deterministic corpus sample
+    * ([[ivfSeeds]]) refined by [[LloydIters]] Lloyd steps with
+    * decimal-exact means — fully DuckDB-replayable end to end (unlike
+    * s2's Scala-side hyperplanes), so s4 gets a full hash check, not a
+    * recall contract. Lloyd refinement balances the cells, which is
+    * what bounds probe cost: a hot cell is probe-work skew exactly like
+    * a hot shuffle key.
     *
     * Index build: every corpus vector is assigned to its nearest centroid
     * by `max_by` over a broadcast centroid join — the ×K candidate rows
@@ -277,21 +284,61 @@ object Similarity {
     * on `cid` — only the probed cells' vectors are ever scanned
     * (NProbe·n/K ≈ NProbe·√n rows), the IVF contract.
     */
-  private def ivfCentroids(e: DataFrame, k: Int): DataFrame = e
+  /** Initial (seed) centroids: a deterministic sample of the corpus. */
+  private def ivfSeeds(e: DataFrame, k: Int): DataFrame = e
     .filter(col("vec_id") >= CentroidLo && col("vec_id") < CentroidLo + k)
     .select(col("vec_id").as("cid"), col("v").as("cv"))
 
-  /** Nearest-centroid assignment: max_by on (rounded sim, -cid) == the
-    * oracle's ORDER BY sim DESC, cid ASC — rounding first so float
-    * noise can't tie-break differently across engines.
+  /** Nearest-centroid assignment against an explicit centroid table:
+    * max_by on (rounded sim, -cid) == the oracle's ORDER BY sim DESC,
+    * cid ASC — rounding first so float noise can't tie-break differently
+    * across engines.
     */
-  private def ivfAssigned(e: DataFrame, k: Int): DataFrame =
-    e.join(broadcast(ivfCentroids(e, k)))
+  private def ivfAssign(e: DataFrame, cent: DataFrame): DataFrame =
+    e.join(broadcast(cent))
       .withColumn("c_sim", round(cosine("cv", "v"), 6))
       .groupBy(col("vec_id"))
       .agg(
         max_by(col("cid"), struct(col("c_sim"), (-col("cid")).as("neg"))).as("cid"),
         first(col("v")).as("v"))
+
+  /** One Lloyd step: assign every vector to its nearest centroid, then
+    * replace each centroid with the per-dimension MEAN of its cell
+    * (cells that captured nothing keep their previous centroid — the
+    * standard empty-cluster rule). Cross-engine parity of the means:
+    * each coordinate is rounded to 6 places FIRST (identical doubles in
+    * both engines), summed as DECIMAL (order-insensitive — double
+    * summation reorders under partial aggregation), and the mean
+    * re-rounded to 6 — so the refined centroid arrays are bit-identical
+    * to the DuckDB replay. The per-dimension explode shuffles K·dim
+    * tiny partial rows, not the corpus.
+    */
+  private def lloydStep(e: DataFrame, cent: DataFrame): DataFrame = {
+    val means = ivfAssign(e, cent)
+      .select(col("cid"), posexplode(col("v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(round(
+        sum(round(col("col"), 6).cast(org.apache.spark.sql.types.DecimalType(30, 9))).cast("double")
+          / count(lit(1)), 6).as("m"))
+      .groupBy(col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("lv"))
+    cent.join(means, Seq("cid"), "left_outer")
+      .select(col("cid"), coalesce(col("lv"), col("cv")).as("cv"))
+  }
+
+  /** Lloyd-refined centroid table: seeds + [[LloydIters]] k-means steps.
+    * Materialized per corpus — K rows, but its lineage holds
+    * LloydIters+1 corpus scans that every consumer (index build, cell
+    * stats, probes) would otherwise replay.
+    */
+  private def ivfCentroids(s: SparkSession, dir: String, e: DataFrame, k: Int): DataFrame =
+    Materialized(s"s4.cent|$dir",
+      (1 to LloydIters).foldLeft(ivfSeeds(e, k))((c, _) => lloydStep(e, c)))
+
+  private def ivfAssigned(s: SparkSession, dir: String, e: DataFrame, k: Int): DataFrame =
+    ivfAssign(e, ivfCentroids(s, dir, e, k))
 
   /** IVF cell sizes — the quantity s4's probe-cost bound rests on: a
     * query scans only its `NProbe` probed cells, so probe work is the
@@ -300,7 +347,8 @@ object Similarity {
     */
   def ivfCellSizes(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    ivfAssigned(e, numCentroids(e.count())).groupBy("cid").agg(count(lit(1)).as("n"))
+    ivfAssigned(s, dir, e, numCentroids(e.count()))
+      .groupBy("cid").agg(count(lit(1)).as("n"))
   }
 
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -308,8 +356,8 @@ object Similarity {
     // one scalar count fixes K — index-build metadata, same role as the
     // max-block scalar in s3 (parquet count(*) is a metadata read)
     val k = numCentroids(e.count())
-    val cent = ivfCentroids(e, k)
-    val assigned = ivfAssigned(e, k)
+    val cent = ivfCentroids(s, dir, e, k)
+    val assigned = ivfAssign(e, cent)
     val q = e.filter(col("vec_id") < AuditQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val pw = Window.partitionBy(col("qid"))
@@ -334,6 +382,40 @@ object Similarity {
   /** DuckDB cosine twin over DOUBLE[] columns a, b. */
   private def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  /** DuckDB twin of the Lloyd chain: for each step i — assignment
+    * against cent_i (asg_i), per-dimension decimal-exact means
+    * (mean_{i+1}), refined table with the empty-cell keep rule
+    * (cent_{i+1}) — plus the FINAL assignment asg_[[LloydIters]] the
+    * index is built from. Parallel unnest of (v, generate_series) zips
+    * coordinate with position; `list(m ORDER BY pos)` rebuilds the
+    * centroid array in coordinate order, mirroring Spark's
+    * posexplode → array_sort(collect_list(struct(pos, m))).
+    */
+  private def lloydCtesSql: String = {
+    def asgSql(i: Int) = s"""asg$i AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosSql("cv", "v")} DESC, cid ASC) AS arn
+            FROM e, cent$i c)
+          WHERE arn = 1)"""
+    def meanSql(i: Int) = s"""mean${i + 1} AS (
+          SELECT cid, pos,
+                 round(CAST(sum(CAST(round(x, 6) AS DECIMAL(30,9))) AS DOUBLE) / count(*), 6) AS m
+          FROM (SELECT cid, unnest(v) AS x,
+                       unnest(generate_series(1, len(v))) AS pos
+                FROM asg$i)
+          GROUP BY 1, 2)"""
+    def centSql(i: Int) = s"""cent${i + 1} AS (
+          SELECT c.cid, coalesce(l.lv, c.cv) AS cv
+          FROM cent$i c LEFT JOIN (
+            SELECT cid, list(m ORDER BY pos) AS lv FROM mean${i + 1} GROUP BY 1) l
+          USING (cid))"""
+    val steps = (0 until LloydIters)
+      .map(i => s"${asgSql(i)},\n        ${meanSql(i)},\n        ${centSql(i)}")
+    (steps :+ asgSql(LloydIters)).mkString(",\n        ")
+  }
 
   def all: Seq[Q] = Seq(
     // ---- s1: brute-force cosine top-k for a fixed query set ----
@@ -429,35 +511,29 @@ object Similarity {
               / (sqrt(list_dot_product(v1, v1)) * sqrt(list_dot_product(v2, v2))) >= 0.25"""),
     ),
 
-    // ---- s4: IVF ANN — √n data-derived centroids, nearest-cell
-    //      assignment, nprobe-cell probe; deterministic end-to-end so the
-    //      oracle recomputes the identical index and the driver
-    //      hash-checks it ----
+    // ---- s4: IVF ANN — √n k-means centroids (sampled seeds + Lloyd
+    //      steps with decimal-exact means), nearest-cell assignment,
+    //      nprobe-cell probe; deterministic end-to-end so the oracle
+    //      recomputes the identical index and the driver hash-checks it ----
     Q(
       "s4_knn_ivf",
       (s, dir) => knnIvf(s, dir),
       Some(s"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        cent AS (
+        cent0 AS (
           SELECT vec_id AS cid, v AS cv FROM e
           WHERE vec_id >= $CentroidLo AND vec_id < $CentroidLo + $numCentroidsSql),
-        asg AS (
-          SELECT vec_id, v, cid FROM (
-            SELECT e.vec_id, e.v, cent.cid,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${cosSql("cv", "v")} DESC, cid ASC) AS arn
-            FROM e, cent)
-          WHERE arn = 1),
+        $lloydCtesSql,
         probes AS (
           SELECT qid, qv, cid FROM (
-            SELECT e.vec_id AS qid, e.v AS qv, cent.cid,
+            SELECT e.vec_id AS qid, e.v AS qv, c.cid,
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY ${cosSql("cv", "qv")} DESC, cid ASC) AS prn
-            FROM e, cent WHERE e.vec_id < $AuditQueries)
+            FROM e, cent$LloydIters c WHERE e.vec_id < $AuditQueries)
           WHERE prn <= $NProbe),
         cand AS (
           SELECT qid, asg.vec_id AS vec_id, ${cosSql("qv", "v")} AS cos_sim
-          FROM asg JOIN probes USING (cid)
+          FROM asg$LloydIters asg JOIN probes USING (cid)
           WHERE asg.vec_id != qid)
         SELECT qid, vec_id, cos_sim, rn
         FROM (SELECT *, row_number() OVER (PARTITION BY qid
