@@ -179,9 +179,15 @@ object Dedup {
   /** d5's core (shared with p1's near-dup stage): LSH candidate pairs
     * verified with EXACT Jaccard over the candidate docs' shingle sets.
     * Only candidate documents' shingles participate in the verification —
-    * the broadcast semi-join prunes the index scan.
+    * the broadcast semi-join prunes the index scan. Materialized once
+    * per corpus: d5 emits it and p1 consumes it, and the verification
+    * joins are the expensive step both share (verify once, consume
+    * many — the production dedup-report pattern).
     */
-  private[pipeline] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  private[pipeline] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    Materialized(s"d5.verified|$dir", lshVerifiedPairsPlan(s, dir))
+
+  private def lshVerifiedPairsPlan(s: SparkSession, dir: String): DataFrame = {
     val cand = lshCandidates(s, dir)
     val candDocs = cand.select(col("doc1").as("doc_id"))
       .union(cand.select(col("doc2").as("doc_id"))).distinct()
