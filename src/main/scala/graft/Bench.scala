@@ -123,8 +123,11 @@ object Bench {
       try {
         val skewDir = graft.bench.SkewBench.prepare(spark, sfDir)
         mark("skew prep")
+        // getOrElse(error): a renamed inventory entry must fail LOUDLY
+        // here (caught + logged below), not silently drop its skew cell
         val cells = Seq("d2_ngram_jaccard", "s3_cosine_neardup", "q5_star_join")
-          .flatMap(qn => SparkEntry.inventory.find(_.name == qn))
+          .map(qn => SparkEntry.inventory.find(_.name == qn)
+            .getOrElse(sys.error(s"unknown skew query $qn")))
           .map(q => s"skew_${q.name}" -> timeQuery(q, skewDir))
         // release the skew fixture's materialized tables before sweep
         // pass 2: a second full cache set (shingle index, capped index,
@@ -161,12 +164,15 @@ object Bench {
       .mkString("{", ",", "}")
     val sw = sweepPts.map { case (k, v) => "\"" + k + "\":" + num(v, 1) }
       .mkString("{", ",", "}")
-    // -1.0 failure sentinels stay visible per-query but must not be
-    // SUMMED: subtracting a second from the headline total would make a
-    // crashed round rank as a faster one.
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // A crashed query invalidates the headline number entirely: summing
+    // the survivors (with or without the -1 sentinels) would still rank
+    // the crashed round as FASTER than a healthy one. total = -1 makes
+    // the round incomparable at the metric consumers actually read;
+    // per-query sentinels and stderr carry the detail.
+    val nFailed = results.count(_._2 < 0)
+    val total = if (nFailed > 0) -1.0 else results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skew_queries":$sk,"sort_sweep_us":$sw,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"skew_queries":$sk,"sort_sweep_us":$sw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

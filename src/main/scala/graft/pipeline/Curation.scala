@@ -53,8 +53,14 @@ object Curation {
           .withColumn("rn",
             row_number().over(Window.partitionBy("fingerprint").orderBy("doc_id")))
           .filter(col("rn") === 1)
+        // A doc loses to a near-dup pair only when its KEEPER (the
+        // lower-id side) actually survived the gate + exact dedup —
+        // otherwise dropping it would lose the content entirely (the
+        // keeper was already gated out, leaving no copy). The join
+        // against `uniq` enforces that retention rule.
         val losers = Dedup.lshVerifiedPairs(s, dir)
           .filter(col("is_dup"))
+          .join(uniq.select(col("doc_id").as("doc1")), "doc1")
           .select(col("doc2").as("doc_id"))
           .distinct()
         uniq
@@ -78,7 +84,10 @@ object Curation {
             SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
             FROM gated)
           WHERE rn = 1),
-        losers AS (SELECT DISTINCT doc2 AS doc_id FROM verified WHERE is_dup)
+        losers AS (
+          SELECT DISTINCT v.doc2 AS doc_id
+          FROM verified v JOIN uniq u ON v.doc1 = u.doc_id
+          WHERE v.is_dup)
         SELECT doc_id, pred_lang, n_words, bpe_tokens
         FROM uniq
         WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""),

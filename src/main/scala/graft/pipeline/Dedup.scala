@@ -111,7 +111,9 @@ object Dedup {
   private[graft] def releaseIndex(s: SparkSession, dir: String): Unit =
     indexCache.remove((s, dir)).foreach(_.unpersist(false))
 
-  private[graft] def shingleIndex(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleIndex(s: SparkSession, dir: String): DataFrame = {
+    // sweep dead sessions' entries (same rationale as Materialized)
+    indexCache.keys.filter(_._1.sparkContext.isStopped).foreach(indexCache.remove)
     indexCache.getOrElseUpdate((s, dir), {
       graft.functions.GraftFunctions.register(s)
       val df = rawShingles(docsSharded(s, dir))
@@ -119,6 +121,7 @@ object Dedup {
       df.count() // eager build: one fill, then pure cache reads
       df
     })
+  }
 
   /** MinHash band-signature table (d3's output, d3b's input): 8 portable
     * permutation mins folded into 2 band strings. Reads the shared

@@ -19,6 +19,12 @@ private[graft] object Materialized {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def apply(key: String, df: DataFrame): DataFrame = {
+    // Sweep dead sessions on every touch: entries of a stopped session
+    // hold its full analyzed plans (and the session itself) forever —
+    // a JVM cycling sessions (test suites, repeated embedders) would
+    // otherwise grow `live` by #sessions × #tables. Their cache died
+    // with the session, so removal (no unpersist) is enough.
+    live.keys.filter(_._1.sparkContext.isStopped).foreach(live.remove)
     val k = (df.sparkSession, key)
     live.get(k) match {
       // Re-invocation with the SAME plan (bench min-of-two, repeated

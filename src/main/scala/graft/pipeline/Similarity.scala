@@ -144,12 +144,6 @@ object Similarity {
       s"CASE WHEN list_dot_product(v, [${p.mkString(",")}]) >= 0 THEN 1 ELSE 0 END AS b$i"
     }.mkString(",\n               ")
 
-  /** s3 banded corpus for an arbitrary (vec_id, label, v) DataFrame:
-    * per-label adaptive band width, one output row per (vector, band).
-    * The block-size table is tiny (one row per blocking key) and
-    * broadcast; the only driver-side scalar is the max block size, which
-    * fixes how many sign-bit columns the plan needs.
-    */
   /** Memo for the one driver-side scalar the banded plan needs (max
     * block size fixes the sign-bit column count): keyed by the INPUT
     * plan's canonical form, so bench re-runs and d5-style reuse don't
@@ -165,8 +159,16 @@ object Similarity {
   private[graft] def releaseBlockStats(s: SparkSession): Unit =
     maxBlockCache.keys.filter(_._1 eq s).foreach(maxBlockCache.remove)
 
+  /** s3 banded corpus for an arbitrary (vec_id, label, v) DataFrame:
+    * per-label adaptive band width, one output row per (vector, band).
+    * The block-size table is tiny (one row per blocking key) and
+    * broadcast; the only driver-side scalar is the max block size, which
+    * fixes how many sign-bit columns the plan needs.
+    */
   private[graft] def s3BandedDf(e: DataFrame): DataFrame = {
     val blocks = e.groupBy("label").agg(count(lit(1)).as("block_n"))
+    // sweep dead sessions' scalars (same rationale as Materialized)
+    maxBlockCache.keys.filter(_._1.sparkContext.isStopped).foreach(maxBlockCache.remove)
     val maxBlock = maxBlockCache.getOrElseUpdate(
       (e.sparkSession, e.queryExecution.analyzed.canonicalized),
       blocks.agg(max("block_n")).first().getLong(0))

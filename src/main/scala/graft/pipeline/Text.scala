@@ -105,7 +105,8 @@ object Text {
                round(len(regexp_extract_all(lower(text), '\\b(the|a|is|of|and|to|in)\\b'))
                      / CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE), 6) AS stopword_ratio,
                round(CAST(length(text) AS DOUBLE) / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS mean_word_len,
-               len(string_split_regex(lower(trim(text)), '\\s+')) BETWEEN 20 AND 1000 AS len_ok
+               len(string_split_regex(lower(trim(text)), '\\s+'))
+                 BETWEEN ${Curation.MinWords} AND ${Curation.MaxWords} AS len_ok
         FROM documents"""),
     ),
 
