@@ -38,6 +38,35 @@ class CurationSpec extends SparkSpec {
     assert(manifest.select("doc_id").join(corpus, Seq("doc_id"), "left_anti").count() == 0)
   }
 
+  test("near-dup loser survives when its keeper was gated out (no content loss)") {
+    import spark.implicits._
+    // doc 0: 1005 words (fails MaxWords), doc 1: the same text minus the
+    // last 7 words (passes). They share ~99% of shingles, so LSH pairs
+    // them and exact Jaccard confirms; doc 0 is the lower-id "keeper"
+    // but the gate already dropped it — doc 1 must SURVIVE, else the
+    // content vanishes from the corpus entirely.
+    val wordsA = (1 to 1005).map(i => s"w${i % 97}")
+    val fixtures = Seq(
+      (0L, wordsA.mkString(" ")),
+      (1L, wordsA.dropRight(7).mkString(" ")),
+      (2L, (1 to 100).map(i => s"z${i * 31 % 89} q${i % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = "target/curation-retention-fixture"
+    fixtures.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val manifest = SparkEntry.queries("p1_curation")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // sanity: the pair really was LSH-verified (else the test is vacuous)
+    val dups = Dedup.lshVerifiedPairs(spark, dir)
+      .filter(col("is_dup")).select("doc1", "doc2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((0L, 1L)), s"fixture pair must LSH-verify, got $dups")
+    assert(manifest.contains(1L),
+      s"doc 1 must survive: its keeper (doc 0) was gated out; manifest=$manifest")
+    assert(!manifest.contains(0L), "doc 0 exceeds the length gate")
+  }
+
   test("the canonical (lowest-id) copy survives exact dedup, not an arbitrary one") {
     // every gated doc's fingerprint group keeps exactly its min doc_id;
     // equivalently: no manifest doc has a LOWER-id twin with the same
