@@ -166,6 +166,41 @@ object Multimodal {
         FROM f GROUP BY 1"""),
     ),
 
+    // ---- m4: stubbed resize — every-Scale-th-byte nearest-neighbor
+    //      downsample of the raw payload, as pure column algebra: the
+    //      byte stride runs in hex space (regexp keeps the first byte
+    //      of every Scale-byte group; trailing partial groups via the
+    //      optional captures), then folds back to binary. A real codec
+    //      (true resampling) replaces the stride at the same
+    //      signature/schema — the Spark-side plumbing (binary in,
+    //      binary out, before/after metadata, content hash the oracle
+    //      checks) is the part under test. ----
+    Q(
+      "m4_resize",
+      (s, dir) => {
+        val rhx = regexp_replace(
+          lower(hex(col("payload"))), "(..)(..)?(..)?(..)?", "$1")
+        blobs(s, dir)
+          .select(col("id"), col("modality"),
+            octet_length(col("payload")).as("orig_bytes"),
+            rhx.as("rhx"))
+          .select(col("id"), col("modality"), col("orig_bytes"),
+            octet_length(unhex(col("rhx"))).as("resized_bytes"),
+            md5(col("rhx")).as("resized_md5"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id AS id,
+                 ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+                 octet_length(encode(text)) AS orig_bytes,
+                 regexp_replace(lower(hex(encode(text))), '(..)(..)?(..)?(..)?', '\1', 'g') AS rhx
+          FROM documents)
+        SELECT id, modality, orig_bytes,
+               CAST(length(rhx) // 2 AS INT) AS resized_bytes,
+               md5(rhx) AS resized_md5
+        FROM b"""),
+    ),
+
     // ---- m3: stubbed decode → feature extraction, via the column-algebra
     //      explode→agg stub (codegen-clean; the mapPartitions seam for
     //      real codecs is fakeDecodeFeatures, differential-tested equal).
