@@ -77,6 +77,29 @@ class MultimodalSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("m4 resize: keeps every 4th byte — ceil(n/4) bytes, stride-0 content") {
+    import spark.implicits._
+    import graft.SparkEntry
+    val out = SparkEntry.queries("m4_resize")(spark, dir).collect()
+    val blobs = Multimodal.blobs(spark, dir)
+      .select(col("id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    out.foreach { r =>
+      val id = r.getLong(r.fieldIndex("id"))
+      val orig = blobs(id)
+      assert(r.getInt(r.fieldIndex("orig_bytes")) == orig.length)
+      assert(r.getInt(r.fieldIndex("resized_bytes")) == (orig.length + 3) / 4,
+        s"doc $id: resize must keep ceil(n/4) bytes")
+      // content check: md5 of the hex of bytes 0, 4, 8, ...
+      val strided = orig.zipWithIndex.collect { case (b, i) if i % 4 == 0 => b }
+      val hex = strided.map(b => f"${b & 0xff}%02x").mkString
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(hex.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      assert(r.getString(r.fieldIndex("resized_md5")) == md,
+        s"doc $id: resized content must be the stride-0 bytes")
+    }
+  }
+
   test("frameSample: empty payload yields ZERO frames (sequence(0,-1) guard)") {
     import spark.implicits._
     // Spark's sequence(0, -1) is the DESCENDING sequence [0, -1], not
