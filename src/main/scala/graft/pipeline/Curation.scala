@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   * the fingerprint dedup, which is irreducible (exact dedup IS a
   * group-by-fingerprint), and the manifest writes out pruned columns,
   * never `text`.
+  *
+  * The loser set's retention join reads `uniq` a second time (once to
+  * know which keepers survived, once as the anti-join's left side). At
+  * gate scale that is a re-window over thousands of rows; a 100 TB
+  * deployment materializes `uniq` first — it IS the curated corpus
+  * being produced, so it gets written (or cached) before the near-dup
+  * stage either way.
   */
 object Curation {
   import Tables.t
