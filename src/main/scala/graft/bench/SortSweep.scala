@@ -263,9 +263,13 @@ object SvgChart {
     def px(x: Double) = mL + (x - x0) / (x1 - x0) * (w - mL - mR)
     def py(y: Double) = h - mB - (y - y0) / (y1 - y0) * (h - mB - mT)
     val colors = Map("dyn-comparator" -> "#cc2222", "rows-format" -> "#2222cc")
+    // Locale.ROOT: a comma-decimal default locale would corrupt the
+    // SVG coordinate list (same hazard as the bench JSON)
+    def c1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val lines = series.toSeq.sortBy(_._1).map { case (name, pts) =>
       val d = pts.sortBy(_.batchSize)
-        .map(p => f"${px(p.batchSize.toDouble)}%.1f,${py(p.avgUs)}%.1f").mkString(" ")
+        .map(p => s"${c1(px(p.batchSize.toDouble))},${c1(py(p.avgUs))}").mkString(" ")
       s"""<polyline fill="none" stroke="${colors.getOrElse(name, "#333")}" stroke-width="1.5" points="$d"/>"""
     }.mkString("\n")
     val caption = points.head.caseName
