@@ -66,34 +66,69 @@ object Multimodal {
   }
 
   /** Column-algebra twin of [[fakeDecodeFeatures]], in EXPLODED form (one
-    * row per (id, dim)): explode the payload into per-byte class rows,
+    * row per (id, dim)): chunk the payload into [[FrameBytes]] frames
+    * (m2's machinery), explode each frame into per-byte class rows,
     * hash-aggregate counts, zero-fill against a per-doc dim spine, and
     * normalize with the same raw IEEE division. Every expression is a
-    * native codegen'd one (split/explode/conv/hash-agg) — deliberately
-    * NOT `transform`/`filter` array lambdas, which Spark interprets
-    * per element (measured 50× slower at sf0.1) and which would pin the
-    * whole histogram of one blob on one row. The explode→agg shape is
-    * also the 100 TB shape: per-byte rows combine map-side into
-    * |docs|·FeatureDim partials, and pruning/pushdown survive because no
-    * stage leaves the Tungsten pipeline. [[fakeDecodeFeatures]] remains
-    * the documented seam for REAL codecs (a JPEG/opus decoder is a
-    * row-iterator library call, not column algebra); the two are
-    * differential-tested equal in MultimodalSpec.
+    * native codegen'd one (substring/split/explode/conv/hash-agg) —
+    * deliberately NOT `transform`/`filter` array lambdas, which Spark
+    * interprets per element (measured 50× slower at sf0.1) and which
+    * would pin the whole histogram of one blob on one row.
+    *
+    * The frame chunk BEFORE the hex split is the 100 TB guard: a direct
+    * `split(hex(payload))` materializes one n_bytes-element array per
+    * row — fine for text stand-ins, an OOM bomb for GB-scale media
+    * blobs. Chunking first bounds peak per-row state at [[FrameBytes]]
+    * whatever the payload size; the per-byte rows still combine map-side
+    * into |docs|·FeatureDim partials, and pruning/pushdown survive
+    * because no stage leaves the Tungsten pipeline.
+    * [[fakeDecodeFeatures]] remains the documented seam for REAL codecs
+    * (a JPEG/opus decoder is a row-iterator library call, not column
+    * algebra); all three paths are differential-tested equal in
+    * MultimodalSpec.
     */
   def decodeFeaturesExploded(blobs: DataFrame): DataFrame = {
+    val b = blobs.withColumn("nb", octet_length(col("payload")))
+    val keep = b.columns.filterNot(c => c == "payload" || c == "nb").map(col)
+    // frame rows first (bounded substring copies), then hex pairs via a
+    // \G chunking split — per-row array ≤ FrameBytes elements
+    val frames = b
+      .withColumn("n_frames",
+        ceil(col("nb").cast("double") / FrameBytes).cast("int"))
+      .select(col("id"), col("payload"), explode(expr(
+        "CASE WHEN n_frames > 0 THEN sequence(0, n_frames - 1) ELSE array() END")).as("fi"))
+      .select(col("id"),
+        hex(expr(s"substring(payload, fi * $FrameBytes + 1, $FrameBytes)")).as("hx"))
+    val counts = frames
+      .select(col("id"), explode(split(col("hx"), "(?<=\\G..)")).as("hb"))
+      .filter(length(col("hb")) === 2) // empty frame → [""] → no bytes
+      .select(col("id"), (conv(col("hb"), 16, 10).cast("int") % FeatureDim).as("dim"))
+      .groupBy("id", "dim").agg(count(lit(1)).as("c"))
+    // dim spine: every (doc, dim) appears, zero-filled where no byte hit
+    b.drop("payload").select(keep :+ col("nb") :+
+        explode(sequence(lit(0), lit(FeatureDim - 1))).as("dim"): _*)
+      .join(counts, Seq("id", "dim"), "left_outer")
+      .withColumn("feat",
+        coalesce(col("c"), lit(0L)) / greatest(col("nb"), lit(1)).cast("double"))
+      .drop("c", "nb")
+  }
+
+  /** The round-3 unchunked explode (whole-payload hex split) — retained
+    * ONLY as the differential baseline for [[decodeFeaturesExploded]]'s
+    * frame-chunk rewrite; its per-row array grows with the payload, so
+    * production paths must not use it.
+    */
+  private[graft] def decodeFeaturesUnchunked(blobs: DataFrame): DataFrame = {
     val b = blobs
       .withColumn("hx", hex(col("payload")))
       .withColumn("nb", octet_length(col("payload")))
       .drop("payload")
     val keep = b.columns.filterNot(c => c == "hx" || c == "nb").map(col)
-    // (id, byte-class) rows: hex pairs via a \G chunking split — all
-    // native expressions, map-side-combining into ≤ FeatureDim rows/doc
     val counts = b
       .select(col("id"), explode(split(col("hx"), "(?<=\\G..)")).as("hb"))
-      .filter(length(col("hb")) === 2) // empty payload → [""] → no bytes
+      .filter(length(col("hb")) === 2)
       .select(col("id"), (conv(col("hb"), 16, 10).cast("int") % FeatureDim).as("dim"))
       .groupBy("id", "dim").agg(count(lit(1)).as("c"))
-    // dim spine: every (doc, dim) appears, zero-filled where no byte hit
     b.select(keep :+ col("nb") :+
         explode(sequence(lit(0), lit(FeatureDim - 1))).as("dim"): _*)
       .join(counts, Seq("id", "dim"), "left_outer")

@@ -64,6 +64,30 @@ class MultimodalSpec extends SparkSpec {
       s"pruning severed — scan reads more than doc_id+text:\n$pruned")
   }
 
+  test("decodeFeaturesExploded: frame-chunked path equals the unchunked explode exactly") {
+    // the chunked rewrite bounds per-row state at FrameBytes; the counts
+    // it aggregates must be IDENTICAL to the whole-payload split's —
+    // including payloads that are not a multiple of FrameBytes and the
+    // empty payload (zero frames, zero-filled spine)
+    import spark.implicits._
+    val b = Multimodal.blobs(spark, dir)
+    def collectMap(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(r.fieldIndex("id")), r.getInt(r.fieldIndex("dim"))) ->
+        r.getDouble(r.fieldIndex("feat"))
+    }.toMap
+    val chunked = collectMap(Multimodal.decodeFeaturesExploded(b))
+    val unchunked = collectMap(Multimodal.decodeFeaturesUnchunked(b))
+    assert(chunked.nonEmpty && chunked == unchunked)
+    // edge payloads: empty, exactly one frame, one-byte tail over a frame
+    val edge = Seq(
+      (1L, "image", Array.empty[Byte]),
+      (2L, "audio", Array.fill[Byte](Multimodal.FrameBytes)(7)),
+      (3L, "video", Array.fill[Byte](Multimodal.FrameBytes + 1)(9)))
+      .toDF("id", "modality", "payload")
+    assert(collectMap(Multimodal.decodeFeaturesExploded(edge)) ==
+      collectMap(Multimodal.decodeFeaturesUnchunked(edge)))
+  }
+
   test("frameSample: stride sampling yields ceil(n_frames/stride) frames of <= FrameBytes") {
     val b = Multimodal.blobs(spark, dir)
     val frames = Multimodal.frameSample(b, stride = 4)
