@@ -123,20 +123,24 @@ object Bench {
       try {
         val skewDir = graft.bench.SkewBench.prepare(spark, sfDir)
         mark("skew prep")
-        // getOrElse(error): a renamed inventory entry must fail LOUDLY
-        // here (caught + logged below), not silently drop its skew cell
-        val cells = Seq("d2_ngram_jaccard", "s3_cosine_neardup", "q5_star_join")
-          .map(qn => SparkEntry.inventory.find(_.name == qn)
-            .getOrElse(sys.error(s"unknown skew query $qn")))
-          .map(q => s"skew_${q.name}" -> timeQuery(q, skewDir))
-        // release the skew fixture's materialized tables before sweep
-        // pass 2: a second full cache set (shingle index, capped index,
-        // banded vectors) left on-heap would pressure the µs-scale
-        // kernel timings the second window exists to keep quiet
-        graft.pipeline.Materialized.releaseMatching(_.endsWith(s"|$skewDir"))
-        graft.pipeline.Dedup.releaseIndex(spark, skewDir)
-        graft.pipeline.Similarity.releaseBlockStats(spark)
-        cells
+        try {
+          // getOrElse(error): a renamed inventory entry must fail LOUDLY
+          // here (caught + logged below), not silently drop its skew cell
+          Seq("d2_ngram_jaccard", "s3_cosine_neardup", "q5_star_join",
+              "d4b_simhash_pairs", "s4_knn_ivf")
+            .map(qn => SparkEntry.inventory.find(_.name == qn)
+              .getOrElse(sys.error(s"unknown skew query $qn")))
+            .map(q => s"skew_${q.name}" -> timeQuery(q, skewDir))
+        } finally {
+          // release the skew fixture's materialized tables before sweep
+          // pass 2 ON EVERY EXIT PATH: a second full cache set (shingle
+          // index, capped index, banded vectors, IVF centroids) left
+          // on-heap would pressure the µs-scale kernel timings the
+          // second window exists to keep quiet
+          graft.pipeline.Materialized.releaseMatching(_.endsWith(s"|$skewDir"))
+          graft.pipeline.Dedup.releaseIndex(spark, skewDir)
+          graft.pipeline.Similarity.releaseBlockStats(spark)
+        }
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] skew fixture failed: ${e.getMessage}")

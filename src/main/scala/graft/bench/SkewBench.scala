@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   *    ~38 shingles land in 30% of the corpus (df >> the absolute cap at
   *    sf0.1 — the broadcast anti-join must shed them);
   *  - `embeddings`: every even vec_id collapses into label 0 (one block
-  *    holds >half the corpus — the adaptive band width must engage);
+  *    holds >half the corpus — the adaptive band width must engage), and
+  *    every vec_id ≡ 3 (mod 10) collapses into a near-copy of one
+  *    deterministic base vector (a hot similarity cluster: one IVF cell
+  *    attracts ~10% of the corpus — s4's probe path must not degrade,
+  *    and s3 must absorb the true-near-dup bucket);
   *  - `lineitem`: 20% of line items point at ONE hot order key (a
   *    zipf head on the probe side of the q5 star join).
   * Unchanged tables are byte-copied so the fixture directory serves the
@@ -47,14 +51,24 @@ object SkewBench {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // hot similarity cluster: a fixed base vector plus a per-id bump on
+    // one coordinate (cosine -> 1 within the cluster, but vectors stay
+    // distinguishable after the float cast)
+    val hotVec = expr(
+      "transform(sequence(0, 63), i -> CAST(round(sin(i + 1.0), 6) + CASE WHEN i = 0 THEN vec_id * 1e-4 ELSE 0.0 END AS FLOAT))")
     emb
       .withColumn("label",
         when(pmod(col("vec_id"), lit(2)) === 0, lit(0).cast(emb.schema("label").dataType))
           .otherwise(col("label")))
+      .withColumn("embedding",
+        when(pmod(col("vec_id"), lit(10)) === 3, hotVec).otherwise(col("embedding")))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val hotKey = li.agg(min("l_orderkey")).first().getLong(0)
+    // getAs[Number]: robust to the key column arriving Int-typed from a
+    // regenerated fixture — a ClassCastException here would silently
+    // degrade the whole skew pass to empty via Bench's outer catch
+    val hotKey = li.agg(min("l_orderkey")).first().getAs[Number](0).longValue()
     li
       .withColumn("l_orderkey",
         when(pmod(col("l_orderkey"), lit(5)) === 0, lit(hotKey)).otherwise(col("l_orderkey")))

@@ -107,6 +107,9 @@ object Dedup {
 
   /** Unpersist and forget the shingle index for a corpus dir (fixture
     * teardown — e.g. Bench's skew pass releasing its throwaway corpus).
+    * Like [[Materialized]], the index cache is NOT change-detecting:
+    * rewriting `dir` in place within one session serves the stale index
+    * unless this is called after the write.
     */
   private[graft] def releaseIndex(s: SparkSession, dir: String): Unit =
     indexCache.remove((s, dir)).foreach(_.unpersist(false))
@@ -238,19 +241,88 @@ object Dedup {
           JOIN sizes s1 ON cand.doc1 = s1.doc_id
           JOIN sizes s2 ON cand.doc2 = s2.doc_id)"""
 
-  /** d4's signature table (doc_id, simhash32), shared with d4b. */
-  private def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+  /** Generalized SimHash signature over the low `nbits` bits of the
+    * portable 60-bit token hash: one wide agg (nbits conditional ±1 sums
+    * per doc, map-side partials), signature folded in a projection.
+    * d4 consumes it at the fixed 32-bit contract width; d4b at the
+    * corpus-derived adaptive width ([[d4bPieceBits]] × [[D4bPieces]]).
+    */
+  private def simhashN(s: SparkSession, dir: String, nbits: Int, out: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val tok = docsSharded(s, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("tok"))
       .withColumn("h", md5Long(col("tok")))
-    val bitSums = (0 until 32).map { b =>
+    val bitSums = (0 until nbits).map { b =>
       sum(when(expr(s"(h div ${1L << b}L) % 2") === 1L, 1L).otherwise(-1L)).as(s"w$b")
     }
     tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 32).map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash32"))
+        (0 until nbits).map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as(out))
+  }
+
+  /** d4's signature table (doc_id, simhash32), fixed 32-bit contract. */
+  private def simhashSignatures(s: SparkSession, dir: String): DataFrame =
+    simhashN(s, dir, 32, "simhash32")
+
+  /** d4b pigeonhole geometry: hamming ≤ [[D4bHamming]] over the signature
+    * means at least one of the [[D4bPieces]] = hamming+1 pieces is
+    * IDENTICAL, so candidates meet through an equi-join on (piece idx,
+    * piece value). The piece WIDTH grows with the corpus (integer ladder,
+    * same pattern as `Similarity.s3Bits`): expected piece bucket is
+    * n/2^bits, so the smallest width with `n ≤ [[D4bTargetBucket]]·2^bits`
+    * holds buckets near an ABSOLUTE constant — a FIXED width (round 3's
+    * 32-bit/8-bit-piece geometry) leaves the self-join pair space growing
+    * as n²/2^bits, quadratic in the corpus. The ceiling keeps the
+    * signature ([[D4bPieces]]·bits ≤ 56 bits) inside the 60-bit portable
+    * hash and a signed BIGINT in both engines; d4's 32-bit contract is
+    * untouched. Spark derives the width from the same count(documents)
+    * the DuckDB oracle recomputes, so both engines build the identical
+    * signature.
+    */
+  val D4bHamming = 3
+  val D4bPieces = D4bHamming + 1
+  val D4bMinPieceBits = 8
+  val D4bMaxPieceBits = 14
+  val D4bTargetBucket = 16L
+
+  /** Scala-side piece width for a corpus of `n` documents. */
+  def d4bPieceBits(n: Long): Int = {
+    var b = D4bMinPieceBits
+    while (b < D4bMaxPieceBits && n > D4bTargetBucket * (1L << b)) b += 1
+    b
+  }
+
+  /** DuckDB twin of [[d4bPieceBits]] over a `n_docs` column. */
+  private def d4bPieceBitsSql: String =
+    (D4bMinPieceBits until D4bMaxPieceBits)
+      .map(b => s"WHEN n_docs <= ${D4bTargetBucket * (1L << b)} THEN $b")
+      .mkString("CASE ", " ", s" ELSE $D4bMaxPieceBits END")
+
+  /** d4b signature + piece table at the adaptive width: one row per
+    * (doc, piece), piece tag = pieceIdx·2^bits + pieceValue.
+    *
+    * What the width ladder does and does not bound: RANDOM piece
+    * collisions are held at ~[[D4bTargetBucket]] per bucket (uniform
+    * signature bits — spec-asserted on an independent-token fixture).
+    * Semantically CLUSTERED corpora (templates, boilerplate) concentrate
+    * signatures regardless of width — but those collisions are the
+    * recall the pigeonhole exists to deliver (true near-dup candidates),
+    * and the exact hamming verify filters them; their pair count is
+    * proportional to the real near-dup population, the same irreducible
+    * output term as s3's identical-vector buckets.
+    */
+  private[graft] def d4bPieces(s: SparkSession, dir: String): DataFrame = {
+    // one scalar count fixes the piece width — index-build metadata,
+    // same role as s3's max-block scalar (parquet count(*) is a
+    // metadata read)
+    val pb = d4bPieceBits(t(s, dir, "documents").count())
+    val nbits = D4bPieces * pb
+    val sig = Materialized(s"d4b.sig$nbits|$dir", simhashN(s, dir, nbits, "simhash"))
+    sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until D4bPieces).map(i =>
+        expr(s"(simhash div ${1L << (pb * i)}L) % ${1L << pb}L + ${i.toLong * (1L << pb)}L")
+          .as(s"p$i")): _*)).as("piece"))
   }
 
   /** DuckDB twin of the SimHash signature pipeline (CTEs `tok`, `bits`,
@@ -391,48 +463,61 @@ object Dedup {
     ),
 
     // ---- d4b: SimHash near-dup pairing via pigeonhole bucketing (the
-    //      classic web-dedup pattern): hamming(s1, s2) <= 3 over 32 bits
-    //      means at least one of the 4 byte pieces is IDENTICAL, so
+    //      classic web-dedup pattern): hamming(s1, s2) <= D4bHamming
+    //      means at least one of the D4bPieces pieces is IDENTICAL, so
     //      candidates meet through an equi-join on (piece idx, piece
     //      value) — never an all-pairs hamming scan — and the exact
-    //      bit_count verdict runs only on bucket collisions. Scale note:
-    //      8-bit pieces bound buckets at ~n/256; a 100 TB corpus widens
-    //      the signature (64/128-bit) and splits into k+1 pieces for
-    //      hamming k, growing 2^(bits/pieces) with the corpus — the
-    //      same adaptive-width argument as s3's bands, constrained here
-    //      by d4's fixed 32-bit signature contract. ----
+    //      bit_count verdict runs only on bucket collisions. The piece
+    //      width (and so the signature width) is CORPUS-DERIVED
+    //      (d4bPieceBits ladder): expected bucket n/2^bits stays near an
+    //      absolute constant as the corpus grows, removing the
+    //      n²/2^bits pair-space growth of round 3's fixed 32-bit
+    //      geometry. Both engines derive the width from the same
+    //      count(documents). ----
     Q(
       "d4b_simhash_pairs",
       (s, dir) => {
-        val sig = Materialized(s"d4.sig|$dir", simhashSignatures(s, dir))
-        val pieces = sig.select(col("doc_id"), col("simhash32"),
-            explode(array((0 until 4).map(i =>
-              expr(s"(simhash32 div ${1L << (8 * i)}L) % 256 + ${i * 256}").as(s"p$i")): _*)).as("piece"))
+        val pieces = d4bPieces(s, dir)
         val cand = pieces.as("x").join(pieces.as("y"),
             col("x.piece") === col("y.piece") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
-            col("x.simhash32").as("sh1"), col("y.simhash32").as("sh2"))
+            col("x.simhash").as("sh1"), col("y.simhash").as("sh2"))
           .distinct()
         cand
           .withColumn("hamming", expr("CAST(bit_count(sh1 ^ sh2) AS INT)"))
-          .filter(col("hamming") <= 3) // exact verify: keep true near-dups
+          .filter(col("hamming") <= D4bHamming) // exact verify: keep true near-dups
           .select(col("doc1"), col("doc2"), col("hamming"))
       },
       Some(s"""
-        WITH $simhashCtes,
+        WITH par AS (
+          SELECT $d4bPieceBitsSql AS pb
+          FROM (SELECT count(*) AS n_docs FROM documents)),
+        tok AS (
+          SELECT doc_id, ${md5LongSql("tok")} AS h
+          FROM (SELECT doc_id, unnest(${wordsSql("text")}) AS tok FROM documents)),
+        bits AS (
+          SELECT doc_id, bit,
+                 sum(CASE WHEN (h // (1::BIGINT << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS w
+          FROM tok, (SELECT unnest(generate_series(0, (SELECT $D4bPieces * pb - 1 FROM par))) AS bit)
+          GROUP BY 1, 2),
+        sig AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY 1),
         pieces AS (
-          SELECT doc_id, simhash32,
-                 (simhash32 // (1::BIGINT << (8 * pi))) % 256 + pi * 256 AS piece
-          FROM sig, (SELECT unnest(generate_series(0, 3)) AS pi)),
+          SELECT doc_id, simhash,
+                 (simhash // (1::BIGINT << (pb * pi))) % (1::BIGINT << pb)
+                   + pi * (1::BIGINT << pb) AS piece
+          FROM sig, par, (SELECT unnest(generate_series(0, ${D4bPieces - 1})) AS pi)),
         cand AS (
           SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2,
-                          x.simhash32 AS sh1, y.simhash32 AS sh2
+                          x.simhash AS sh1, y.simhash AS sh2
           FROM pieces x JOIN pieces y
             ON x.piece = y.piece AND x.doc_id < y.doc_id)
         SELECT doc1, doc2,
                CAST(bit_count(xor(sh1, sh2)) AS INT) AS hamming
         FROM cand
-        WHERE bit_count(xor(sh1, sh2)) <= 3"""),
+        WHERE bit_count(xor(sh1, sh2)) <= $D4bHamming"""),
     ),
   )
 }

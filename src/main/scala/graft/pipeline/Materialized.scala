@@ -13,6 +13,14 @@ import org.apache.spark.storage.StorageLevel
   * copy per table: each rebuild unpersists the copy it supersedes, and
   * a fresh session never receives a DataFrame bound to a previous
   * (possibly stopped) session's context.
+  *
+  * NOT change-detecting: the sameResult reuse check treats a re-read of
+  * the same parquet path as identical, so REWRITING a corpus dir
+  * in place within one session silently serves the stale cached table
+  * (the same hazard as `Similarity.maxBlockCache` and
+  * `Dedup.shingleIndex`). Fixture-writing callers must call
+  * [[releaseMatching]] (and `Dedup.releaseIndex`) after the write —
+  * Bench's skew teardown and the fixture specs do.
   */
 private[graft] object Materialized {
   private val live =

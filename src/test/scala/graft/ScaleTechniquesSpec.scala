@@ -147,6 +147,50 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"hot-label bucket not bounded: $maxBucket > ${8 * Similarity.S3TargetBucket}")
   }
 
+  test("d4b adaptive piece width bounds random-collision buckets as the corpus grows") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    graft.functions.GraftFunctions.register(spark)
+    // the ladder's law: the smallest width with n <= target * 2^bits,
+    // so the EXPECTED bucket n/2^bits never exceeds the absolute target
+    // (until the signature-width ceiling)
+    for (n <- Seq(100L, 4096L, 5000L, 50000L, 200000L)) {
+      val b = Dedup.d4bPieceBits(n)
+      if (b < Dedup.D4bMaxPieceBits)
+        assert(n <= Dedup.D4bTargetBucket * (1L << b),
+          s"ladder violated: n=$n bits=$b")
+      if (b > Dedup.D4bMinPieceBits)
+        assert(n > Dedup.D4bTargetBucket * (1L << (b - 1)),
+          s"ladder not minimal: n=$n bits=$b")
+    }
+    // adaptivity must engage at the skew-fixture corpus size (sf0.1 =
+    // 5000 docs): round 3's fixed 8-bit pieces are no longer enough
+    assert(Dedup.d4bPieceBits(5000) > Dedup.D4bMinPieceBits,
+      "width must grow beyond the 32-bit floor at skew-fixture scale")
+    // bucket bound on a UNIFORM-bit corpus (independent random tokens):
+    // this is the random-collision term the width ladder bounds. (On
+    // naturally clustered corpora — boilerplate, templates — signature
+    // pieces of true near-dups collide BY DESIGN; those buckets are
+    // recall, not cost overrun, and the hamming verify filters them.)
+    val rng = new scala.util.Random(13)
+    val docs = (0 until 6000).map { i =>
+      (i.toLong, Seq.fill(31)(s"w${rng.nextInt(500000)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val fixtureDir = "target/d4b-fixture"
+    docs.write.mode("overwrite").parquet(s"$fixtureDir/documents.parquet")
+    try {
+      val buckets = Dedup.d4bPieces(spark, fixtureDir)
+        .groupBy("piece").count().agg(max("count")).first().getLong(0)
+      assert(buckets <= 8 * Dedup.D4bTargetBucket,
+        s"random-collision bucket not bounded: $buckets > ${8 * Dedup.D4bTargetBucket}")
+    } finally {
+      // fixture teardown: drop the materialized signature table so a
+      // rewritten fixture dir can never serve a stale cache
+      graft.pipeline.Materialized.releaseMatching(_.endsWith(s"|$fixtureDir"))
+      graft.pipeline.Dedup.releaseIndex(spark, fixtureDir)
+    }
+  }
+
   test("watermark drops state for late data beyond the threshold") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext

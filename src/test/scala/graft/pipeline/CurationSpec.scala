@@ -55,16 +55,26 @@ class CurationSpec extends SparkSpec {
       .withColumn("n_chars", length(col("text")))
     val dir = "target/curation-retention-fixture"
     fixtures.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val manifest = SparkEntry.queries("p1_curation")(spark, dir)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    // sanity: the pair really was LSH-verified (else the test is vacuous)
-    val dups = Dedup.lshVerifiedPairs(spark, dir)
-      .filter(col("is_dup")).select("doc1", "doc2")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(dups.contains((0L, 1L)), s"fixture pair must LSH-verify, got $dups")
-    assert(manifest.contains(1L),
-      s"doc 1 must survive: its keeper (doc 0) was gated out; manifest=$manifest")
-    assert(!manifest.contains(0L), "doc 0 exceeds the length gate")
+    // the fixture dir was JUST (re)written: drop any cached tables a
+    // previous run of this suite materialized for the same path —
+    // Materialized/shingleIndex key by path and would serve stale data
+    Materialized.releaseMatching(_.endsWith(s"|$dir"))
+    Dedup.releaseIndex(spark, dir)
+    try {
+      val manifest = SparkEntry.queries("p1_curation")(spark, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // sanity: the pair really was LSH-verified (else the test is vacuous)
+      val dups = Dedup.lshVerifiedPairs(spark, dir)
+        .filter(col("is_dup")).select("doc1", "doc2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(dups.contains((0L, 1L)), s"fixture pair must LSH-verify, got $dups")
+      assert(manifest.contains(1L),
+        s"doc 1 must survive: its keeper (doc 0) was gated out; manifest=$manifest")
+      assert(!manifest.contains(0L), "doc 0 exceeds the length gate")
+    } finally {
+      Materialized.releaseMatching(_.endsWith(s"|$dir"))
+      Dedup.releaseIndex(spark, dir)
+    }
   }
 
   test("the canonical (lowest-id) copy survives exact dedup, not an arbitrary one") {
