@@ -96,13 +96,15 @@ object Similarity {
       .map(b => s"WHEN block_n <= ${S3TargetBucket * (1L << b)} THEN $b")
       .mkString("CASE ", " ", s" ELSE $S3MaxBits END")
 
-  /** Hyperplanes for every sign-bit consumer, seed-7: enough for s3's
-    * widest adaptive bands (S3Bands × S3MaxBits); the first 16 are the
-    * (unchanged) fixed geometry s2 uses. Sequential draws from one rng
-    * mean extending the pool never perturbs earlier planes. Literal
-    * constants so the computation is pure column algebra — and inlinable
-    * into the DuckDB oracle (list_dot_product matches the
-    * `aggregate(zip_with(...))` fold bitwise).
+  /** Hyperplanes for every sign-bit consumer, seed-7: enough for the
+    * widest adaptive bands of BOTH ladders (S3Bands × S3MaxBits = 48 =
+    * S2Bands × S2MaxBits — s2's constants live below this val, so the
+    * pool size is written in terms of s3's to avoid an object-init
+    * forward reference). Sequential draws from one rng mean extending
+    * the pool never perturbs earlier planes. Literal constants so the
+    * computation is pure column algebra — and inlinable into the DuckDB
+    * oracle (list_dot_product matches the `aggregate(zip_with(...))`
+    * fold bitwise).
     */
   private val MaxPlanes = S3Bands * S3MaxBits
   private val Hyperplanes: Seq[Seq[Double]] = {
@@ -124,15 +126,61 @@ object Similarity {
     e.select(e.columns.map(col).toSeq ++ planes: _*)
   }
 
-  /** s2's fixed "bi|bbbb" band-bucket strings (4 bands of 4 sign bits —
-    * the kNN regime wants short bands for recall; near-dup s3 uses the
-    * adaptive scheme instead).
+  /** s2 band geometry: [[S2Bands]] bands of `s2Bits(corpus)` sign bits.
+    * The kNN regime wants short bands for recall, but a FIXED width
+    * probes a constant corpus fraction forever (round 3's 4×4 bits ≈
+    * 25% of the corpus per query) — so the width follows the same
+    * integer ladder as s3's: the smallest b with
+    * `n ≤ [[S2TargetBucket]]·2^b`, holding the expected per-band bucket
+    * near an absolute constant and shrinking the probed FRACTION
+    * (≈ S2Bands/2^b of the corpus) as the corpus grows. The target is
+    * deliberately larger than s3's (64 vs 16): each widening step costs
+    * ~p_bit recall per band in the modest-cosine kNN regime, so s2
+    * widens later than the near-dup path, trading probe cost for
+    * recall where the contract demands it.
     */
-  private def bandBuckets: Seq[Column] =
-    (0 until 4).map { bi =>
+  val S2Bands = 4
+  val S2MinBits = 4
+  val S2MaxBits = 12
+  val S2TargetBucket = 64L
+
+  /** Scala-side s2 band width for a corpus of `n` vectors. */
+  def s2Bits(n: Long): Int = {
+    var b = S2MinBits
+    while (b < S2MaxBits && n > S2TargetBucket * (1L << b)) b += 1
+    b
+  }
+
+  /** s2's "bi|b…b" band-bucket strings at width `nbits`. */
+  private def bandBuckets(nbits: Int): Seq[Column] =
+    (0 until S2Bands).map { bi =>
       concat_ws("|", lit(bi),
-        concat_ws("", (bi * 4 until bi * 4 + 4).map(i => col(s"b$i")): _*))
+        concat_ws("", (bi * nbits until (bi + 1) * nbits).map(i => col(s"b$i")): _*))
     }
+
+  /** s2 banded corpus: one row per (vector, band bucket) at the
+    * corpus-derived width.
+    */
+  private def s2Banded(e: DataFrame, nbits: Int): DataFrame =
+    withSignBits(e, S2Bands * nbits)
+      .withColumn("bucket", explode(array(bandBuckets(nbits): _*)))
+      .select(col("vec_id"), col("v"), col("bucket"))
+
+  /** Mean fraction of the corpus a query's bucket probe scans — the
+    * quantity the corpus-derived band width shrinks as the corpus grows
+    * (spec-asserted across two SFs). Counts DISTINCT candidates per
+    * query, i.e. exactly the rows the exact-cosine re-rank touches.
+    */
+  def s2ProbeFraction(s: SparkSession, dir: String): Double = {
+    val e = vecs(s, dir)
+    val n = e.count()
+    val banded = s2Banded(e, s2Bits(n))
+    val q = banded.filter(col("vec_id") < AuditQueries)
+      .select(col("vec_id").as("qid"), col("bucket"))
+    val cand = banded.join(q, Seq("bucket")).filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct().count()
+    cand.toDouble / (AuditQueries.toDouble * n)
+  }
 
   /** DuckDB twin of one adaptive band-bucket string over `sbits`/`nbits`. */
   private def s3BandSql(bi: Int): String =
@@ -211,12 +259,14 @@ object Similarity {
   /** s2 kernel: LSH-bucketed ANN top-10 (same output shape as s1). */
   def knnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    // 4 bands of 4 sign bits: tuned for the modest-cosine kNN regime
-    // (random corpus: top-10 cosine ≈ 0.4 → p_bit ≈ 0.63, band hit
-    // p^4 ≈ 0.16, any-of-4 ≈ 50% recall at ~25% of the corpus probed)
-    val banded = withSignBits(e)
-      .withColumn("bucket", explode(array(bandBuckets: _*)))
-      .select(col("vec_id"), col("v"), col("bucket"))
+    // corpus-derived band width (one scalar count = a parquet metadata
+    // read, same role as s3's max-block scalar). At the gate SFs
+    // (n=500) the ladder sits at its floor — 4 bands of 4 sign bits,
+    // the round-3 geometry (random corpus: top-10 cosine ≈ 0.4 →
+    // p_bit ≈ 0.63, band hit p^4 ≈ 0.16, any-of-4 ≈ 50% recall at
+    // ~25% of the corpus probed); larger corpora widen the bands so
+    // the probed fraction falls instead of staying at 25% forever.
+    val banded = s2Banded(e, s2Bits(e.count()))
     val q = banded.filter(col("vec_id") < AuditQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
     val w = Window.partitionBy(col("qid"))

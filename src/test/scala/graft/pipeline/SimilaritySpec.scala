@@ -26,6 +26,25 @@ class SimilaritySpec extends SparkSpec {
       s"query ${r.get(0)} below the recall floor"))
   }
 
+  test("s2 band width is corpus-derived: probe fraction DECAYS across SFs, recall holds") {
+    // round 3's fixed 4x4-bit geometry probed ~25% of the corpus per
+    // query forever; the ladder must widen the bands at sf0.1 (n=2000)
+    // so the probed fraction falls, while the recall contract stays
+    // green at the larger SF too
+    val big = "/root/testdata/sf0.1"
+    assert(Similarity.s2Bits(500) == Similarity.S2MinBits)
+    assert(Similarity.s2Bits(2000) > Similarity.S2MinBits,
+      "ladder must engage at the sf0.1 corpus")
+    val fracSmall = Similarity.s2ProbeFraction(spark, dir)
+    val fracBig = Similarity.s2ProbeFraction(spark, big)
+    assert(fracBig < fracSmall,
+      f"probe fraction not shrinking: $fracSmall%.3f -> $fracBig%.3f")
+    val out = SparkEntry.queries("s2_knn_lsh")(spark, big).collect()
+    assert(out.length == 5)
+    out.foreach(r => assert(r.getBoolean(r.fieldIndex("recall_ok")),
+      s"query ${r.get(0)} below the recall floor at sf0.1"))
+  }
+
   test("s4 IVF ANN: full top-10 per query, exact within probed cells, sane recall") {
     val ivf = SparkEntry.queries("s4_knn_ivf")(spark, dir).collect()
     assert(ivf.length == 50, s"expected 5 queries x 10 rows, got ${ivf.length}")
