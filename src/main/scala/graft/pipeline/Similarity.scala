@@ -325,13 +325,14 @@ object Similarity {
     * what bounds probe cost: a hot cell is probe-work skew exactly like
     * a hot shuffle key.
     *
-    * Index build: every corpus vector is assigned to its nearest centroid
-    * by `max_by` over a broadcast centroid join — the ×K candidate rows
-    * collapse back to one row per vector in the map-side partial
-    * aggregate, so the only full-corpus shuffle is the final agg (the
-    * one-time index-build cost; at 100 TB the `(cid, vec_id, v)` table is
-    * materialized once, partitioned by `cid`, and assignment itself goes
-    * through a hierarchical quantizer once n·√n dots get expensive).
+    * Index build: every corpus vector is assigned through the TWO-LEVEL
+    * quantizer ([[ivfAssign]]): nearest of ~√K broadcast super-cells,
+    * then nearest centroid within that super-cell — ~2√K dots per vector
+    * instead of K, so each Lloyd pass and the final build cost n·√K
+    * (n^1.25 at K=√n), with map-side max_by partials keeping every
+    * corpus shuffle at one row per vector (at 100 TB the
+    * `(cid, vec_id, v)` table is materialized once, partitioned by
+    * `cid`).
     * Query path: probe the NProbe nearest cells through a broadcast join
     * on `cid` — only the probed cells' vectors are ever scanned
     * (NProbe·n/K ≈ NProbe·√n rows), the IVF contract.
@@ -341,18 +342,79 @@ object Similarity {
     .filter(col("vec_id") >= CentroidLo && col("vec_id") < CentroidLo + k)
     .select(col("vec_id").as("cid"), col("v").as("cv"))
 
-  /** Nearest-centroid assignment against an explicit centroid table:
-    * max_by on (rounded sim, -cid) == the oracle's ORDER BY sim DESC,
-    * cid ASC — rounding first so float noise can't tie-break differently
-    * across engines.
+  /** Coarse-quantizer stride: the super-cells are every `m`-th centroid
+    * (by cid — seed cids are contiguous), giving C = ⌈K/m⌉ ≈ ⌈√K⌉
+    * super-cells. A deterministic subsample (not a second k-means) keeps
+    * the whole chain DuckDB-replayable; Lloyd refinement of the full
+    * centroid table spreads the subsample with it.
     */
-  private def ivfAssign(e: DataFrame, cent: DataFrame): DataFrame =
-    e.join(broadcast(cent))
+  def superStride(k: Int): Int = {
+    val c = math.ceil(math.sqrt(k.toDouble)).toInt
+    math.ceil(k.toDouble / c).toInt
+  }
+
+  /** Nearest-centroid assignment, TWO-LEVEL (the hierarchical quantizer
+    * round 3's scaladoc deferred): a vector first picks its nearest of
+    * the ~√K super-cells, then its nearest centroid AMONG THAT
+    * SUPER-CELL'S centroids — ~2√K dot products per vector instead of
+    * K, turning the index build (and each Lloyd pass) from n·K = n^1.5
+    * work at K=√n into n·√K = n^1.25. Both stages are max_by on
+    * (rounded sim, -id) == the oracle's ORDER BY sim DESC, id ASC —
+    * rounding first so float noise can't tie-break differently across
+    * engines. Shuffle shape: both groupBys hash-partition by vec_id and
+    * combine map-side (×C and ×|super-cell| candidate rows collapse to
+    * one partial per vector before each exchange), and the second agg
+    * reuses the first's partitioning (broadcast joins preserve it) — so
+    * the corpus still crosses the wire once per pass.
+    * The assignment is APPROXIMATE (a vector's true nearest centroid
+    * may sit in a different super-cell); the oracle replays the same
+    * two-level rule, and the query-time NProbe=4 probe absorbs the
+    * occasional misassignment (recall spec-asserted).
+    */
+  private def ivfAssign(e: DataFrame, cent: DataFrame, k: Int): DataFrame = {
+    val m = superStride(k)
+    val scent = cent.filter(pmod(col("cid") - CentroidLo, lit(m)) === 0)
+      .select(col("cid").as("scid"), col("cv").as("scv"))
+    // centroid -> super-cell map (K·C dots — index metadata, tiny)
+    val cmap = cent.join(broadcast(scent))
+      .withColumn("s_sim", round(cosine("scv", "cv"), 6))
+      .groupBy(col("cid"))
+      .agg(
+        max_by(col("scid"), struct(col("s_sim"), (-col("scid")).as("neg"))).as("scid"),
+        first(col("cv")).as("cv"))
+    // vector -> super-cell (n·C dots)
+    val vsup = e.join(broadcast(scent))
+      .withColumn("s_sim", round(cosine("scv", "v"), 6))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("scid"), struct(col("s_sim"), (-col("scid")).as("neg"))).as("scid"),
+        first(col("v")).as("v"))
+    // vector -> nearest centroid within its super-cell (n·K/C dots)
+    vsup.join(broadcast(cmap), "scid")
       .withColumn("c_sim", round(cosine("cv", "v"), 6))
       .groupBy(col("vec_id"))
       .agg(
         max_by(col("cid"), struct(col("c_sim"), (-col("cid")).as("neg"))).as("cid"),
         first(col("v")).as("v"))
+  }
+
+  /** Per-centroid super-cell sizes — the per-vector candidate count the
+    * two-level bound rests on: stage-2 work for a vector is the size of
+    * its super-cell here, ≤ c·√K (spec-asserted at two SFs).
+    */
+  def superCellSizes(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val k = numCentroids(e.count())
+    val cent = ivfCentroids(s, dir, e, k)
+    val m = superStride(k)
+    val scent = cent.filter(pmod(col("cid") - CentroidLo, lit(m)) === 0)
+      .select(col("cid").as("scid"), col("cv").as("scv"))
+    cent.join(broadcast(scent))
+      .withColumn("s_sim", round(cosine("scv", "cv"), 6))
+      .groupBy(col("cid"))
+      .agg(max_by(col("scid"), struct(col("s_sim"), (-col("scid")).as("neg"))).as("scid"))
+      .groupBy("scid").agg(count(lit(1)).as("n_centroids"))
+  }
 
   /** One Lloyd step: assign every vector to its nearest centroid, then
     * replace each centroid with the per-dimension MEAN of its cell
@@ -365,8 +427,8 @@ object Similarity {
     * to the DuckDB replay. The per-dimension explode shuffles K·dim
     * tiny partial rows, not the corpus.
     */
-  private def lloydStep(e: DataFrame, cent: DataFrame): DataFrame = {
-    val means = ivfAssign(e, cent)
+  private def lloydStep(e: DataFrame, cent: DataFrame, k: Int): DataFrame = {
+    val means = ivfAssign(e, cent, k)
       .select(col("cid"), posexplode(col("v")))
       .groupBy(col("cid"), col("pos"))
       .agg(round(
@@ -387,10 +449,10 @@ object Similarity {
     */
   private def ivfCentroids(s: SparkSession, dir: String, e: DataFrame, k: Int): DataFrame =
     Materialized(s"s4.cent|$dir",
-      (1 to LloydIters).foldLeft(ivfSeeds(e, k))((c, _) => lloydStep(e, c)))
+      (1 to LloydIters).foldLeft(ivfSeeds(e, k))((c, _) => lloydStep(e, c, k)))
 
   private def ivfAssigned(s: SparkSession, dir: String, e: DataFrame, k: Int): DataFrame =
-    ivfAssign(e, ivfCentroids(s, dir, e, k))
+    ivfAssign(e, ivfCentroids(s, dir, e, k), k)
 
   /** IVF cell sizes — the quantity s4's probe-cost bound rests on: a
     * query scans only its `NProbe` probed cells, so probe work is the
@@ -409,7 +471,7 @@ object Similarity {
     // max-block scalar in s3 (parquet count(*) is a metadata read)
     val k = numCentroids(e.count())
     val cent = ivfCentroids(s, dir, e, k)
-    val assigned = ivfAssign(e, cent)
+    val assigned = ivfAssign(e, cent, k)
     val q = e.filter(col("vec_id") < AuditQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val pw = Window.partitionBy(col("qid"))
@@ -435,22 +497,43 @@ object Similarity {
   private def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
-  /** DuckDB twin of the Lloyd chain: for each step i — assignment
-    * against cent_i (asg_i), per-dimension decimal-exact means
-    * (mean_{i+1}), refined table with the empty-cell keep rule
+  /** DuckDB twin of the Lloyd chain: for each step i — TWO-LEVEL
+    * assignment against cent_i (super-cell subsample scent_i, centroid→
+    * super map cmap_i, vector→super vsup_i, then nearest centroid among
+    * the super-cell's centroids, asg_i), per-dimension decimal-exact
+    * means (mean_{i+1}), refined table with the empty-cell keep rule
     * (cent_{i+1}) — plus the FINAL assignment asg_[[LloydIters]] the
-    * index is built from. Parallel unnest of (v, generate_series) zips
+    * index is built from. `ivfpar` computes K and the super stride m =
+    * ceil(K/ceil(sqrt(K))) with the same IEEE ceil/sqrt as
+    * [[superStride]]. Parallel unnest of (v, generate_series) zips
     * coordinate with position; `list(m ORDER BY pos)` rebuilds the
     * centroid array in coordinate order, mirroring Spark's
     * posexplode → array_sort(collect_list(struct(pos, m))).
     */
   private def lloydCtesSql: String = {
-    def asgSql(i: Int) = s"""asg$i AS (
-          SELECT vec_id, v, cid FROM (
-            SELECT e.vec_id, e.v, c.cid,
+    def asgSql(i: Int) = s"""scent$i AS (
+          SELECT cid AS scid, cv AS scv FROM cent$i
+          WHERE (cid - $CentroidLo) % (SELECT m FROM ivfpar) = 0),
+        cmap$i AS (
+          SELECT cid, scid, cv FROM (
+            SELECT c.cid, s.scid, c.cv,
+                   row_number() OVER (PARTITION BY c.cid
+                     ORDER BY ${cosSql("scv", "cv")} DESC, scid ASC) AS crn
+            FROM cent$i c, scent$i s)
+          WHERE crn = 1),
+        vsup$i AS (
+          SELECT vec_id, v, scid FROM (
+            SELECT e.vec_id, e.v, s.scid,
                    row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosSql("scv", "v")} DESC, scid ASC) AS srn
+            FROM e, scent$i s)
+          WHERE srn = 1),
+        asg$i AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT vs.vec_id, vs.v, cm.cid,
+                   row_number() OVER (PARTITION BY vs.vec_id
                      ORDER BY ${cosSql("cv", "v")} DESC, cid ASC) AS arn
-            FROM e, cent$i c)
+            FROM vsup$i vs JOIN cmap$i cm ON vs.scid = cm.scid)
           WHERE arn = 1)"""
     def meanSql(i: Int) = s"""mean${i + 1} AS (
           SELECT cid, pos,
@@ -572,6 +655,9 @@ object Similarity {
       (s, dir) => knnIvf(s, dir),
       Some(s"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        ivfpar AS (
+          SELECT k, CAST(ceil(k / ceil(sqrt(k))) AS BIGINT) AS m
+          FROM (SELECT $numCentroidsSql AS k)),
         cent0 AS (
           SELECT vec_id AS cid, v AS cv FROM e
           WHERE vec_id >= $CentroidLo AND vec_id < $CentroidLo + $numCentroidsSql),

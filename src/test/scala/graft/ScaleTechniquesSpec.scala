@@ -125,6 +125,28 @@ class ScaleTechniquesSpec extends SparkSpec {
       f"probe fraction not shrinking: $fracSmall%.3f (n=$nSmall) -> $fracBig%.3f (n=$nBig)")
   }
 
+  test("s4 two-level quantizer: per-vector candidate centroids stay O(sqrt(K))") {
+    import graft.pipeline.Similarity
+    // stage-1 cost is the super-cell count C = ceil(K/m); stage-2 cost
+    // is the vector's super-cell population — both must stay ~sqrt(K)
+    // for the n*K -> n*sqrt(K) index-build claim to hold
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val k = Similarity.numCentroids(n)
+      val sqrtK = math.ceil(math.sqrt(k.toDouble)).toLong
+      val sizes = Similarity.superCellSizes(spark, dir)
+        .collect().map(r => r.getLong(1))
+      assert(sizes.sum == k, s"$dir: every centroid must map to a super-cell")
+      val supers = sizes.length.toLong
+      assert(supers <= sqrtK + 1, s"$dir: $supers super-cells for K=$k")
+      assert(sizes.max <= 2 * sqrtK,
+        s"$dir: hot super-cell ${sizes.max} exceeds 2*sqrt(K)=$sqrtK for K=$k")
+      // per-vector dot products: C supers + its super-cell's centroids
+      assert(supers + sizes.max <= 4 * sqrtK,
+        s"$dir: candidate count ${supers + sizes.max} not O(sqrt(K)) for K=$k")
+    }
+  }
+
   test("s3 adaptive band width bounds compare buckets even on a skewed hot label") {
     import spark.implicits._
     import graft.pipeline.Similarity
