@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected pair table, by distributed
+  * min-label propagation: every node starts labelled with its own id,
+  * and each round replaces a node's label with the minimum label in its
+  * closed neighborhood, until a fixpoint. The result assigns every node
+  * the MINIMUM doc_id reachable from it — the canonical representative
+  * of its duplicate cluster.
+  *
+  * This is the union-find step of a production dedup pipeline: verified
+  * near-dup PAIRS (d5) say "these two are interchangeable", but removal
+  * must act on CLUSTERS — keep exactly one member per transitive group —
+  * or chains (1~2, 2~3 with no verified (1,3)) either drop content whose
+  * keeper was itself dropped, or keep both ends of a chain.
+  *
+  * Scale shape: the input is the verified near-dup pair set, which is
+  * |true near-dups|-sized — orders of magnitude below the corpus — and
+  * every round is one equi-join plus one min-aggregate on it (both
+  * map-side combinable). Rounds needed = the maximum cluster DIAMETER,
+  * not the corpus size; near-dup clusters are template families with
+  * single-digit diameters in practice, and the [[MaxRounds]] guard turns
+  * a pathological corpus (one long chain) into a loud error rather than
+  * silent wrong output. (The O(log n)-round large-star/small-star
+  * variant exists for that regime; at the pair volumes dedup produces,
+  * per-round latency dominates and plain propagation wins.) Each round's
+  * frontier is persisted and the superseded one released, so the loop
+  * holds exactly one label table at a time and lineage never deepens
+  * past one cache boundary.
+  */
+private[graft] object Cluster {
+
+  /** Propagation-round ceiling: a duplicate cluster with diameter beyond
+    * this is not a template family but a degenerate corpus (one chain of
+    * thousands of pairwise-verified docs); failing loudly beats shipping
+    * a half-converged clustering as if it were exact.
+    */
+  val MaxRounds = 64
+
+  /** `(doc_id, root)` for every node of `pairs` — `pairs` must carry two
+    * long columns `doc1`/`doc2`; `root` is the min doc_id reachable.
+    */
+  def minLabelComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc1").as("src"), col("doc2").as("dst"))
+      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges
+      .select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("root", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      if (rounds > MaxRounds)
+        sys.error(s"connected components did not converge in $MaxRounds rounds")
+      val viaNeighbor = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .select(edges("src").as("doc_id"), col("root"))
+      val next = labels
+        .select("doc_id", "root")
+        .unionByName(viaNeighbor)
+        .groupBy("doc_id")
+        .agg(min("root").as("root"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.withColumnRenamed("root", "prev"), "doc_id")
+        .filter(col("root") =!= col("prev"))
+        .count()
+      labels.unpersist(false)
+      labels = next
+    }
+    edges.unpersist(false)
+    labels
+  }
+
+  /** DuckDB twin: transitive closure by recursive CTE. `pairsCte` must
+    * name a CTE with `doc1`/`doc2` columns; emits CTE bodies `cc_edges`
+    * and `cc_roots(doc_id, root)`. The enclosing WITH must be declared
+    * RECURSIVE.
+    */
+  def componentsCtes(pairsCte: String): String =
+    s"""cc_edges AS (
+          SELECT doc1 AS src, doc2 AS dst FROM $pairsCte
+          UNION ALL
+          SELECT doc2, doc1 FROM $pairsCte),
+        cc_reach(doc_id, r) AS (
+          SELECT src, src FROM cc_edges
+          UNION
+          SELECT cc_reach.doc_id, e.dst
+          FROM cc_reach JOIN cc_edges e ON cc_reach.r = e.src),
+        cc_roots AS (
+          SELECT doc_id, min(r) AS root FROM cc_reach GROUP BY 1)"""
+}

@@ -185,10 +185,17 @@ object Dedup {
   /** d5's core (shared with p1's near-dup stage): LSH candidate pairs
     * verified with EXACT Jaccard over the candidate docs' shingle sets.
     * Only candidate documents' shingles participate in the verification —
-    * the broadcast semi-join prunes the index scan. Materialized once
+    * the semi-join prunes the index scan. Materialized once
     * per corpus: d5 emits it and p1 consumes it, and the verification
     * joins are the expensive step both share (verify once, consume
     * many — the production dedup-report pattern).
+    *
+    * None of the candidate-scoped sides (candDocs, sizes) carries a
+    * broadcast HINT: they are |candidates|-sized, and on the
+    * duplicate-heavy corpora dedup targets that can be a large corpus
+    * fraction — a forced broadcast has no fallback but executor OOM.
+    * AQE reads the actual runtime sizes and broadcasts exactly when
+    * they are small (at every gate SF they are).
     */
   private[pipeline] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
     Materialized(s"d5.verified|$dir", lshVerifiedPairsPlan(s, dir))
@@ -197,7 +204,7 @@ object Dedup {
     val cand = lshCandidates(s, dir)
     val candDocs = cand.select(col("doc1").as("doc_id"))
       .union(cand.select(col("doc2").as("doc_id"))).distinct()
-    val subIdx = shingleIndex(s, dir).join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val subIdx = shingleIndex(s, dir).join(candDocs, Seq("doc_id"), "left_semi")
     val sizes = subIdx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = subIdx.as("a")
       .join(subIdx.as("b"),
@@ -206,8 +213,8 @@ object Dedup {
       .agg(count(lit(1)).as("n_common"))
     cand
       .join(common, Seq("doc1", "doc2"), "left_outer")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1")), "doc1")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2")), "doc2")
+      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1"), "doc1")
+      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2"), "doc2")
       .withColumn("jaccard", round(
         coalesce(col("n_common"), lit(0L)).cast("double")
           / (col("n1") + col("n2") - coalesce(col("n_common"), lit(0L))), 6))
@@ -381,9 +388,11 @@ object Dedup {
             col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
           .agg(count(lit(1)).as("n_common"))
+        // sizes is one row per doc — corpus-proportional, so no broadcast
+        // hint (AQE broadcasts it at runtime while it actually fits)
         pairs
-          .join(broadcast(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1")), "doc1")
-          .join(broadcast(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2")), "doc2")
+          .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1"), "doc1")
+          .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2"), "doc2")
           .withColumn("jac_raw",
             col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
           .filter(col("jac_raw") >= 0.2) // threshold on RAW value, like the oracle
@@ -446,6 +455,26 @@ object Dedup {
       Some(s"""
         WITH $lshVerifiedCtes
         SELECT doc1, doc2, jaccard, is_dup FROM verified"""),
+    ),
+
+    // ---- d6: duplicate CLUSTERS — connected components over the
+    //      verified near-dup pairs (d5), labelled with the minimum
+    //      reachable doc_id. Pairs say "interchangeable"; removal acts
+    //      on transitive groups, so this is the union-find step every
+    //      production dedup runs between verification and deletion.
+    //      Distributed min-label propagation over the |near-dups|-sized
+    //      pair table (never the corpus); the DuckDB oracle replays the
+    //      same fixpoint as a recursive CTE. ----
+    Q(
+      "d6_dup_clusters",
+      (s, dir) => Materialized.getOrBuild(s, s"d6.cc|$dir")(
+        Cluster.minLabelComponents(
+          lshVerifiedPairs(s, dir).filter(col("is_dup")).select("doc1", "doc2"))),
+      Some(s"""
+        WITH RECURSIVE $lshVerifiedCtes,
+        dup AS (SELECT doc1, doc2 FROM verified WHERE is_dup),
+        ${Cluster.componentsCtes("dup")}
+        SELECT doc_id, root FROM cc_roots"""),
     ),
 
     // ---- d4: SimHash — 32-bit signature from token hashes, per document.

@@ -52,6 +52,20 @@ private[graft] object Materialized {
     }
   }
 
+  /** Key-trusting variant for derived tables whose CONSTRUCTION runs
+    * driver-side jobs (the connected-components fixpoint loop): `apply`
+    * must be handed a finished plan, so a memoized caller would re-pay
+    * the loop just to produce the plan the sameResult check compares.
+    * Here `build` runs only on a key miss; a hit returns the live copy
+    * without evaluating `build` at all. The key must embed everything
+    * the plan depends on (corpus dir at minimum) — same staleness
+    * contract as `apply`, released the same way.
+    */
+  def getOrBuild(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    live.keys.filter(_._1.sparkContext.isStopped).foreach(live.remove)
+    live.getOrElse((s, key), apply(key, build))
+  }
+
   /** Unpersist and forget every live table whose string key matches —
     * e.g. all tables derived from a throwaway fixture directory.
     */

@@ -109,12 +109,25 @@ class PlanSpec extends SparkSpec {
       s"decode stub must stay in the Tungsten pipeline:\n$p")
   }
 
-  test("p1: near-dup removal is a broadcast anti-join; dedup window is partitioned") {
+  test("p1: uniq computes once (materialized); loser anti-join broadcasts by stats") {
     val p = plan("p1_curation")
+    // there is deliberately NO broadcast hint on the loser side (a forced
+    // broadcast of a corpus-fraction loser set is an OOM at 100 TB); at
+    // gate scale the planner still picks broadcast because the cached
+    // side's stats are known-small
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"verified-loser removal must broadcast, never shuffle the corpus:\n$p")
-    // the exact-dedup window must hash-partition on fingerprint — a
-    // global (empty-key) window would serialize the corpus on one task
+      s"loser removal should plan as a (stats-chosen) broadcast anti-join:\n$p")
+    // the gate + dedup-window subtree must appear ONLY inside the cached
+    // uniq build: everything above the first InMemoryRelation is the
+    // consumer plan, and a Window there means uniq recomputed
+    val consumer = p.substring(0, p.indexOf("InMemoryRelation"))
+    assert(consumer.contains("InMemoryTableScan"),
+      s"uniq must be read from the materialized cache:\n$p")
+    assert(!consumer.contains("Window"),
+      s"dedup window recomputed outside the materialized uniq:\n$p")
+    // the exact-dedup window (inside the cache build) must hash-partition
+    // on fingerprint — a global (empty-key) window would serialize the
+    // corpus on one task
     assert(p.contains("hashpartitioning(fingerprint"),
       s"dedup row_number must partition by fingerprint:\n$p")
   }

@@ -1,0 +1,48 @@
+#!/usr/bin/env bash
+# Two-SF oracle gate for the scale-PARAMETERIZED operators — the ones
+# whose geometry is derived from the corpus size (s2/s3 band-bit
+# ladders, s4's K≈sqrt(n) two-level quantizer, d4b's piece-width
+# ladder, d2's df cap) plus the cluster fixpoint (d6). The driver's
+# correctness gate runs at one SF; this proves the parameterization
+# cross-engine at BOTH ends of the testdata range — Spark and DuckDB
+# must derive the SAME widths/centroids from the corpus count at each
+# scale, or the hashes split.
+#
+# Usage: tools/two_sf_check.sh  (writes TWO_SF_GATE.md)
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+QUERIES="d2_ngram_jaccard,d4b_simhash_pairs,d6_dup_clusters,s2_knn_lsh,s3_cosine_neardup,s4_knn_ivf"
+
+ADDOPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
+  java.net java.nio java.util java.util.concurrent \
+  java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action \
+  sun.util.calendar; do echo --add-opens java.base/$p=ALL-UNNAMED; done)
+
+OUT=TWO_SF_GATE.md
+{
+  echo "# Two-SF oracle gate (scale-parameterized operators)"
+  echo
+  echo "Queries: \`$QUERIES\`"
+  echo "Run: $(date -u +%Y-%m-%dT%H:%MZ) via tools/two_sf_check.sh"
+} > "$OUT"
+
+fail=0
+for sf in sf0.001 sf0.1; do
+  dir=/tmp/twosf_$sf
+  rm -rf "$dir"
+  java $ADDOPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -Xmx8g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.Verify "/root/testdata/$sf" "$dir" "$QUERIES" 2>/dev/null
+  {
+    echo
+    echo "## $sf"
+    echo
+    echo '```'
+    python3 tools/check_oracle.py "/root/testdata/$sf" "$dir" || fail=1
+    echo '```'
+  } >> "$OUT"
+done
+
+cat "$OUT"
+exit $fail
