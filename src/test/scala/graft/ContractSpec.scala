@@ -29,7 +29,10 @@ class ContractSpec extends AnyFunSuite {
       // CTE aliases are fine — just require that every base table
       // mentioned anywhere in FROM/JOIN position is either a CTE defined
       // in the same query or a known testdata table
-      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s+as\\s*\\(".r
+      // the optional (col, ...) group matches recursive-CTE headers like
+      // `cc_reach(doc_id, r) AS (` — declared column lists are legal CTE
+      // syntax and p1/d6 use them for the components fixpoint
+      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([a-z0-9_,\\s]*\\))?\\s+as\\s*\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       assert((unknown -- ctes).isEmpty,
         s"$name oracle references unknown tables: ${unknown -- ctes}")
