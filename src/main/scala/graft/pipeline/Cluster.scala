@@ -1,7 +1,9 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.storage.StorageLevel
 
 /** Connected components over an undirected pair table, by distributed
@@ -26,10 +28,24 @@ import org.apache.spark.storage.StorageLevel
   * a pathological corpus (one long chain) into a loud error rather than
   * silent wrong output. (The O(log n)-round large-star/small-star
   * variant exists for that regime; at the pair volumes dedup produces,
-  * per-round latency dominates and plain propagation wins.) Each round's
-  * frontier is persisted and the superseded one released, so the loop
-  * holds exactly one label table at a time and lineage never deepens
-  * past one cache boundary.
+  * per-round latency dominates and plain propagation wins.)
+  *
+  * Each round's frontier is `localCheckpoint`ed — NOT persist+unpersist.
+  * An iterative loop must both truncate lineage (each round references
+  * the previous twice, so unmaterialized lineage doubles per round) and
+  * release superseded rounds; but `unpersist` on a frame that a LATER
+  * cached plan references makes the CacheManager re-plan that dependent
+  * entry and DROP its materialized data — so the persist+unpersist
+  * spelling silently turned every post-loop scan into a full fixpoint
+  * replay (measured: 9 s per scan of a 45-row result; the loop itself
+  * went quadratic-in-rounds for the same reason). `localCheckpoint`
+  * truncates the plan to the materialized RDD blocks, so releasing round
+  * N-1 after round N is built cannot invalidate anything, and the loop
+  * holds at most two rounds of state. The trade documented honestly:
+  * local checkpoints are not fault-tolerant (a lost executor kills the
+  * job instead of recomputing) — a 1000-executor deployment sets a
+  * reliable `spark.checkpoint.dir` and swaps `checkpoint` in; the loop
+  * shape is identical.
   */
 private[graft] object Cluster {
 
@@ -48,14 +64,22 @@ private[graft] object Cluster {
       .select(col("doc1").as("src"), col("doc2").as("dst"))
       .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Convergence check: labels are per-element monotone non-increasing,
+    // so sum(root) is unchanged iff NO label moved — one map-side
+    // aggregate over the frontier (which also materializes its
+    // checkpoint), replacing the old per-round join+filter+count job.
+    // DECIMAL(38,0): exact at any node count / id range a corpus can hold.
+    def rootSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("root").cast(DecimalType(38, 0)))).first().getDecimal(0))
     var labels = edges
       .select(col("src").as("doc_id"))
       .distinct()
       .withColumn("root", col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
+      .localCheckpoint(true)
+    var prevSum = rootSum(labels)
+    var converged = false
     var rounds = 0
-    while (changed > 0) {
+    while (!converged) {
       rounds += 1
       if (rounds > MaxRounds)
         sys.error(s"connected components did not converge in $MaxRounds rounds")
@@ -67,17 +91,25 @@ private[graft] object Cluster {
         .unionByName(viaNeighbor)
         .groupBy("doc_id")
         .agg(min("root").as("root"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next
-        .join(labels.withColumnRenamed("root", "prev"), "doc_id")
-        .filter(col("root") =!= col("prev"))
-        .count()
-      labels.unpersist(false)
+        .localCheckpoint(true)
+      val s = rootSum(next)
+      converged = s == prevSum
+      prevSum = s
+      releaseCheckpoint(labels) // safe: `next` holds its own blocks
       labels = next
     }
     edges.unpersist(false)
     labels
   }
+
+  /** Free a `localCheckpoint`ed frame's RDD blocks. Checkpoints don't
+    * register with the CacheManager, so `Dataset.unpersist` can't reach
+    * them — release the underlying RDD directly.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed
+      .collectFirst { case l: LogicalRDD => l.rdd }
+      .foreach(_.unpersist(false))
 
   /** DuckDB twin: transitive closure by recursive CTE. `pairsCte` must
     * name a CTE with `doc1`/`doc2` columns; emits CTE bodies `cc_edges`
