@@ -66,7 +66,7 @@ object Dedup {
     * the hash/explode stage — the same re-shard a 100 TB corpus of
     * many small objects needs before fan-out work.
     */
-  private def docsSharded(s: SparkSession, dir: String) =
+  private[pipeline] def docsSharded(s: SparkSession, dir: String) =
     t(s, dir, "documents").repartition(col("doc_id"))
 
   /** Distinct `(doc_id, h)` inverted shingle-hash index for a documents

@@ -51,6 +51,18 @@ object Portable {
     */
   def normFingerprint(c: Column): Column = md5(normText(c))
 
+  /** Word bigram array (space-joined), empty when fewer than 2 words —
+    * pure column algebra (two slices zipped), so bigram generation needs
+    * no window shuffle and stays inside WholeStageCodegen.
+    */
+  def bigrams(wordsCol: Column): Column =
+    when(size(wordsCol) >= 2,
+      zip_with(
+        slice(wordsCol, lit(1), size(wordsCol) - 1),
+        slice(wordsCol, lit(2), size(wordsCol) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+
   /** Word 3-gram shingles (space-joined), empty when fewer than 3 words. */
   def shingles3(wordsCol: Column): Column =
     when(size(wordsCol) >= 3,

@@ -161,6 +161,59 @@ object Text {
       },
       Some(winnowOracleSql(k = 8, w = 5)),
     ),
+
+    // ---- t6: bigram-LM commonness score — the corpus-trained n-gram
+    //      statistic behind production LM quality filters: train bigram
+    //      document frequencies on the corpus itself, then score every
+    //      document by how much of it is made of bigrams seen elsewhere
+    //      (boilerplate/template text scores high, unique prose low).
+    //      Shape: per-doc bigram arrays are pure column algebra (zipped
+    //      slices, no window shuffle); the corpus "model" is ONE hash
+    //      aggregate over 8-byte bigram hashes; scoring is one equi-join
+    //      back (hot bigrams like "of the" skew the join — AQE splits
+    //      them) plus a per-doc aggregate. All counts stay integral and
+    //      each output ratio is a single IEEE division, so Spark and
+    //      DuckDB agree bit-for-bit; the smoothed log-prob variant is
+    //      the same plan with `ln` folded into the scoring projection,
+    //      left out ONLY because libm/JVM `ln` differ in the last ulp
+    //      and would break cross-engine hash equality. ----
+    Q(
+      "t6_bigram_lm",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val b = Dedup.docsSharded(s, dir)
+          .select(col("doc_id"), explode(bigrams(words(col("text")))).as("bg"))
+          .select(col("doc_id"), md5Long(col("bg")).as("h"))
+        val freq = b.groupBy("h").agg(count(lit(1)).as("c"))
+        b.join(freq, "h")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            sum(when(col("c") >= 2, lit(1L)).otherwise(lit(0L))).as("n_repeated"),
+            sum(col("c")).as("sum_df"))
+          .select(
+            col("doc_id"), col("n_bigrams"), col("n_repeated"),
+            round(col("n_repeated").cast("double") / col("n_bigrams"), 6).as("rep_ratio"),
+            round(col("sum_df").cast("double") / col("n_bigrams"), 6).as("avg_df"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+        b AS (
+          SELECT doc_id, ${md5LongSql("ws[i] || ' ' || ws[i+1]")} AS h
+          FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
+                FROM w WHERE len(ws) >= 2)),
+        freq AS (SELECT h, count(*) AS c FROM b GROUP BY 1),
+        per AS (
+          SELECT doc_id, count(*) AS n_bigrams,
+                 CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+                 CAST(sum(c) AS BIGINT) AS sum_df
+          FROM b JOIN freq USING (h) GROUP BY 1)
+        SELECT doc_id, n_bigrams, n_repeated,
+               round(n_repeated / CAST(n_bigrams AS DOUBLE), 6) AS rep_ratio,
+               round(sum_df / CAST(n_bigrams AS DOUBLE), 6) AS avg_df
+        FROM per"""),
+    ),
   )
 
   /** DuckDB twin of `winnow_fp(text, k, w)` → (doc_id, n_fp, fp_md5).
