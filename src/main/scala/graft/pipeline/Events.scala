@@ -98,5 +98,34 @@ object Events {
                CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS session_value
         FROM sess GROUP BY 1, 2"""),
     ),
+
+    // ---- e4: purchase→click attribution — the batch run of the
+    //      watermarked stream-stream interval join (the SAME function
+    //      the streaming path runs; see EventStream.attributionJoin).
+    //      Scale shape: both sides shuffle once on user_id and the
+    //      event-time bound caps matched rows per key; in streaming the
+    //      same bound is what lets Spark evict join state. Timestamps
+    //      cross the oracle boundary as epoch-µs longs (e1/e3's
+    //      convention). ----
+    Q(
+      "e4_attribution",
+      (s, dir) =>
+        graft.streaming.EventStream.attributionJoin(t(s, dir, "events"))
+          .select(
+            col("purchase_id"), col("p_user").as("user_id"),
+            unix_micros(col("purchase_ts")).as("purchase_us"),
+            col("click_id"), unix_micros(col("click_ts")).as("click_us"),
+            col("value")),
+      Some("""
+        SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+               epoch_us(p.ts) AS purchase_us,
+               c.event_id AS click_id, epoch_us(c.ts) AS click_us,
+               p.value AS value
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND epoch_us(c.ts) < epoch_us(p.ts)
+         AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""),
+    ),
   )
 }

@@ -120,6 +120,34 @@ object EventStream {
       }
   }
 
+  /** Watermarked stream-stream interval join — purchase→click
+    * attribution: each purchase pairs with the same user's clicks in the
+    * PRECEDING hour. Both inputs carry watermarks and the join condition
+    * bounds event-time distance in both directions (click strictly
+    * before purchase, and at most one hour before), so Spark derives a
+    * state watermark for EACH buffer and evicts joined rows as event
+    * time advances — without the time bound, stream-stream join state
+    * grows with the stream and never shrinks. Batch runs of the same
+    * function are the backfill/oracle path (watermarks are no-ops in
+    * batch), which is how e4's DuckDB oracle checks the join semantics.
+    */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") < col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
   /** Streaming exact-dedup twin of batch d1: drop repeated documents /
     * events by content fingerprint as they arrive. State is bounded by
     * the watermark — `dropDuplicatesWithinWatermark` evicts a

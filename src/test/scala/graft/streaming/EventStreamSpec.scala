@@ -57,6 +57,29 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("attributionJoin pairs purchases with same-user clicks in the preceding hour") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = attributionJoin(df)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts(0), 1L, "click", 0.0),  // 30 min before the purchase: joins
+        (2L, ts(29), 1L, "click", 0.0), // 1 min before: joins
+        (3L, ts(30), 1L, "purchase", 9.0),
+        (4L, ts(35), 1L, "click", 0.0), // after the purchase: no match
+        (5L, ts(25), 2L, "click", 0.0)) // other user: no match
+      query.processAllAvailable()
+      val out = spark.table("attrib").collect()
+        .map(r => (r.getLong(r.fieldIndex("purchase_id")),
+          r.getLong(r.fieldIndex("click_id")))).toSet
+      assert(out == Set((3L, 1L), (3L, 2L)))
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions and keeps open state") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
