@@ -548,5 +548,39 @@ object Dedup {
         FROM cand
         WHERE bit_count(xor(sh1, sh2)) <= $D4bHamming"""),
     ),
+
+    // ---- d7: cross-source duplicate-cluster analysis — the provenance
+    //      question a crawl pipeline asks before dedup DELETES anything:
+    //      which near-dup clusters span ≥2 sources (syndication /
+    //      mirroring, where per-source dropping loses attribution) vs
+    //      repeats within one source (recrawl noise). Reads d6's cluster
+    //      labelling (|near-dups|-sized, session-materialized — this adds
+    //      NO new corpus pass), joins the corpus metadata in, and runs
+    //      one cluster-keyed aggregate. count(DISTINCT source) is a
+    //      Spark two-phase distinct agg (partial sets map-side); the
+    //      only shuffle is on the tiny cluster table — free at 100 TB. ----
+    Q(
+      "d7_cross_source",
+      (s, dir) => {
+        val clusters = all.find(_.name == "d6_dup_clusters").get.run(s, dir)
+        clusters
+          .join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
+          .groupBy("root")
+          .agg(
+            countDistinct("source").as("n_sources"),
+            count(lit(1)).as("n_docs"))
+          .withColumn("cross_source", col("n_sources") >= 2)
+      },
+      Some(s"""
+        WITH RECURSIVE $lshVerifiedCtes,
+        dup AS (SELECT doc1, doc2 FROM verified WHERE is_dup),
+        ${Cluster.componentsCtes("dup")}
+        SELECT root,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               count(*) AS n_docs,
+               count(DISTINCT source) >= 2 AS cross_source
+        FROM cc_roots JOIN documents USING (doc_id)
+        GROUP BY 1"""),
+    ),
   )
 }

@@ -214,6 +214,117 @@ object Text {
                round(sum_df / CAST(n_bigrams AS DOUBLE), 6) AS avg_df
         FROM per"""),
     ),
+
+    // ---- t7: WITHIN-document repetition signals — the Gopher-style
+    //      quality rules that catch degenerate/boilerplate docs (a page
+    //      of one word repeated, templated listings): fraction of the doc
+    //      made of its single most frequent word, fraction inside words
+    //      that repeat at all, and fraction of trigram INSTANCES that are
+    //      duplicated within the doc. Complements t6, which measures
+    //      cross-corpus commonness; t7 never leaves the document.
+    //      Shape: two explode → (doc, gram) hash-agg → per-doc agg
+    //      chains, both map-side combinable and keyed on doc_id, so the
+    //      second agg of each chain reuses the first's partitioning —
+    //      two corpus-linear shuffles of count pairs, no window sort.
+    //      Counts stay integral; each output ratio is one IEEE division
+    //      rounded to 6, so both engines agree bit-for-bit. ----
+    Q(
+      "t7_repetition",
+      (s, dir) => {
+        val d = Dedup.docsSharded(s, dir)
+        val wc = d.select(col("doc_id"), explode(words(col("text"))).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        val perW = wc.groupBy("doc_id").agg(
+          sum("c").as("n_words_r"),
+          max("c").as("top_c"),
+          sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_c"))
+        val tc = d.select(col("doc_id"), explode(shingles3(words(col("text")))).as("t3"))
+          .groupBy("doc_id", "t3").agg(count(lit(1)).as("c"))
+        val perT = tc.groupBy("doc_id").agg(
+          sum("c").as("n_tri"),
+          sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_tri"))
+        perW.join(perT, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            col("n_words_r"),
+            round(col("top_c").cast("double") / col("n_words_r"), 6).as("top_word_ratio"),
+            round(col("dup_c").cast("double") / col("n_words_r"), 6).as("dup_word_ratio"),
+            coalesce(col("n_tri"), lit(0L)).as("n_trigrams"),
+            when(coalesce(col("n_tri"), lit(0L)) > 0,
+              round(col("dup_tri").cast("double") / col("n_tri"), 6))
+              .otherwise(lit(null).cast("double")).as("dup_tri_ratio"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+        wc AS (
+          SELECT doc_id, w, count(*) AS c
+          FROM (SELECT doc_id, unnest(ws) AS w FROM w)
+          GROUP BY 1, 2),
+        perw AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_words_r,
+                 max(c) AS top_c,
+                 CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_c
+          FROM wc GROUP BY 1),
+        tc AS (
+          SELECT doc_id, t3, count(*) AS c
+          FROM (SELECT doc_id, unnest(${shingles3Sql("ws")}) AS t3 FROM w)
+          GROUP BY 1, 2),
+        pert AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_tri,
+                 CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_tri
+          FROM tc GROUP BY 1)
+        SELECT p.doc_id, n_words_r,
+               round(top_c / CAST(n_words_r AS DOUBLE), 6) AS top_word_ratio,
+               round(dup_c / CAST(n_words_r AS DOUBLE), 6) AS dup_word_ratio,
+               coalesce(n_tri, 0) AS n_trigrams,
+               CASE WHEN coalesce(n_tri, 0) > 0
+                    THEN round(dup_tri / CAST(n_tri AS DOUBLE), 6)
+                    ELSE NULL END AS dup_tri_ratio
+        FROM perw p LEFT JOIN pert USING (doc_id)"""),
+    ),
+
+    // ---- t8: deterministic redaction — the PII-scrub pass a training
+    //      pipeline runs before anything else sees the text: mask email
+    //      addresses then digit runs with typed placeholders, and emit
+    //      per-doc redaction counts plus a fingerprint of the scrubbed
+    //      text (the scrubbed corpus itself would be the written output;
+    //      the gate keeps the md5 so the result stays hashable). Pure
+    //      per-row column algebra — zero shuffles, linear at any scale.
+    //      Patterns are written in the common Java-regex/RE2 subset so
+    //      both engines read them identically; replacement ORDER (email
+    //      before digits) is part of the contract since '<EMAIL>'
+    //      contains no digits but an address does. ----
+    Q(
+      "t8_redact",
+      (s, dir) => {
+        val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val red = regexp_replace(
+          regexp_replace(col("text"), emailPat, "<EMAIL>"),
+          "[0-9]+", "<NUM>")
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(emailPat)).as("n_email"),
+          regexp_count(col("text"), lit("[0-9]+")).as("n_num"),
+          md5(red).as("redacted_md5"),
+          (length(red) - length(col("text"))).as("len_delta"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT doc_id, text,
+                 regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '[0-9]+', '<NUM>', 'g') AS red
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num,
+               md5(red) AS redacted_md5,
+               CAST(length(red) - length(text) AS INT) AS len_delta
+        FROM r"""),
+    ),
   )
 
   /** DuckDB twin of `winnow_fp(text, k, w)` → (doc_id, n_fp, fp_md5).

@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Behavior pins for the round-4 operator wave (t7/t8/d7) on crafted
+  * fixtures with hand-computed expectations, plus invariants on the real
+  * testdata where the operator composes a whole upstream pipeline (d7).
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val fixtureDir = "target/pipeline-ops-fixture"
+
+  private def writeDocs(rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fixtureDir/documents.parquet")
+  }
+
+  test("t7: repetition ratios match hand-computed values") {
+    writeDocs(Seq(
+      (1L, "a a a a"),          // one word ×4: top=1, dup=1; trigram 'a a a' ×2 → dup_tri=1
+      (2L, "a b c d"),          // all distinct: top=0.25, dup=0, trigrams distinct → dup_tri=0
+      (3L, "x y"),              // < 3 words: no trigrams → dup_tri_ratio NULL
+    ))
+    val out = SparkEntry.queries("t7_repetition")(spark, fixtureDir)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getDouble(2) == 1.0 && byId(1L).getDouble(3) == 1.0)
+    assert(byId(1L).getLong(4) == 2 && byId(1L).getDouble(5) == 1.0)
+    assert(byId(2L).getDouble(2) == 0.25 && byId(2L).getDouble(3) == 0.0)
+    assert(byId(2L).getLong(4) == 2 && byId(2L).getDouble(5) == 0.0)
+    assert(byId(3L).getLong(4) == 0 && byId(3L).isNullAt(5))
+  }
+
+  test("t8: email masked before digits; counts are of the original text") {
+    writeDocs(Seq(
+      (1L, "call 123 or mail bob.x@mail.com today 7 times"),
+      (2L, "no digits here"),
+    ))
+    val out = SparkEntry.queries("t8_redact")(spark, fixtureDir)
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getInt(1) == 1, "one email")
+    assert(r1.getInt(2) == 2, "digit runs 123 and 7")
+    // redacted text is fully deterministic: fingerprint equals md5 of the
+    // hand-redacted string (email first, then digit runs)
+    val expected = "call <NUM> or mail <EMAIL> today <NUM> times"
+    val exMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r1.getString(3) == exMd5)
+    assert(r1.getInt(4) == expected.length - "call 123 or mail bob.x@mail.com today 7 times".length)
+    val r2 = out(1)
+    assert(r2.getInt(1) == 0 && r2.getInt(2) == 0 && r2.getInt(4) == 0)
+  }
+
+  test("t8 plan: pure per-row projection — no exchange at all") {
+    val p = SparkEntry.queries("t8_redact")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"t8 must be shuffle-free:\n$p")
+  }
+
+  test("d7: cluster provenance invariants against d6 on real testdata") {
+    val dir = "/root/testdata/sf0.001"
+    val d7 = SparkEntry.queries("d7_cross_source")(spark, dir).collect()
+    assert(d7.nonEmpty, "sf0.001 has near-dup clusters")
+    d7.foreach { r =>
+      val (nSources, nDocs, cross) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(nDocs >= 2, "every cluster has at least a keeper and a loser")
+      assert(nSources >= 1 && nSources <= nDocs)
+      assert(cross == (nSources >= 2))
+    }
+    // cluster count and membership agree with d6's labelling
+    val d6 = SparkEntry.queries("d6_dup_clusters")(spark, dir)
+    val byRoot = d6.groupBy("root").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d7.length == byRoot.size)
+    d7.foreach(r => assert(byRoot(r.getLong(0)) == r.getLong(2)))
+  }
+}
