@@ -248,5 +248,102 @@ object Advanced {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""),
     ),
+
+    // ---- q31: deterministic stratified sampling — the eval-set /
+    //      debug-slice primitive a 100 TB pipeline needs constantly:
+    //      top-k per stratum by a uniform deterministic hash of the row
+    //      key (reproducible across runs AND engines, unlike rand()).
+    //      TWO-PHASE for scale: a naive per-stratum row_number sorts the
+    //      whole corpus through 3 reducers (the stratum count, not the
+    //      cluster, sets the parallelism — the classic skew trap). Here
+    //      a cheap exact count per stratum derives a hash cutoff with an
+    //      8x oversample, the corpus is FILTERED to ~8k rows per stratum
+    //      by a pushdown-able per-row predicate, and only that sliver is
+    //      sorted. P(sliver < k) is Chernoff-negligible (e^-300 at 8x);
+    //      a stratum smaller than 8k skips the filter entirely, so the
+    //      result equals the oracle's full-sort row_number EXACTLY.
+    //      Driver-side state: 3 (flag, count) rows — index metadata. ----
+    Q(
+      "q31_sample",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        import graft.pipeline.Portable.md5Long
+        val k = 100L
+        val over = 8L
+        val li = t(s, dir, "lineitem")
+        val withH = li.withColumn("h",
+          md5Long(concat_ws("-", col("l_orderkey"), col("l_linenumber"))))
+        val counts = withH.groupBy("l_returnflag").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val cutExpr = counts.foldLeft(lit(Long.MaxValue)) { case (acc, (flag, n)) =>
+          val cut =
+            if (n <= over * k) Long.MaxValue // stratum fits: keep all rows
+            else ((BigInt(1) << 60) * BigInt(over * k) / BigInt(n) + 1).toLong
+          when(col("l_returnflag") === flag, lit(cut)).otherwise(acc)
+        }
+        // (l_orderkey, l_linenumber) is NOT unique in the testdata, so
+        // duplicate keys share h; l_quantity breaks the remaining tie on
+        // every column the output carries, making the sampled multiset
+        // engine-independent.
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        withH.filter(col("h") < cutExpr)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("rn"))
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+                 ${graft.pipeline.Portable.md5LongSql(
+                   "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")} AS h
+          FROM lineitem),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY h, l_orderkey, l_linenumber, l_quantity) AS rn
+          FROM h)
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+               CAST(rn AS INT) AS rn
+        FROM r WHERE rn <= 100"""),
+    ),
+
+    // ---- q32: unpivot/melt — wide-to-long reshaping (feature matrices,
+    //      per-metric fan-out before a metric-keyed aggregate). Spark's
+    //      native unpivot lowers to one Expand node (each input row
+    //      emits |values| rows map-side, no join, no shuffle until the
+    //      downstream aggregate), so the reshape itself is corpus-linear
+    //      and stays inside WholeStageCodegen; the oracle spells the
+    //      same thing as UNION ALL. ----
+    Q(
+      "q32_unpivot",
+      (s, dir) => {
+        val p = t(s, dir, "part").select(
+          col("p_partkey"), col("p_brand"),
+          col("p_size").cast("double").as("p_size"), col("p_retailprice"))
+        p.unpivot(
+            Array(col("p_partkey"), col("p_brand")),
+            Array(col("p_size"), col("p_retailprice")),
+            "metric", "val")
+          .groupBy("p_brand", "metric")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("val")).as("total"),
+            min("val").as("mn"),
+            max("val").as("mx"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT p_partkey, p_brand, 'p_size' AS metric,
+                 CAST(p_size AS DOUBLE) AS val
+          FROM part
+          UNION ALL
+          SELECT p_partkey, p_brand, 'p_retailprice', p_retailprice FROM part)
+        SELECT p_brand, metric, count(*) AS n,
+               CAST(sum(CAST(val AS DECIMAL(30,2))) AS DOUBLE) AS total,
+               min(val) AS mn, max(val) AS mx
+        FROM m GROUP BY 1, 2"""),
+    ),
   )
 }
