@@ -127,5 +127,85 @@ object Events {
          AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
         WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""),
     ),
+
+    // ---- e5: ordered funnel — view → click → purchase, each stage
+    //      strictly after the user's FIRST completion of the previous
+    //      stage (the product-analytics sequence query). Running
+    //      conditional mins over ONE per-user sort express the order
+    //      dependence: first_view is a running min, a click qualifies
+    //      only against the views before it, a purchase only against the
+    //      qualified clicks before it. Scale shape: the corpus shuffles
+    //      ONCE on user_id — both Window operators and the per-user
+    //      aggregate reuse the same exchange+sort — and the summary is a
+    //      single-row map-side-partial reduce. (The 3-joins spelling of
+    //      this funnel shuffles three times; the window spelling is the
+    //      one that survives 100 TB of events.) ----
+    Q(
+      "e5_funnel",
+      (s, dir) => {
+        val wRun = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val staged = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+          .withColumn("first_view",
+            min(when(col("event_type") === "view", col("ts_us"))).over(wRun))
+          .withColumn("click_after",
+            when(col("event_type") === "click" && col("first_view").isNotNull &&
+              col("ts_us") > col("first_view"), col("ts_us")))
+          .withColumn("first_click", min(col("click_after")).over(wRun))
+          .withColumn("purchase_after",
+            when(col("event_type") === "purchase" && col("first_click").isNotNull &&
+              col("ts_us") > col("first_click"), col("ts_us")))
+        staged
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", col("ts_us"))).as("t_view"),
+            min(col("click_after")).as("t_click"),
+            min(col("purchase_after")).as("t_purchase"))
+          .agg(
+            count(lit(1)).as("n_users"),
+            count(col("t_view")).as("n_view"),
+            count(col("t_click")).as("n_click"),
+            count(col("t_purchase")).as("n_purchase"),
+            sum(col("t_purchase") - col("t_view")).as("sum_latency_us"),
+            round(count(col("t_purchase")) / count(col("t_view")), 6).as("conv_rate"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        st1 AS (
+          SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+                      OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_view
+          FROM ev),
+        st2 AS (
+          SELECT *, CASE WHEN event_type = 'click' AND first_view IS NOT NULL
+                              AND ts_us > first_view THEN ts_us END AS click_after
+          FROM st1),
+        st3 AS (
+          SELECT *, min(click_after)
+                      OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_click
+          FROM st2),
+        st4 AS (
+          SELECT *, CASE WHEN event_type = 'purchase' AND first_click IS NOT NULL
+                              AND ts_us > first_click THEN ts_us END AS purchase_after
+          FROM st3),
+        pu AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts_us END) AS t_view,
+                 min(click_after) AS t_click,
+                 min(purchase_after) AS t_purchase
+          FROM st4 GROUP BY 1)
+        SELECT count(*) AS n_users,
+               count(t_view) AS n_view,
+               count(t_click) AS n_click,
+               count(t_purchase) AS n_purchase,
+               CAST(sum(t_purchase - t_view) AS BIGINT) AS sum_latency_us,
+               round(count(t_purchase) / CAST(count(t_view) AS DOUBLE), 6) AS conv_rate
+        FROM pu"""),
+    ),
   )
 }

@@ -61,6 +61,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"t8 must be shuffle-free:\n$p")
   }
 
+  test("e5: funnel stage order is strict — crafted users pin the semantics") {
+    import spark.implicits._
+    val base = 1700000000000000L // epoch µs
+    def ts(off: Long) = new java.sql.Timestamp((base + off * 1000000L) / 1000)
+    val rows = Seq(
+      // user 1: view -> click -> purchase = full conversion
+      (1L, 10L, "view", ts(0)), (1L, 11L, "click", ts(10)), (1L, 12L, "purchase", ts(20)),
+      // user 2: click BEFORE first view never qualifies -> no conversion
+      (2L, 20L, "click", ts(0)), (2L, 21L, "view", ts(10)), (2L, 22L, "purchase", ts(20)),
+      // user 3: purchase BEFORE first qualified click -> counts click only
+      (3L, 30L, "view", ts(0)), (3L, 31L, "purchase", ts(10)), (3L, 32L, "click", ts(20)),
+      // user 4: purchase alone reaches no stage
+      (4L, 40L, "purchase", ts(0)),
+    )
+    rows.toDF("user_id", "event_id", "event_type", "ts")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$fixtureDir/events.parquet")
+    val r = SparkEntry.queries("e5_funnel")(spark, fixtureDir).collect()(0)
+    assert(r.getLong(0) == 4, "n_users")
+    assert(r.getLong(1) == 3, "n_view: users 1,2,3")
+    assert(r.getLong(2) == 2, "n_click: users 1,3 (user 2's click precedes the view)")
+    assert(r.getLong(3) == 1, "n_purchase: user 1 only")
+    assert(r.getLong(4) == 20L * 1000000, "latency = 20s for user 1")
+    assert(r.getDouble(5) == 0.333333)
+  }
+
+  test("e5 plan: one user_id shuffle feeds both windows and the aggregate") {
+    val df = SparkEntry.queries("e5_funnel")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    // the adaptive plan prints Final AND Initial plans — count in Final only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val userExchanges = p.sliding("hashpartitioning(user_id".length)
+      .count(_ == "hashpartitioning(user_id")
+    assert(userExchanges == 1, s"expected exactly one user_id exchange:\n$p")
+  }
+
   test("d7: cluster provenance invariants against d6 on real testdata") {
     val dir = "/root/testdata/sf0.001"
     val d7 = SparkEntry.queries("d7_cross_source")(spark, dir).collect()
