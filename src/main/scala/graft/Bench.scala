@@ -20,6 +20,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Scratch.dir) // RAM scratch; see Scratch
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

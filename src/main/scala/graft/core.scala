@@ -31,6 +31,29 @@ object Agg {
     sum(c.cast(DecimalType(30, scale))).cast("double")
 }
 
+/** Shuffle/spill scratch location for the single-node mains.
+  *
+  * A cluster deployment puts `spark.local.dir` on local NVMe; the
+  * single-node twin of that is RAM-backed tmpfs. This matters here
+  * because the container's virtual disk can degrade to ~13 MB/s with
+  * ~7 ms small-file latency (measured round 4), at which point every
+  * shuffle write bills storage, not the operator under test — q2-class
+  * queries inflated 20× while pure-CPU kernels were unaffected. The
+  * data volumes at the bench SFs (≪1 GB of shuffle files) are far below
+  * the tmpfs size, and results/parquet outputs still go wherever the
+  * caller pointed them.
+  */
+object Scratch {
+  def dir: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft-spark-scratch")
+      d.mkdirs()
+      d.getAbsolutePath
+    } else System.getProperty("java.io.tmpdir")
+  }
+}
+
 /** Table loader for the driver testdata layout (`TESTDATA.md`):
   * one parquet file per table under the scale-factor directory.
   */
