@@ -34,11 +34,27 @@ object Bench {
     def mark(phase: String): Unit =
       System.err.println(f"[bench] $phase done at t=${(System.nanoTime() - tStart) / 1e9}%.0f s")
 
+    // Phase-scoped caches: each phase (warmup / uniform pass / skew pass)
+    // releases its materialized tables and index caches before the next
+    // one starts. Within a phase, reuse is the production shape the bench
+    // wants to measure; ACROSS phases the dead sets only stack up in the
+    // unified memory pool — measured in round 4: with the round's larger
+    // inventory (bigram LM, quantized corpora, component checkpoints) the
+    // skew pass ran against a full storage pool and its first cell
+    // degraded 50× from eviction churn, while the same query on the same
+    // fixture in a fresh JVM ran in 1 s.
+    def releasePhase(dir: String): Unit = {
+      graft.pipeline.Materialized.releaseMatching(_.endsWith(s"|$dir"))
+      graft.pipeline.Dedup.releaseIndex(spark, dir)
+      graft.pipeline.Similarity.releaseBlockStats(spark)
+    }
+
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.inventory.foreach { q =>
       try q.run(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
+    releasePhase(warmDir)
     mark("warmup")
 
     // Reference-protocol sort sweep (µs per sorted batch, min of
@@ -109,6 +125,7 @@ object Bench {
     }
 
     val results = SparkEntry.inventory.map(q => q.name -> timeQuery(q, sfDir))
+    releasePhase(sfDir)
     mark("query pass")
 
     // Skewed-data cells: hot shingles / hot labels / hot join keys only
@@ -133,14 +150,10 @@ object Bench {
               .getOrElse(sys.error(s"unknown skew query $qn")))
             .map(q => s"skew_${q.name}" -> timeQuery(q, skewDir))
         } finally {
-          // release the skew fixture's materialized tables before sweep
-          // pass 2 ON EVERY EXIT PATH: a second full cache set (shingle
-          // index, capped index, banded vectors, IVF centroids) left
-          // on-heap would pressure the µs-scale kernel timings the
-          // second window exists to keep quiet
-          graft.pipeline.Materialized.releaseMatching(_.endsWith(s"|$skewDir"))
-          graft.pipeline.Dedup.releaseIndex(spark, skewDir)
-          graft.pipeline.Similarity.releaseBlockStats(spark)
+          // ON EVERY EXIT PATH: the skew cache set left on-heap would
+          // pressure the µs-scale kernel timings the second sweep window
+          // exists to keep quiet
+          releasePhase(skewDir)
         }
       } catch {
         case e: Throwable =>

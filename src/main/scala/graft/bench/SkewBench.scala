@@ -4,7 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Skewed-data bench fixtures: deterministic zipf-head transforms of the
-  * uniform SF tables, written once per bench run under `target/`.
+  * uniform SF tables, written once per bench run on the RAM-backed
+  * scratch volume ([[graft.Scratch]] — the container disk can degrade to
+  * ~13 MB/s, at which point a fixture write bills minutes of storage
+  * latency to a bench that exists to time operators; the uniform twins
+  * read page-cached parquet, so RAM-speed storage also keeps the
+  * skew-vs-uniform ratio a statement about the OPERATORS, not the disk).
   *
   * Every driver testdata table is uniform, so the scale-killers the
   * engine defends against — hot shingles (d2's df cap), hot blocking
@@ -36,7 +41,7 @@ object SkewBench {
 
   /** Build (or rebuild) the skew fixture for `sfDir`; returns its path. */
   def prepare(spark: SparkSession, sfDir: String): String = {
-    val out = s"target/skewdata/${new java.io.File(sfDir).getName}"
+    val out = s"${graft.Scratch.dir}/skewdata/${new java.io.File(sfDir).getName}"
     new java.io.File(out).mkdirs()
     for (tn <- CopiedTables)
       java.nio.file.Files.copy(

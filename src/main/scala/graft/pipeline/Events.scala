@@ -207,5 +207,40 @@ object Events {
                round(count(t_purchase) / CAST(count(t_view) AS DOUBLE), 6) AS conv_rate
         FROM pu"""),
     ),
+
+    // ---- e6: weekly cohort retention — users grouped by their FIRST
+    //      active ISO week, counted in every later week they return (the
+    //      growth-analytics triangle). Scale shape: ONE shuffle on
+    //      user_id (the cohort window); the user-week dedupe rides the
+    //      same exchange (hash(user_id) satisfies the wider grouping
+    //      clustering), and the final roll-up shuffles only the already
+    //      deduped user-week pairs. Week starts cross the oracle
+    //      boundary as epoch-µs longs; offsets divide exactly under the
+    //      session's UTC clock (no DST — a week is 604 800 000 000 µs).
+    //      ----
+    Q(
+      "e6_retention",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("user_id"),
+            unix_micros(date_trunc("WEEK", col("ts"))).as("week_us"))
+          .withColumn("cohort_us",
+            min(col("week_us")).over(Window.partitionBy(col("user_id"))))
+          .distinct()
+          .groupBy(col("cohort_us"),
+            expr("(week_us - cohort_us) div 604800000000").as("week_offset"))
+          .agg(count(lit(1)).as("n_users")),
+      Some("""
+        WITH wk AS (
+          SELECT DISTINCT user_id, epoch_us(date_trunc('week', ts)) AS week_us
+          FROM events),
+        coh AS (
+          SELECT user_id, week_us,
+                 min(week_us) OVER (PARTITION BY user_id) AS cohort_us
+          FROM wk)
+        SELECT cohort_us, (week_us - cohort_us) // 604800000000 AS week_offset,
+               count(*) AS n_users
+        FROM coh GROUP BY 1, 2"""),
+    ),
   )
 }

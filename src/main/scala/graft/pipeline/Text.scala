@@ -222,36 +222,51 @@ object Text {
     //      that repeat at all, and fraction of trigram INSTANCES that are
     //      duplicated within the doc. Complements t6, which measures
     //      cross-corpus commonness; t7 never leaves the document.
-    //      Shape: two explode → (doc, gram) hash-agg → per-doc agg
-    //      chains, both map-side combinable and keyed on doc_id, so the
-    //      second agg of each chain reuses the first's partitioning —
-    //      two corpus-linear shuffles of count pairs, no window sort.
-    //      Counts stay integral; each output ratio is one IEEE division
-    //      rounded to 6, so both engines agree bit-for-bit. ----
+    //      Shape: the signals only need per-gram COUNTS within one doc,
+    //      and counts of a sorted array are run lengths — so each doc
+    //      sorts its gram array (O(L log L) per row) and one
+    //      `aggregate()` fold extracts max-run and duplicated-instance
+    //      totals. A pure per-row projection: NO explode, NO shuffle, no
+    //      per-gram hash rows (the previous explode→hash-agg→re-agg
+    //      spelling cost two corpus-amplified shuffles and 4+ s at
+    //      sf0.1; this is corpus-linear map work, the same reshaping
+    //      that makes t8 shuffle-free). Counts stay integral; each
+    //      output ratio is one IEEE division rounded to 6, so both
+    //      engines agree bit-for-bit (oracle keeps the equivalent
+    //      unnest→GROUP BY spelling). ----
     Q(
       "t7_repetition",
       (s, dir) => {
-        val d = Dedup.docsSharded(s, dir)
-        val wc = d.select(col("doc_id"), explode(words(col("text"))).as("w"))
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        val perW = wc.groupBy("doc_id").agg(
-          sum("c").as("n_words_r"),
-          max("c").as("top_c"),
-          sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_c"))
-        val tc = d.select(col("doc_id"), explode(shingles3(words(col("text")))).as("t3"))
-          .groupBy("doc_id", "t3").agg(count(lit(1)).as("c"))
-        val perT = tc.groupBy("doc_id").agg(
-          sum("c").as("n_tri"),
-          sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_tri"))
-        perW.join(perT, Seq("doc_id"), "left")
+        // fold over the SORTED gram array: equal grams are adjacent, so
+        // run length = gram count. dup counts every instance of a gram
+        // whose count ≥2: +2 when a run reaches length 2 (both members
+        // become duplicated), +1 for each further member.
+        def runStats(arr: String) =
+          s"""aggregate(array_sort($arr),
+                named_struct('prev', CAST(NULL AS STRING),
+                             'run', 0L, 'maxrun', 0L, 'dup', 0L),
+                (a, x) -> named_struct(
+                  'prev', x,
+                  'run', IF(x <=> a.prev, a.run + 1L, 1L),
+                  'maxrun', GREATEST(a.maxrun, IF(x <=> a.prev, a.run + 1L, 1L)),
+                  'dup', a.dup + IF(x <=> a.prev, IF(a.run = 1L, 2L, 1L), 0L)))"""
+        t(s, dir, "documents")
+          .filter(col("text").isNotNull) // null text has no word rows in the
+          // grouped spelling either (unnest of NULL is empty)
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .withColumn("t3", shingles3(col("ws")))
+          .withColumn("wstat", expr(runStats("ws")))
+          .withColumn("tstat", expr(runStats("t3")))
           .select(
             col("doc_id"),
-            col("n_words_r"),
-            round(col("top_c").cast("double") / col("n_words_r"), 6).as("top_word_ratio"),
-            round(col("dup_c").cast("double") / col("n_words_r"), 6).as("dup_word_ratio"),
-            coalesce(col("n_tri"), lit(0L)).as("n_trigrams"),
-            when(coalesce(col("n_tri"), lit(0L)) > 0,
-              round(col("dup_tri").cast("double") / col("n_tri"), 6))
+            size(col("ws")).cast("long").as("n_words_r"),
+            round(col("wstat.maxrun").cast("double") / size(col("ws")).cast("long"), 6)
+              .as("top_word_ratio"),
+            round(col("wstat.dup").cast("double") / size(col("ws")).cast("long"), 6)
+              .as("dup_word_ratio"),
+            size(col("t3")).cast("long").as("n_trigrams"),
+            when(size(col("t3")) > 0,
+              round(col("tstat.dup").cast("double") / size(col("t3")).cast("long"), 6))
               .otherwise(lit(null).cast("double")).as("dup_tri_ratio"))
       },
       Some(s"""

@@ -15,5 +15,6 @@ object Registry {
       graft.pipeline.Similarity.all ++
       graft.pipeline.Events.all ++
       graft.pipeline.Curation.all ++
-      graft.multimodal.Multimodal.all
+      graft.multimodal.Multimodal.all ++
+      graft.sources.Layout.all
 }

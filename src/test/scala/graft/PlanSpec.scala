@@ -132,6 +132,35 @@ class PlanSpec extends SparkSpec {
       s"dedup row_number must partition by fingerprint:\n$p")
   }
 
+  test("q33: co-bucketed join plans with zero Exchange below it") {
+    // cut at AQE's "== Initial Plan ==" trailer: it repeats the
+    // pre-adaptive tree (including the aggregate's Exchange) below the
+    // final plan's join in the flat string
+    val p = executedPlan("q33_bucketed_join").split("== Initial Plan ==")(0)
+    val joinAt = p.indexOf("SortMergeJoin")
+    assert(joinAt >= 0, s"bucketed join must sort-merge (not broadcast):\n$p")
+    // in the tree print the join's children (the bucketed scans) appear
+    // below it; the only Exchange allowed in the whole plan is the final
+    // aggregate's, which prints ABOVE the join. (A LOCAL per-bucket Sort
+    // below the join is expected: Spark ≥3 ignores bucket sortBy
+    // metadata at read time by default — one-file-per-bucket is a write
+    // side effect, not a table contract — and the in-memory bucket sort
+    // is the cheap part; the shuffle is what bucketing removes.)
+    val below = p.substring(joinAt)
+    assert(!below.contains("Exchange"),
+      s"bucketed sides must not re-shuffle:\n$p")
+    assert(below.contains("Bucketed: true") && below.contains("SelectedBucketsCount"),
+      s"join inputs must be the bucketed scans:\n$p")
+  }
+
+  test("q34: event_type predicate prunes partitions at planning time") {
+    val p = plan("q34_partition_prune")
+    assert(p.contains("PartitionFilters") && p.contains("event_type"),
+      s"expected a partition filter on event_type:\n$p")
+    assert(p.contains("(event_type#") || p.contains("= purchase"),
+      s"purchase slice should prune directories:\n$p")
+  }
+
   test("entry flagship returns rows (the driver's smoke check)") {
     assert(SparkEntry.entry(spark).count() > 0, "entry must return rows at sf0.001")
   }
