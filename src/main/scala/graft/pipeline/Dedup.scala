@@ -111,8 +111,24 @@ object Dedup {
     * rewriting `dir` in place within one session serves the stale index
     * unless this is called after the write.
     */
-  private[graft] def releaseIndex(s: SparkSession, dir: String): Unit =
+  private[graft] def releaseIndex(s: SparkSession, dir: String): Unit = {
     indexCache.remove((s, dir)).foreach(_.unpersist(false))
+    docCountCache.remove((s, dir))
+  }
+
+  /** Memoized documents row count per (session, dir) — the scalar d4b's
+    * adaptive piece width derives from (index-build metadata; the DuckDB
+    * oracle recomputes the same count). Without the memo every d4b
+    * invocation pays a count job before its plan exists. Same staleness
+    * contract as the shingle index; released with it.
+    */
+  private val docCountCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  private def docCount(s: SparkSession, dir: String): Long = {
+    docCountCache.keys.filter(_._1.sparkContext.isStopped).foreach(docCountCache.remove)
+    docCountCache.getOrElseUpdate((s, dir), t(s, dir, "documents").count())
+  }
 
   private[graft] def shingleIndex(s: SparkSession, dir: String): DataFrame = {
     // sweep dead sessions' entries (same rationale as Materialized)
@@ -323,7 +339,7 @@ object Dedup {
     // one scalar count fixes the piece width — index-build metadata,
     // same role as s3's max-block scalar (parquet count(*) is a
     // metadata read)
-    val pb = d4bPieceBits(t(s, dir, "documents").count())
+    val pb = d4bPieceBits(docCount(s, dir))
     val nbits = D4bPieces * pb
     val sig = Materialized(s"d4b.sig$nbits|$dir", simhashN(s, dir, nbits, "simhash"))
     sig.select(col("doc_id"), col("simhash"),
