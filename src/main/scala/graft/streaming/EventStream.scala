@@ -172,6 +172,62 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  final case class UserWeek(user_id: Long, week_us: Long)
+  final case class RetentionInc(
+      user_id: Long, cohort_us: Long, week_us: Long, week_offset: Long)
+
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  /** Streaming twin of batch e6 (cohort retention): emits one increment
+    * per NEW (user, active-week) pair, tagged with the user's cohort
+    * week and offset — a downstream update-mode count over
+    * (cohort_us, week_offset) maintains the live retention triangle.
+    *
+    * State is bounded in two tiers: the user-week dedup holds only one
+    * watermark horizon of distinct pairs
+    * (`dropDuplicatesWithinWatermark`), and the per-user cohort state is
+    * a single long — the irreducible state of the semantic (a user's
+    * first-active week never stops mattering), 8 bytes per user, growing
+    * with |users|, not |events|. Late data: an event BELOW a user's
+    * established cohort refines the cohort for later emissions but
+    * cannot retract already-emitted offsets — the batch e6 backfill is
+    * the corrector, the same batch-fixes-stream contract as
+    * [[dedupStream]]'s global d1 backstop. In batch runs (watermarks
+    * no-op, state starts empty, the group sees all weeks sorted) the
+    * emitted increments equal e6's triangle exactly.
+    */
+  def retentionIncrements(
+      events: DataFrame, watermark: String = "14 days"): Dataset[RetentionInc] = {
+    import events.sparkSession.implicits._
+    val weeks = events
+      .withColumn("week", date_trunc("WEEK", col("ts")))
+    // the watermark-bounded dedup is a streaming-only operator (batch
+    // rejects it at analysis); the batch path dedups globally — exactly
+    // the backfill semantic the streaming horizon approximates
+    val deduped =
+      if (events.isStreaming)
+        weeks.withWatermark("week", watermark)
+          .dropDuplicatesWithinWatermark("user_id", "week")
+      else weeks.dropDuplicates("user_id", "week")
+    deduped
+      .select(col("user_id"), unix_micros(col("week")).as("week_us"))
+      .as[UserWeek]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, RetentionInc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[UserWeek], state: GroupState[Long]) =>
+          val weeks = rows.map(_.week_us).toSeq.sorted
+          var cohort = state.getOption.getOrElse(Long.MaxValue)
+          val out = scala.collection.mutable.ListBuffer[RetentionInc]()
+          for (w <- weeks) {
+            if (w < cohort) cohort = w
+            out += RetentionInc(uid, cohort, w, (w - cohort) / WeekUs)
+          }
+          state.update(cohort)
+          out.iterator
+      }
+  }
+
   /** File-source streaming reader with the events schema — at scale this
     * is the replay path over a parquet landing zone.
     */

@@ -57,6 +57,48 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("retentionIncrements: streamed triangle equals the batch e6 fixture") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def wts(w: Int, d: Int = 0): Timestamp =
+      Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 12, 0)
+        .plusDays(w * 7L + d).format(
+          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val query = EventStream.retentionIncrements(df)
+      .writeStream.format("memory").queryName("retention")
+      .outputMode("append").start()
+    try {
+      // same fixture as EventsSpec e6: user 1 weeks 0,1,3 · user 2
+      // week 0 · user 3 weeks 2,3 — split across two in-order batches,
+      // with within-week repeats that must dedup
+      mem.addData((wts(0), 1L), (wts(0, 2), 1L), (wts(1), 1L), (wts(0, 4), 2L))
+      query.processAllAvailable()
+      mem.addData((wts(3), 1L), (wts(2), 3L), (wts(3, 5), 3L))
+      query.processAllAvailable()
+      val w0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      val wk = 7L * 86400L * 1000000L
+      val triangle = spark.table("retention")
+        .groupBy("cohort_us", "week_offset").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(triangle == Map(
+        (w0, 0L) -> 2L, (w0, 1L) -> 1L, (w0, 3L) -> 1L,
+        (w0 + 2 * wk, 0L) -> 1L, (w0 + 2 * wk, 1L) -> 1L))
+    } finally query.stop()
+  }
+
+  test("retentionIncrements batch run equals the e6 triangle on real data") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = EventStream.retentionIncrements(graft.Tables.t(spark, dir, "events"))
+      .groupBy("cohort_us", "week_offset").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val e6 = graft.SparkEntry.queries("e6_retention")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(batch == e6 && batch.nonEmpty)
+  }
+
   test("attributionJoin pairs purchases with same-user clicks in the preceding hour") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
