@@ -105,26 +105,39 @@ object Bench {
     // wall-clock is meaningless and must not masquerade as a fast cell
     // in round-over-round comparisons (the failure itself also prints
     // to stderr, which the driver captures in the bench tail).
-    def timeQuery(q: Q, dir: String): Double = {
+    def once(q: Q, dir: String): Double = {
       System.gc() // stabilize: don't bill query N for query N-1's garbage
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try {
-          q.run(spark, dir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] ${q.name} @ $dir failed: ${e.getMessage}")
-            -1.0
-        }
+      val t0 = System.nanoTime()
+      try {
+        q.run(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} @ $dir failed: ${e.getMessage}")
+          -1.0
       }
-      val t1 = once()
-      if (t1 < 0) t1
-      else if (t1 > 2.0) { val t2 = once(); if (t2 < 0) t1 else math.min(t1, t2) }
-      else t1
     }
 
-    val results = SparkEntry.inventory.map(q => q.name -> timeQuery(q, sfDir))
+    /** First runs for the whole list, THEN the >2 s re-runs as a second
+      * sweep. Adjacent re-runs put both samples of a cell inside the
+      * same minute, and this container's minute-scale degradation
+      * windows (measured up to 20×) then poison the min; separated
+      * sweeps make one quiet sample per cell likely — the same
+      * two-window argument as the sort sweep. Cache billing is
+      * unchanged: first runs build the shared indexes in inventory
+      * order, re-runs measure steady state.
+      */
+    def timePass(qs: Seq[Q], dir: String): Seq[(String, Double)] = {
+      val firsts = qs.map(q => q -> once(q, dir))
+      firsts.map { case (q, t1) =>
+        q.name -> (if (t1 >= 0 && t1 > 2.0) {
+          val t2 = once(q, dir)
+          if (t2 < 0) t1 else math.min(t1, t2)
+        } else t1)
+      }
+    }
+
+    val results = timePass(SparkEntry.inventory, sfDir)
     releasePhase(sfDir)
     mark("query pass")
 
@@ -144,11 +157,13 @@ object Bench {
         try {
           // getOrElse(error): a renamed inventory entry must fail LOUDLY
           // here (caught + logged below), not silently drop its skew cell
-          Seq("d2_ngram_jaccard", "s3_cosine_neardup", "q5_star_join",
-              "d4b_simhash_pairs", "s4_knn_ivf")
-            .map(qn => SparkEntry.inventory.find(_.name == qn)
-              .getOrElse(sys.error(s"unknown skew query $qn")))
-            .map(q => s"skew_${q.name}" -> timeQuery(q, skewDir))
+          timePass(
+            Seq("d2_ngram_jaccard", "s3_cosine_neardup", "q5_star_join",
+                "d4b_simhash_pairs", "s4_knn_ivf")
+              .map(qn => SparkEntry.inventory.find(_.name == qn)
+                .getOrElse(sys.error(s"unknown skew query $qn"))),
+            skewDir)
+            .map { case (name, t) => s"skew_$name" -> t }
         } finally {
           // ON EVERY EXIT PATH: the skew cache set left on-heap would
           // pressure the µs-scale kernel timings the second sweep window
