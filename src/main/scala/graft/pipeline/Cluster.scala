@@ -112,20 +112,22 @@ private[graft] object Cluster {
       .foreach(_.unpersist(false))
 
   /** DuckDB twin: transitive closure by recursive CTE. `pairsCte` must
-    * name a CTE with `doc1`/`doc2` columns; emits CTE bodies `cc_edges`
-    * and `cc_roots(doc_id, root)`. The enclosing WITH must be declared
-    * RECURSIVE.
+    * name a CTE with `doc1`/`doc2` columns; emits CTE bodies
+    * `<prefix>_edges` and `<prefix>_roots(doc_id, root)`. The enclosing
+    * WITH must be declared RECURSIVE. The prefix exists so one query can
+    * instantiate components over several pair sets (p2 clusters the base
+    * lake and the mixed lake∪delta graph in the same oracle).
     */
-  def componentsCtes(pairsCte: String): String =
-    s"""cc_edges AS (
+  def componentsCtes(pairsCte: String, prefix: String = "cc"): String =
+    s"""${prefix}_edges AS (
           SELECT doc1 AS src, doc2 AS dst FROM $pairsCte
           UNION ALL
           SELECT doc2, doc1 FROM $pairsCte),
-        cc_reach(doc_id, r) AS (
-          SELECT src, src FROM cc_edges
+        ${prefix}_reach(doc_id, r) AS (
+          SELECT src, src FROM ${prefix}_edges
           UNION
-          SELECT cc_reach.doc_id, e.dst
-          FROM cc_reach JOIN cc_edges e ON cc_reach.r = e.src),
-        cc_roots AS (
-          SELECT doc_id, min(r) AS root FROM cc_reach GROUP BY 1)"""
+          SELECT ${prefix}_reach.doc_id, e.dst
+          FROM ${prefix}_reach JOIN ${prefix}_edges e ON ${prefix}_reach.r = e.src),
+        ${prefix}_roots AS (
+          SELECT doc_id, min(r) AS root FROM ${prefix}_reach GROUP BY 1)"""
 }

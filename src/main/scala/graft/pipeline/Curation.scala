@@ -57,6 +57,20 @@ object Curation {
   private[graft] val MinWords = 20
   private[graft] val MaxWords = 1000
 
+  /** p2's "yesterday's crawl": the sources treated as the incoming
+    * delta; everything else is the already-curated lake.
+    */
+  private[graft] val DeltaSources = Seq("src18", "src19")
+  private def deltaSourcesSql = DeltaSources.map(s => s"'$s'").mkString(", ")
+
+  /** Offset added to delta doc_ids in the mixed components run: every
+    * mapped delta id sits above every lake id, so a cluster's min label
+    * is a lake doc whenever one belongs — the lake-wins rule as plain
+    * min-label propagation. Far above any real doc_id (ids are
+    * corpus-row-scaled; 2^40 ≈ 10^12).
+    */
+  private[graft] val DeltaOffset = 1L << 40
+
   def all: Seq[Q] = Seq(
     Q(
       "p1_curation",
@@ -117,6 +131,145 @@ object Curation {
         SELECT doc_id, pred_lang, n_words, bpe_tokens
         FROM uniq
         WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""),
+    ),
+
+    // ---- p2: INCREMENTAL curation — yesterday's crawl (the delta
+    //      sources) curated AGAINST the existing lake, without
+    //      re-curating the lake. This is the nightly-batch shape of a
+    //      100 TB pipeline: the lake is immutable state; only the delta
+    //      is gated, deduped and near-dup-checked, and a lake document
+    //      ALWAYS beats a delta near-copy (stability — accepted data is
+    //      never retroactively displaced by new arrivals).
+    //
+    //      Rules, in order:
+    //        1. gate: p1's language/length gate on delta docs;
+    //        2. exact: a delta fingerprint already in the lake is
+    //           rejected; within the delta, lowest doc_id per
+    //           fingerprint survives;
+    //        3. near-dup: verified pairs (the shared d5 artifact) among
+    //           lake ∪ surviving delta are clustered by connected
+    //           components with delta ids OFFSET ABOVE every lake id —
+    //           min-label canonicalization then prefers lake members by
+    //           construction — and a delta doc survives only as its
+    //           cluster's canonical (no lake member, no lower delta id).
+    //
+    //      Scale shape: the lake build (base-only p1) is a one-time cost
+    //      materialized per corpus — the production lake already exists
+    //      on disk; the per-delta work is |delta| feature rows, one
+    //      fingerprint hash-join against the lake (broadcast-able: the
+    //      fingerprint column, not the corpus), and a components run
+    //      over the |near-dup pairs touching lake ∪ delta| edge set —
+    //      never corpus-sized. The candidate pairs reuse the session's
+    //      shared shingle index/verified table (built once, amortized
+    //      across d2–d7/p1/p2), exactly as the lake's index persists
+    //      across nightly runs in production. ----
+    Q(
+      "p2_delta_curation",
+      (s, dir) => {
+        val feats = t(s, dir, "documents").select(
+          col("doc_id") +: col("source") +: langCountCols :+
+            Portable.nWords(col("text")).as("n_words") :+
+            Portable.bpeTokens(col("text")).as("bpe_tokens") :+
+            Portable.normFingerprint(col("text")).as("fingerprint"): _*)
+        val gated = feats
+          .filter(col("n_words").between(MinWords, MaxWords))
+          .withColumn("pred_lang", predLangCol)
+        val isDelta = col("source").isin(DeltaSources: _*)
+        // lake = p1 over the base sources only (the state before the
+        // delta arrived), fingerprints kept for the exact check
+        val baseUniq = Materialized(s"p2.lake.uniq|$dir", gated
+          .filter(!isDelta)
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("fingerprint").orderBy("doc_id")))
+          .filter(col("rn") === 1)
+          .select("doc_id", "fingerprint", "pred_lang", "n_words", "bpe_tokens"))
+        val verified = Dedup.lshVerifiedPairs(s, dir).filter(col("is_dup"))
+        val baseIds = baseUniq.select("doc_id")
+        val basePairs = verified
+          .join(baseIds.withColumnRenamed("doc_id", "doc1"), "doc1")
+          .join(baseIds.withColumnRenamed("doc_id", "doc2"), "doc2")
+          .select("doc1", "doc2")
+        val baseLosers = Materialized
+          .getOrBuild(s, s"p2.lake.cc|$dir")(Cluster.minLabelComponents(basePairs))
+          .filter(col("doc_id") =!= col("root"))
+          .select("doc_id")
+        val lake = baseUniq.join(baseLosers, Seq("doc_id"), "left_anti")
+        // delta: gate, then exact dedup vs the lake and within itself
+        val deltaUniq = gated.filter(isDelta)
+          .join(lake.select("fingerprint"), Seq("fingerprint"), "left_anti")
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("fingerprint").orderBy("doc_id")))
+          .filter(col("rn") === 1)
+          .select("doc_id", "pred_lang", "n_words", "bpe_tokens")
+        // mixed clustering: delta ids offset above every lake id, so the
+        // component minimum is a lake doc whenever one is present
+        val members = lake.select(col("doc_id"), col("doc_id").as("mid"))
+          .unionByName(deltaUniq.select(col("doc_id"),
+            (col("doc_id") + DeltaOffset).as("mid")))
+        val mixedPairs = verified
+          .join(members.select(col("doc_id").as("doc1"), col("mid").as("m1")), "doc1")
+          .join(members.select(col("doc_id").as("doc2"), col("mid").as("m2")), "doc2")
+          .select(col("m1").as("doc1"), col("m2").as("doc2"))
+        val deltaLosers = Materialized
+          .getOrBuild(s, s"p2.cc|$dir")(Cluster.minLabelComponents(mixedPairs))
+          .filter(col("doc_id") =!= col("root"))
+          .filter(col("doc_id") >= DeltaOffset)
+          .select((col("doc_id") - DeltaOffset).as("doc_id"))
+        deltaUniq
+          .join(deltaLosers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("pred_lang"), col("n_words"), col("bpe_tokens"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${Dedup.lshVerifiedCtes},
+        feats AS (
+          SELECT doc_id, source,
+                 $langCountsSql,
+                 CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INT) AS n_words,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+          FROM documents),
+        gated AS (
+          SELECT *, $predLangSql AS pred_lang
+          FROM feats WHERE n_words BETWEEN $MinWords AND $MaxWords),
+        base_uniq AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+            FROM gated WHERE source NOT IN ($deltaSourcesSql))
+          WHERE rn = 1),
+        base_dup AS (
+          SELECT v.doc1, v.doc2
+          FROM verified v
+          JOIN base_uniq u1 ON v.doc1 = u1.doc_id
+          JOIN base_uniq u2 ON v.doc2 = u2.doc_id
+          WHERE v.is_dup),
+        ${Cluster.componentsCtes("base_dup", "bcc")},
+        lake AS (
+          SELECT * FROM base_uniq
+          WHERE doc_id NOT IN (SELECT doc_id FROM bcc_roots WHERE doc_id <> root)),
+        delta_uniq AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+            FROM gated
+            WHERE source IN ($deltaSourcesSql)
+              AND fingerprint NOT IN (SELECT fingerprint FROM lake))
+          WHERE rn = 1),
+        members AS (
+          SELECT doc_id, doc_id AS mid FROM lake
+          UNION ALL
+          SELECT doc_id, doc_id + $DeltaOffset FROM delta_uniq),
+        mixed AS (
+          SELECT m1.mid AS doc1, m2.mid AS doc2
+          FROM verified v
+          JOIN members m1 ON v.doc1 = m1.doc_id
+          JOIN members m2 ON v.doc2 = m2.doc_id
+          WHERE v.is_dup),
+        ${Cluster.componentsCtes("mixed", "mcc")},
+        delta_losers AS (
+          SELECT doc_id - $DeltaOffset AS doc_id
+          FROM mcc_roots WHERE doc_id <> root AND doc_id >= $DeltaOffset)
+        SELECT doc_id, pred_lang, n_words, bpe_tokens
+        FROM delta_uniq
+        WHERE doc_id NOT IN (SELECT doc_id FROM delta_losers)"""),
     ),
   )
 }

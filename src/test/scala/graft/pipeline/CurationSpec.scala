@@ -93,4 +93,68 @@ class CurationSpec extends SparkSpec {
       .count()
     assert(nonCanonical == 0, s"$nonCanonical non-canonical copies survived")
   }
+
+  test("p2: lake wins over a LOWER-id delta near-copy; delta rules pin") {
+    import spark.implicits._
+    val textX = (1 to 100).map(i => s"x${i % 83} k${i % 19}").mkString(" ")
+    val textY = (1 to 100).map(i => s"y${i * 29 % 71} p${i % 17}").mkString(" ")
+    val fixtures = Seq(
+      // lake: doc 10 holds content X
+      (10L, textX, "src0"),
+      // delta doc 5: near-copy of X with a LOWER id than its lake twin —
+      // plain min-label would keep 5 and displace the lake; the offset
+      // mapping must drop 5 (lake stability)
+      (5L, textX.split(" ").dropRight(3).mkString(" "), "src18"),
+      // delta doc 20: byte-identical to the lake doc -> exact-rejected
+      (20L, textX, "src18"),
+      // delta near-copies 21/22: canonical 21 survives, 22 drops
+      (21L, textY, "src19"),
+      (22L, textY.split(" ").dropRight(3).mkString(" "), "src19"),
+      // delta doc 23: fresh content -> survives
+      (23L, (1 to 50).map(i => s"f${i * 13 % 61} g${i % 11}").mkString(" "), "src18"),
+      // delta doc 24: below the length gate
+      (24L, "too short to pass the gate", "src19"),
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val fdir = "target/p2-delta-fixture"
+    fixtures.coalesce(1).write.mode("overwrite").parquet(s"$fdir/documents.parquet")
+    Materialized.releaseMatching(_.endsWith(s"|$fdir"))
+    Dedup.releaseIndex(spark, fdir)
+    try {
+      // sanity: the cross-tier near-dup pair really LSH-verifies
+      val dups = Dedup.lshVerifiedPairs(spark, fdir)
+        .filter(col("is_dup")).select("doc1", "doc2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(dups.contains((5L, 10L)), s"fixture pair (5,10) must verify, got $dups")
+      assert(dups.contains((21L, 22L)), s"fixture pair (21,22) must verify, got $dups")
+      val accepted = SparkEntry.queries("p2_delta_curation")(spark, fdir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(accepted == Set(21L, 23L),
+        s"expected {21, 23}: 5 loses to the lake despite its lower id, " +
+          s"20 is an exact lake dup, 22 loses to 21, 24 is gated; got $accepted")
+    } finally {
+      Materialized.releaseMatching(_.endsWith(s"|$fdir"))
+      Dedup.releaseIndex(spark, fdir)
+    }
+  }
+
+  test("p2 on real data: delta-only ids, unique, no intact verified pair") {
+    val p2 = SparkEntry.queries("p2_delta_curation")(spark, dir).cache()
+    try {
+      val n = p2.count()
+      assert(n > 0, "delta manifest must be non-empty at sf0.001")
+      assert(p2.select("doc_id").distinct().count() == n)
+      val deltaIds = graft.Tables.t(spark, dir, "documents")
+        .filter(col("source").isin(Curation.DeltaSources: _*)).select("doc_id")
+      assert(p2.select("doc_id").join(deltaIds, Seq("doc_id"), "left_anti").count() == 0,
+        "p2 must only ever emit delta-source docs")
+      val ids = p2.select("doc_id")
+      val intact = Dedup.lshVerifiedPairs(spark, dir).filter(col("is_dup"))
+        .join(ids.withColumnRenamed("doc_id", "doc1"), "doc1")
+        .join(ids.withColumnRenamed("doc_id", "doc2"), "doc2")
+        .count()
+      assert(intact == 0, s"$intact verified pairs survived within the delta manifest")
+    } finally p2.unpersist()
+  }
 }
