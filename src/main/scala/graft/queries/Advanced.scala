@@ -345,5 +345,78 @@ object Advanced {
                min(val) AS mn, max(val) AS mx
         FROM m GROUP BY 1, 2"""),
     ),
+
+    // ---- q35: WEIGHTED stratified sampling — per-stratum k
+    //      proportional to stratum mass (k_g = max(1, K·n_g/n), floor
+    //      division), the eval-set shape where strata must be
+    //      represented by population share rather than equally. Unlike
+    //      q31 (fixed k per stratum, driver-collected counts), the
+    //      count table here stays DISTRIBUTED: a map-side-combined
+    //      group-by (|strata| rows) self-normalized by an unpartitioned
+    //      window sum, then joined back onto the corpus — AQE
+    //      broadcasts the |strata|-row side, so the corpus never
+    //      re-shuffles for the allocation. The per-stratum hash cut
+    //      (same 60-bit md5 ladder as q31, integer-only so both
+    //      engines agree bit-for-bit: (2^60 div n_g)·(over·k_g), no
+    //      overflow since the ELSE branch implies over·k_g < n_g)
+    //      prefilters to ~over·k_g rows per stratum BEFORE the
+    //      row_number window, so the only sort is over the ~over·K
+    //      survivors, not the corpus. ----
+    Q(
+      "q35_weighted_sample",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        import graft.pipeline.Portable.md5Long
+        val k = 600L // total sample budget, split across strata by mass
+        val over = 8L
+        val li = t(s, dir, "lineitem")
+        val alloc = li.groupBy("l_returnflag").agg(count(lit(1)).as("n_g"))
+          .withColumn("n", sum("n_g").over(Window.partitionBy()))
+          .withColumn("k_g", greatest(lit(1L), expr(s"($k * n_g) div n")))
+          .withColumn("cut",
+            when(col("n_g") <= lit(over) * col("k_g"), lit(Long.MaxValue))
+              .otherwise(expr(s"(1152921504606846976L div n_g) * ($over * k_g) + 1")))
+          .select("l_returnflag", "k_g", "cut")
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        li.withColumn("h",
+            md5Long(concat_ws("-", col("l_orderkey"), col("l_linenumber"))))
+          .join(alloc, "l_returnflag")
+          .filter(col("h") < col("cut"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= col("k_g"))
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("rn"))
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT l_returnflag, count(*) AS n_g FROM lineitem GROUP BY 1),
+        alloc AS (
+          SELECT l_returnflag, n_g,
+                 greatest(1, (600 * n_g) // sum(n_g) OVER ()) AS k_g
+          FROM c),
+        cuts AS (
+          SELECT l_returnflag, k_g,
+                 CASE WHEN n_g <= 8 * k_g THEN 9223372036854775807
+                      ELSE (1152921504606846976 // n_g) * (8 * k_g) + 1
+                 END AS cut
+          FROM alloc),
+        h AS (
+          SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+                 ${graft.pipeline.Portable.md5LongSql(
+                   "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")} AS h
+          FROM lineitem),
+        r AS (
+          SELECT h.l_returnflag, h.l_orderkey, h.l_linenumber, h.l_quantity,
+                 cuts.k_g,
+                 row_number() OVER (
+                   PARTITION BY h.l_returnflag
+                   ORDER BY h.h, h.l_orderkey, h.l_linenumber, h.l_quantity) AS rn
+          FROM h JOIN cuts USING (l_returnflag)
+          WHERE h.h < cuts.cut)
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+               CAST(rn AS INT) AS rn
+        FROM r WHERE rn <= k_g"""),
+    ),
   )
 }

@@ -62,6 +62,31 @@ class SamplingSpec extends SparkSpec {
       s"expected partial window-group-limit below the exchange:\n$p")
   }
 
+  test("q35: per-stratum counts follow the proportional allocation") {
+    val li = Tables.t(spark, dir, "lineitem")
+    val counts = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    // the spec'd rule, recomputed independently: floor division, min 1
+    val expected = counts.map { case (f, ng) =>
+      f -> math.min(ng, math.max(1L, 600L * ng / n))
+    }
+    val perStratum = SparkEntry.queries("q35_weighted_sample")(spark, dir)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStratum == expected, s"got $perStratum want $expected")
+  }
+
+  test("q35 plan: allocation joins by broadcast, corpus never sort-merges") {
+    val df = SparkEntry.queries("q35_weighted_sample")(spark, dir)
+    df.collect() // finalize the adaptive plan (AQE picks the join strategy)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |strata|-row allocation table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not sort-merge against the allocation:\n$p")
+  }
+
   test("q32: melt preserves mass and lowers to Expand (no pre-agg shuffle)") {
     val df = SparkEntry.queries("q32_unpivot")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
