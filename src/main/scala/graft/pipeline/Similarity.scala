@@ -683,6 +683,175 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
   }
 
+  /** s6 geometry: [[PqSubs]] subspaces of [[PqDim]] dims (64-dim
+    * embeddings), a [[PqK]]-codeword codebook per subspace. The code
+    * width is a PROPERTY OF THE SPACE, not the corpus: bytes/vector stay
+    * constant as the corpus grows (unlike IVF's K≈√n, which controls
+    * probe count, PQ's codebook controls per-vector resolution).
+    */
+  val PqSubs = 16
+  val PqDim = 4
+  val PqK = 16
+  val PqPool = 50
+  val PqLloydIters = 2
+
+  /** s6 kernel: PRODUCT-QUANTIZED ANN (the step past s5 the scale notes
+    * name): L2-normalize, split every vector into [[PqSubs]] subspaces,
+    * vector-quantize each slice against a per-subspace [[PqK]]-codeword
+    * codebook, and rank candidates by ASYMMETRIC DISTANCE — the query
+    * stays full-precision, a candidate's approximate dot is the sum of
+    * 8 per-subspace lookup-table entries keyed by its codes. Exact
+    * cosine re-ranks the [[PqPool]] survivors, absorbing quantization
+    * reordering (same pool pattern as s5).
+    *
+    * Scale shape — this is the operator that makes a 100 TB embedding
+    * scan cheap: the persisted per-vector artifact is EIGHT 4-bit codes
+    * (vs 512 B of fp64, a 64× storage/bandwidth cut; s5's int8 cut is
+    * 8×); the LUT is |queries|·PqSubs·PqK rows of per-subspace dots —
+    * broadcast, never shuffled; the candidate scan joins codes against
+    * the LUT and map-side-combines the per-(query, vector) sum, so the
+    * corpus crosses the wire once as (qid, vec_id, partial) rows. The
+    * codebook train is |corpus|·PqSubs slice rows against PqK·PqSubs =
+    * 128 broadcast codewords per Lloyd pass — corpus-linear (PQ has no
+    * n^1.25 term; the codebook is constant-size).
+    *
+    * Determinism (the full-hash-check property, like s4/s5): slices and
+    * seeds are deterministic; assignment ranks round(L2, 6) with cid
+    * tie-break; Lloyd means are decimal-exact per dimension (identical
+    * machinery to s4's [[lloydStep]]); LUT entries are rounded to 6
+    * places and CAST to DECIMAL, so the candidate score — a sum of 8
+    * decimals — is EXACT and order-insensitive: partial aggregation
+    * cannot reorder a float sum into a different total, and the pool
+    * ranking cannot split across engines.
+    */
+  /** Normalized corpus sliced into subspaces: `(vec_id, sub, sv)`,
+    * [[PqSubs]] rows per vector. Materialized: the codebook train reads
+    * it [[PqLloydIters]]+1 times, the code assignment once more.
+    */
+  private def pqSlices(s: SparkSession, dir: String): DataFrame =
+    Materialized(s"s6.slices|$dir", vecs(s, dir)
+      .select(col("vec_id"),
+        expr("transform(v, x -> x / sqrt(vec_dot(v, v)))").as("nv"))
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqSubs - 1}), j -> slice(nv, j * $PqDim + 1, $PqDim))")))
+      .select(col("vec_id"), col("pos").as("sub"), col("col").as("sv")))
+
+  /** Seed codebooks: slices of the [[PqK]] vectors at [[CentroidLo]] —
+    * the same deterministic-sample rule as s4's seeds, per subspace.
+    */
+  private def pqSeeds(slices: DataFrame): DataFrame = slices
+    .filter(col("vec_id") >= CentroidLo && col("vec_id") < CentroidLo + PqK)
+    .select(col("sub"), (col("vec_id") - CentroidLo).as("cid"), col("sv").as("cv"))
+
+  /** Nearest-codeword assignment per (vector, subspace): full L2 over
+    * the broadcast 128-row codebook, rounded before ranking so float
+    * noise cannot tie-break differently across engines (s4's rule).
+    */
+  private def pqAssign(slices: DataFrame, cb: DataFrame): DataFrame =
+    slices.join(broadcast(cb), "sub")
+      .withColumn("d", round(
+        expr("vec_dot(sv, sv) - 2 * vec_dot(sv, cv) + vec_dot(cv, cv)"), 6))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(
+        min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"),
+        first(col("sv")).as("sv"))
+
+  /** One per-subspace Lloyd step — s4's decimal-exact mean machinery
+    * with (sub, cid) in place of cid; empty codewords keep their value.
+    */
+  private def pqLloydStep(slices: DataFrame, cb: DataFrame): DataFrame = {
+    val means = pqAssign(slices, cb)
+      .select(col("sub"), col("cid"), posexplode(col("sv")))
+      .groupBy(col("sub"), col("cid"), col("pos"))
+      .agg(round(
+        sum(round(col("col"), 6).cast(org.apache.spark.sql.types.DecimalType(30, 9))).cast("double")
+          / count(lit(1)), 6).as("m"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("lv"))
+    cb.join(means, Seq("sub", "cid"), "left_outer")
+      .select(col("sub"), col("cid"), coalesce(col("lv"), col("cv")).as("cv"))
+  }
+
+  /** Lloyd-refined per-subspace codebooks, materialized (PqSubs·PqK =
+    * 128 rows; lineage holds the train chain — localCheckpoint truncates
+    * it, same rationale as [[ivfCentroids]]).
+    */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    Materialized.getOrBuild(s, s"s6.cb|$dir")(
+      (1 to PqLloydIters).foldLeft(pqSeeds(pqSlices(s, dir)))(
+        (c, _) => pqLloydStep(pqSlices(s, dir), c)).localCheckpoint())
+
+  /** The PQ index proper: `(vec_id, sub, cid)` — the 4-bit-per-subspace
+    * code table, the ONLY corpus-sized artifact the query path scans.
+    */
+  private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
+    Materialized.getOrBuild(s, s"s6.codes|$dir")(
+      pqAssign(pqSlices(s, dir), pqCodebook(s, dir))
+        .select(col("vec_id"), col("sub"), col("cid")).localCheckpoint())
+
+  def knnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cb = pqCodebook(s, dir)
+    val codes = pqCodes(s, dir)
+    // ADC lookup table: per (query, subspace, codeword) dot — tiny, broadcast
+    val lut = pqSlices(s, dir).filter(col("vec_id") < AuditQueries)
+      .select(col("vec_id").as("qid"), col("sub"), col("sv"))
+      .join(cb, "sub")
+      .select(col("qid"), col("sub"), col("cid"),
+        round(expr("vec_dot(sv, cv)"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("lutv"))
+    val aw = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id").asc)
+    val pool = codes.join(broadcast(lut), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("lutv")).as("ascore")) // decimal: exact, order-insensitive
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= PqPool)
+      .select(col("qid"), col("vec_id"))
+    // exact rerank over the pool only (s5's shape)
+    val q = e.filter(col("vec_id") < AuditQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    pool.join(e, "vec_id").join(broadcast(q), "qid")
+      .withColumn("cos_sim", round(cosine("qv2", "v"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
+  }
+
+  /** DuckDB twin of the PQ train + code assignment:
+    * slices → seed codebooks → [[PqLloydIters]] × (assign, decimal-exact
+    * means, refresh) → final codes. Mirrors [[lloydCtesSql]]'s shape
+    * with (sub, cid) keys.
+    */
+  private def pqCtesSql: String = {
+    val l2 = "round(list_dot_product(sl.sv, sl.sv) - 2 * list_dot_product(sl.sv, cb.cv) + list_dot_product(cb.cv, cb.cv), 6)"
+    def asgSql(i: Int) = s"""pasg$i AS (
+          SELECT vec_id, sub, sv, cid FROM (
+            SELECT sl.vec_id, sl.sub, sl.sv, cb.cid,
+                   row_number() OVER (PARTITION BY sl.vec_id, sl.sub
+                     ORDER BY $l2 ASC, cb.cid ASC) AS arn
+            FROM pqslices sl JOIN pcb$i cb USING (sub))
+          WHERE arn = 1)"""
+    def meanSql(i: Int) = s"""pmean${i + 1} AS (
+          SELECT sub, cid, pos,
+                 round(CAST(sum(CAST(round(x, 6) AS DECIMAL(30,9))) AS DOUBLE) / count(*), 6) AS m
+          FROM (SELECT sub, cid, unnest(sv) AS x,
+                       unnest(generate_series(1, len(sv))) AS pos
+                FROM pasg$i)
+          GROUP BY 1, 2, 3)"""
+    def cbSql(i: Int) = s"""pcb${i + 1} AS (
+          SELECT c.sub, c.cid, coalesce(l.lv, c.cv) AS cv
+          FROM pcb$i c LEFT JOIN (
+            SELECT sub, cid, list(m ORDER BY pos) AS lv FROM pmean${i + 1} GROUP BY 1, 2) l
+          USING (sub, cid))"""
+    val steps = (0 until PqLloydIters)
+      .map(i => s"${asgSql(i)},\n        ${meanSql(i)},\n        ${cbSql(i)}")
+    (steps :+ asgSql(PqLloydIters)).mkString(",\n        ")
+  }
+
   def all: Seq[Q] = Seq(
     // ---- s1: brute-force cosine top-k for a fixed query set ----
     Q(
@@ -845,6 +1014,54 @@ object Similarity {
                               z.vec_id ASC) AS arn
             FROM qz z, qq WHERE z.vec_id != qq.qid)
           WHERE arn <= $S5Pool),
+        qv2 AS (SELECT vec_id AS qid, v AS qv2 FROM e WHERE vec_id < $AuditQueries)
+        SELECT qid, vec_id, cos_sim, rn
+        FROM (SELECT pool.qid, pool.vec_id,
+                     ${cosSql("qv2", "v")} AS cos_sim,
+                     row_number() OVER (PARTITION BY pool.qid
+                       ORDER BY ${cosSql("qv2", "v")} DESC, pool.vec_id ASC) AS rn
+              FROM pool JOIN e USING (vec_id) JOIN qv2 USING (qid))
+        WHERE rn <= 10"""),
+    ),
+
+    // ---- s6: product-quantized ANN — per-subspace codebooks trained by
+    //      the same decimal-exact Lloyd machinery as s4, candidates
+    //      ranked by an asymmetric-distance LUT sum (DECIMAL, so the
+    //      approx score is exact and engine-identical), exact cosine
+    //      rerank over the pool. Full hash check: the oracle replays
+    //      slice → train → code → LUT → pool → rerank. ----
+    Q(
+      "s6_knn_pq",
+      (s, dir) => knnPq(s, dir),
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        nv AS (
+          SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+          FROM e),
+        pqslices AS (
+          SELECT vec_id, j AS sub, list_slice(nv, j * $PqDim + 1, j * $PqDim + $PqDim) AS sv
+          FROM nv, (SELECT unnest(generate_series(0, ${PqSubs - 1})) AS j)),
+        pcb0 AS (
+          SELECT sub, vec_id - $CentroidLo AS cid, sv AS cv
+          FROM pqslices
+          WHERE vec_id >= $CentroidLo AND vec_id < $CentroidLo + $PqK),
+        $pqCtesSql,
+        codes AS (SELECT vec_id, sub, cid FROM pasg$PqLloydIters),
+        lut AS (
+          SELECT sl.vec_id AS qid, sl.sub, cb.cid,
+                 CAST(round(list_dot_product(sl.sv, cb.cv), 6) AS DECIMAL(20,6)) AS lutv
+          FROM pqslices sl JOIN pcb$PqLloydIters cb USING (sub)
+          WHERE sl.vec_id < $AuditQueries),
+        pool AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                     ORDER BY ascore DESC, vec_id ASC) AS arn
+            FROM (SELECT l.qid, c.vec_id, sum(l.lutv) AS ascore
+                  FROM codes c JOIN lut l USING (sub, cid)
+                  WHERE c.vec_id != l.qid
+                  GROUP BY 1, 2))
+          WHERE arn <= $PqPool),
         qv2 AS (SELECT vec_id AS qid, v AS qv2 FROM e WHERE vec_id < $AuditQueries)
         SELECT qid, vec_id, cos_sim, rn
         FROM (SELECT pool.qid, pool.vec_id,
