@@ -821,6 +821,62 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
   }
 
+  /** s7 kernel: IVF-PQ — the standard billion-scale serving layout,
+    * composing the two indexes this file already maintains: s4's
+    * inverted file prunes WHICH vectors a query scores (NProbe cells ≈
+    * NProbe·n/K rows instead of the corpus) and s6's product codes cut
+    * the BYTES per scored vector 64×. The probe joins the broadcast
+    * probe set against the materialized cell assignment, candidate
+    * scoring is the same decimal-exact ADC LUT sum as s6 restricted to
+    * the probed cells' vectors, and exact cosine re-ranks the constant
+    * pool. At 100 TB this is the layout that serves: the persisted
+    * index is `(cid, vec_id, codes)` partitioned by cid — a probe reads
+    * NProbe partitions of 8 B/vector. Both composed indexes are
+    * deterministic, so the composition inherits the full hash oracle.
+    */
+  def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val k = numCentroids(corpusCount(s, dir))
+    val cent = ivfCentroids(s, dir, e, k)
+    val assigned = ivfAssigned(s, dir, e, k)
+    val codes = pqCodes(s, dir)
+    val cb = pqCodebook(s, dir)
+    val q = e.filter(col("vec_id") < AuditQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("c_sim").desc, col("cid").asc)
+    val probes = q.join(broadcast(cent))
+      .withColumn("c_sim", round(cosine("cv", "qv"), 6))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= NProbe)
+      .select(col("qid"), col("cid"))
+    val lut = pqSlices(s, dir).filter(col("vec_id") < AuditQueries)
+      .select(col("vec_id").as("qid"), col("sub"), col("sv"))
+      .join(cb, "sub")
+      .select(col("qid"), col("sub"), col("cid"),
+        round(expr("vec_dot(sv, cv)"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("lutv"))
+    val cand = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val aw = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id").asc)
+    val pool = cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("qid", "sub", "cid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("lutv")).as("ascore"))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= PqPool)
+      .select(col("qid"), col("vec_id"))
+    val q2 = e.filter(col("vec_id") < AuditQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    pool.join(e, "vec_id").join(broadcast(q2), "qid")
+      .withColumn("cos_sim", round(cosine("qv2", "v"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
+  }
+
   /** DuckDB twin of the PQ train + code assignment:
     * slices → seed codebooks → [[PqLloydIters]] × (assign, decimal-exact
     * means, refresh) → final codes. Mirrors [[lloydCtesSql]]'s shape
@@ -1060,6 +1116,71 @@ object Similarity {
             FROM (SELECT l.qid, c.vec_id, sum(l.lutv) AS ascore
                   FROM codes c JOIN lut l USING (sub, cid)
                   WHERE c.vec_id != l.qid
+                  GROUP BY 1, 2))
+          WHERE arn <= $PqPool),
+        qv2 AS (SELECT vec_id AS qid, v AS qv2 FROM e WHERE vec_id < $AuditQueries)
+        SELECT qid, vec_id, cos_sim, rn
+        FROM (SELECT pool.qid, pool.vec_id,
+                     ${cosSql("qv2", "v")} AS cos_sim,
+                     row_number() OVER (PARTITION BY pool.qid
+                       ORDER BY ${cosSql("qv2", "v")} DESC, pool.vec_id ASC) AS rn
+              FROM pool JOIN e USING (vec_id) JOIN qv2 USING (qid))
+        WHERE rn <= 10"""),
+    ),
+
+    // ---- s7: IVF-PQ — s4's inverted file prunes WHICH vectors get
+    //      scored, s6's product codes cut the BYTES per scored vector;
+    //      the oracle replays both index chains plus probe → ADC →
+    //      rerank for a full hash check. ----
+    Q(
+      "s7_knn_ivfpq",
+      (s, dir) => knnIvfPq(s, dir),
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        ivfpar AS (
+          SELECT k, CAST(ceil(k / ceil(sqrt(k))) AS BIGINT) AS m
+          FROM (SELECT $numCentroidsSql AS k)),
+        cent0 AS (
+          SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id >= $CentroidLo AND vec_id < $CentroidLo + $numCentroidsSql),
+        $lloydCtesSql,
+        nv AS (
+          SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+          FROM e),
+        pqslices AS (
+          SELECT vec_id, j AS sub, list_slice(nv, j * $PqDim + 1, j * $PqDim + $PqDim) AS sv
+          FROM nv, (SELECT unnest(generate_series(0, ${PqSubs - 1})) AS j)),
+        pcb0 AS (
+          SELECT sub, vec_id - $CentroidLo AS cid, sv AS cv
+          FROM pqslices
+          WHERE vec_id >= $CentroidLo AND vec_id < $CentroidLo + $PqK),
+        $pqCtesSql,
+        codes AS (SELECT vec_id, sub, cid FROM pasg$PqLloydIters),
+        probes AS (
+          SELECT qid, cid FROM (
+            SELECT e.vec_id AS qid, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosSql("cv", "v")} DESC, cid ASC) AS prn
+            FROM e, cent$LloydIters c WHERE e.vec_id < $AuditQueries)
+          WHERE prn <= $NProbe),
+        lut AS (
+          SELECT sl.vec_id AS qid, sl.sub, cb.cid,
+                 CAST(round(list_dot_product(sl.sv, cb.cv), 6) AS DECIMAL(20,6)) AS lutv
+          FROM pqslices sl JOIN pcb$PqLloydIters cb USING (sub)
+          WHERE sl.vec_id < $AuditQueries),
+        cand AS (
+          SELECT p.qid, a.vec_id
+          FROM asg$LloydIters a JOIN probes p USING (cid)
+          WHERE a.vec_id != p.qid),
+        pool AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                     ORDER BY ascore DESC, vec_id ASC) AS arn
+            FROM (SELECT cd.qid, cd.vec_id, sum(l.lutv) AS ascore
+                  FROM cand cd
+                  JOIN codes co ON cd.vec_id = co.vec_id
+                  JOIN lut l ON l.qid = cd.qid AND l.sub = co.sub AND l.cid = co.cid
                   GROUP BY 1, 2))
           WHERE arn <= $PqPool),
         qv2 AS (SELECT vec_id AS qid, v AS qv2 FROM e WHERE vec_id < $AuditQueries)
