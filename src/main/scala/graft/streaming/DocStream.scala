@@ -40,4 +40,24 @@ object DocStream {
       .dropDuplicatesWithinWatermark("fingerprint")
       .select("ingest_ts", "doc_id", "pred_lang", "n_words", "bpe_tokens", "fingerprint")
   }
+
+  /** Streaming twin of p2's DELTA-vs-LAKE exact stages: [[curationIngest]]'s
+    * gate + in-window dedup, PLUS a stream-static LEFT ANTI join against
+    * the immutable lake's fingerprint column — an arriving doc whose
+    * content the lake already holds is rejected at ingest, before it
+    * lands. The join is stateless on the stream side (the static lake
+    * plan is re-resolvable per micro-batch, so a nightly lake refresh is
+    * picked up without restarting state), and only the fingerprint
+    * column of the lake is read — never its text. The near-dup stage
+    * (offset min-label clustering) stays in the periodic batch p2 pass:
+    * it needs the global pair graph.
+    *
+    * `lake`: a STATIC DataFrame with a `fingerprint` column (p2's lake
+    * manifest, or any projection of it).
+    */
+  def deltaIngest(docs: DataFrame, lake: DataFrame,
+                  watermark: String = "2 hours"): DataFrame =
+    curationIngest(docs, watermark)
+      .join(lake.select("fingerprint"), Seq("fingerprint"), "left_anti")
+      .select("ingest_ts", "doc_id", "pred_lang", "n_words", "bpe_tokens", "fingerprint")
 }

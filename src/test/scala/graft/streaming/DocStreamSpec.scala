@@ -43,6 +43,32 @@ class DocStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("deltaIngest rejects lake-held content at ingest, keeps fresh docs") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ingest_ts", "doc_id", "text")
+    // the lake holds longEn's normalized fingerprint (leading/trailing
+    // whitespace differs from the arriving doc — normalization must match)
+    val lake = Seq("  " + longEn + "  ").toDF("text")
+      .select(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"))
+    val freshDe = (1 to 40).map(_ => "der und ist die").mkString(" ")
+    val query = DocStream.deltaIngest(df, lake, watermark = "1 hour")
+      .writeStream.format("memory").queryName("delta_ingest")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts(0), 1L, longEn), // lake dup: rejected by the static anti-join
+        (ts(2), 2L, freshDe), // fresh: survives
+        (ts(5), 3L, freshDe)) // in-window repeat of 2: deduped
+      query.processAllAvailable()
+      val ids = spark.table("delta_ingest").collect()
+        .map(r => r.getLong(r.fieldIndex("doc_id"))).toSet
+      assert(ids == Set(2L), s"expected only the fresh doc 2, got $ids")
+    } finally query.stop()
+  }
+
   test("curationIngest fingerprint matches the batch d1/p1 fingerprint") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
