@@ -228,6 +228,73 @@ object EventStream {
       }
   }
 
+  final case class FunnelEv(
+      ts: java.sql.Timestamp, user_id: Long, event_id: Long, event_type: String)
+  final case class FunnelState(view: Long, click: Long, purchase: Long, lastUs: Long)
+  final case class StageHit(user_id: Long, stage: String, ts_us: Long)
+
+  /** Streaming twin of batch e5 (ordered view→click→purchase funnel):
+    * a per-user state machine over `flatMapGroupsWithState` that emits
+    * one [[StageHit]] the first time a user reaches each stage — the
+    * same strict-order rule as e5 (a click counts only strictly after
+    * the first view, a purchase only strictly after the first qualifying
+    * click). A downstream count over `stage` maintains the live funnel;
+    * batch e5 over the landed data is the exact backfill.
+    *
+    * State is three longs + a last-activity stamp per IN-FLIGHT user,
+    * and is evicted on both exits: a COMPLETED funnel (purchase reached)
+    * removes its state immediately — only users mid-funnel cost memory —
+    * and an event-time timeout evicts users inactive for `horizonDays`
+    * (production funnels are horizon-bounded; an abandoning user must
+    * not pin 32 bytes forever). Events inside a micro-batch are
+    * processed in (event-time, event_id) order, so in-order delivery
+    * reproduces e5's transitions exactly; a LATE view below an already-
+    * established first view cannot retroactively re-qualify an earlier
+    * click — the batch backfill corrects, the same batch-fixes-stream
+    * contract as [[retentionIncrements]].
+    */
+  def funnelStages(
+      events: Dataset[FunnelEv], horizonDays: Int = 30): Dataset[StageHit] = {
+    import events.sparkSession.implicits._
+    def us(e: FunnelEv): Long =
+      e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // horizon passed with no activity: abandoned
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, 0L))
+            val out = scala.collection.mutable.ListBuffer[StageHit]()
+            for (e <- evs.toSeq.sortBy(e => (us(e), e.event_id))) {
+              val t = us(e)
+              st = st.copy(lastUs = math.max(st.lastUs, t))
+              e.event_type match {
+                case "view" if st.view < 0 =>
+                  st = st.copy(view = t); out += StageHit(uid, "view", t)
+                case "click" if st.view >= 0 && st.click < 0 && t > st.view =>
+                  st = st.copy(click = t); out += StageHit(uid, "click", t)
+                case "purchase" if st.click >= 0 && st.purchase < 0 && t > st.click =>
+                  st = st.copy(purchase = t); out += StageHit(uid, "purchase", t)
+                case _ => // stage already reached, or out of order: no-op
+              }
+            }
+            if (st.purchase >= 0) state.remove() // complete: evict now
+            else {
+              state.update(st)
+              // no-op in batch runs, like sessionize's
+              state.setTimeoutTimestamp(
+                st.lastUs / 1000 + horizonDays.toLong * 86400L * 1000)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** File-source streaming reader with the events schema — at scale this
     * is the replay path over a parquet landing zone.
     */

@@ -99,6 +99,53 @@ class EventStreamSpec extends SparkSpec {
     assert(batch == e6 && batch.nonEmpty)
   }
 
+  test("funnelStages: strict order rules, completed funnels evict state") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long, Long, String)]
+    val ds = mem.toDF().toDF("ts", "user_id", "event_id", "event_type")
+      .as[FunnelEv]
+    val query = funnelStages(ds)
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        // user 1: full ordered funnel
+        (ts(0), 1L, 1L, "view"), (ts(5), 1L, 2L, "click"), (ts(9), 1L, 3L, "purchase"),
+        // user 2: purchase with NO prior click — must stop at view
+        (ts(0), 2L, 4L, "view"), (ts(6), 2L, 5L, "purchase"),
+        // user 3: click BEFORE any view doesn't count; the later one does
+        (ts(0), 3L, 6L, "click"), (ts(2), 3L, 7L, "view"), (ts(4), 3L, 8L, "click"))
+      query.processAllAvailable()
+      // user 1 completed: a SECOND purchase must be a no-op (state evicted,
+      // fresh state stops it at the view rule — no duplicate stage hits)
+      mem.addData((ts(20), 1L, 9L, "purchase"))
+      query.processAllAvailable()
+      val out = spark.table("funnel").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(out == Set(
+        (1L, "view"), (1L, "click"), (1L, "purchase"),
+        (2L, "view"),
+        (3L, "view"), (3L, "click")), s"unexpected stage hits: $out")
+    } finally query.stop()
+  }
+
+  test("funnelStages batch run equals the e5 funnel counts on real data") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.t(spark, dir, "events")
+      .select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
+      .as[FunnelEv]
+    val stages = funnelStages(ev).groupBy("stage").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e5 = graft.SparkEntry.queries("e5_funnel")(spark, dir).collect().head
+    val expected = Map(
+      "view" -> e5.getLong(e5.fieldIndex("n_view")),
+      "click" -> e5.getLong(e5.fieldIndex("n_click")),
+      "purchase" -> e5.getLong(e5.fieldIndex("n_purchase")))
+    assert(stages == expected, s"stream twin $stages != batch e5 $expected")
+  }
+
   test("attributionJoin pairs purchases with same-user clicks in the preceding hour") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
