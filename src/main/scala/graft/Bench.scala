@@ -127,10 +127,14 @@ object Bench {
       * unchanged: first runs build the shared indexes in inventory
       * order, re-runs measure steady state.
       */
+    // Re-run threshold 1.5 s: the round-4 window-noise audit showed the
+    // 1.5-2 s band is where co-tenant swings manufacture phantom ~30%
+    // regressions (q21/q25/s2/d2), and one extra sample there costs
+    // ~20 s against the multi-minute sweep phases.
     def timePass(qs: Seq[Q], dir: String): Seq[(String, Double)] = {
       val firsts = qs.map(q => q -> once(q, dir))
       firsts.map { case (q, t1) =>
-        q.name -> (if (t1 >= 0 && t1 > 2.0) {
+        q.name -> (if (t1 >= 0 && t1 > 1.5) {
           val t2 = once(q, dir)
           if (t2 < 0) t1 else math.min(t1, t2)
         } else t1)

@@ -55,6 +55,46 @@ object Dedup {
     */
   val ShingleDfCap = 256L
 
+  /** d8 span window length in words. The ExactSubstr paper uses 50 BPE
+    * tokens on web documents; the fixture's docs are ~50 words total, so
+    * 8 keeps the same ratio of window to document. Independent of corpus
+    * size (the duplicated-span test is per-window, not per-corpus), so a
+    * constant — unlike the corpus-derived d4b/s3 widths.
+    */
+  val SpanK = 8
+
+  /** d9's stand-in eval set: every EvalModulus-th doc_id (5% of the
+    * corpus). A real deployment reads a separate benchmark table; the
+    * modulus keeps the stand-in deterministic and oracle-replayable.
+    */
+  val EvalModulus = 20L
+
+  /** Span-position table shared by d8 (duplicated-span islands) and d9
+    * (decontamination): one row `(doc_id, i, h)` per K-word window —
+    * 1-based start i, 60-bit span hash h. posexplode is 0-based; +1
+    * aligns with the oracle's generate_series(1, ..). Re-shard before
+    * the ×n_tokens explode for the same reason the shingle index does.
+    * Session-materialized per corpus dir: d8 reads it twice (dup agg +
+    * semi-join probe) and d9's probe adds no further corpus pass.
+    */
+  private def spanIndex(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // md5_long used below
+    Materialized(s"d8.pos|$dir",
+      docsSharded(s, dir)
+        .select(col("doc_id"), posexplode(spansK(words(col("text")), SpanK)))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+          md5Long(col("col")).as("h")))
+  }
+
+  /** DuckDB twin of [[spanIndex]] (docs + pos CTE bodies). */
+  private def spanPosCtes: String = s"""
+        docs AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+        pos AS (
+          SELECT doc_id, i,
+                 ${md5LongSql(s"array_to_string(list_slice(w, i, i + ${SpanK - 1}), ' ')")} AS h
+          FROM docs, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SpanK - 1})) AS i) t
+          WHERE len(w) >= $SpanK)"""
+
   private def normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   /** Documents table re-sharded across the cluster before per-document
@@ -597,6 +637,108 @@ object Dedup {
                count(DISTINCT source) >= 2 AS cross_source
         FROM cc_roots JOIN documents USING (doc_id)
         GROUP BY 1"""),
+    ),
+
+    // ---- d8: exact substring-span dedup — the document-INTERNAL
+    //      counterpart to d1–d7's whole/near-document dedup: find the
+    //      maximal token spans repeated VERBATIM across ≥2 documents
+    //      (boilerplate, licenses, syndicated paragraphs), as removal
+    //      intervals (doc_id, span_start, span_end). Fixed-K rolling
+    //      window approximation of suffix-array ExactSubstr dedup
+    //      (Lee et al., ACL'22 "Deduplicating Training Data Makes
+    //      Language Models Better" — their K=50 BPE tokens; K=8 words
+    //      here, scaled to the fixture's ~50-word docs): a K-gram is
+    //      "duplicated" iff it occurs in ≥2 distinct docs, and maximal
+    //      repeated regions are exactly the RUNS of consecutive
+    //      duplicated window starts (gaps-and-islands per doc).
+    //      Scale shape, linear end-to-end: the position table is one
+    //      row per corpus token (explode, codegen'd); the duplicated-
+    //      window set is one hash aggregate on the 8-byte span hash;
+    //      marking positions is a semi-join back on that hash — there
+    //      is NO self-join anywhere, so unlike naive pair-based span
+    //      matching nothing is quadratic in df. The islands window is
+    //      partitioned per doc (bounded by doc length). A true
+    //      suffix-array build (the paper's exact method) is inherently
+    //      superlinear and cross-partition; the fixed-K formulation is
+    //      what production crawl dedup runs at corpus scale. ----
+    Q(
+      "d8_span_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = SpanK
+        val pos = spanIndex(s, dir) // read twice: agg + semi-join
+        // span hashes seen in ≥2 distinct docs (two-phase distinct agg,
+        // partial sets map-side; corpus-proportional, so no broadcast —
+        // the join below shuffles both sides on h)
+        val dup = pos.groupBy("h")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") >= 2)
+          .select("h")
+        val dpos = pos.join(dup, Seq("h"), "left_semi").select("doc_id", "i")
+        // gaps-and-islands: consecutive duplicated starts share
+        // (i - row_number) within a doc
+        val w = Window.partitionBy("doc_id").orderBy("i")
+        dpos
+          .withColumn("grp", col("i") - row_number().over(w))
+          .groupBy("doc_id", "grp")
+          .agg(min("i").as("span_start"), (max("i") + (k - 1)).as("span_end"))
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            (col("span_end") - col("span_start") + 1).as("n_tokens"))
+      },
+      Some(s"""
+        WITH $spanPosCtes,
+        dup AS (SELECT h FROM pos GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        dpos AS (SELECT p.doc_id, p.i FROM pos p JOIN dup USING (h)),
+        isl AS (
+          SELECT doc_id, i,
+                 i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+          FROM dpos)
+        SELECT doc_id, min(i) AS span_start, max(i) + ${SpanK - 1} AS span_end,
+               max(i) + ${SpanK - 1} - min(i) + 1 AS n_tokens
+        FROM isl GROUP BY doc_id, grp"""),
+    ),
+
+    // ---- d9: benchmark decontamination — the OTHER consumer of exact
+    //      span matching: flag training documents that verbatim-contain
+    //      an eval-set K-gram (eval-example leakage inflates benchmark
+    //      scores; every production pretraining pipeline runs this as a
+    //      first-class stage next to dedup). Stand-in eval set:
+    //      doc_id % EvalModulus == 0 (5% of the corpus) — in production
+    //      a separate, SMALL benchmark table; the operator's contract
+    //      only assumes it is bounded (thousands of examples), which is
+    //      what justifies the explicit broadcast below where the dedup
+    //      family deliberately carries none (near-dup losers can be
+    //      corpus-sized; an eval set cannot). Scale shape: the corpus
+    //      side is the SAME materialized span-position table d8 reads
+    //      (zero extra corpus passes in a session running both); the
+    //      eval span set broadcasts, so the probe is a map-side hash
+    //      join — no corpus shuffle at all beyond the shared index
+    //      build. Output: per contaminated training doc, how many
+    //      distinct window starts overlap eval text and how many
+    //      distinct eval docs are hit (the triage signal: one hit =
+    //      quote-level, hundreds = wholesale inclusion). ----
+    Q(
+      "d9_decontam",
+      (s, dir) => {
+        val pos = spanIndex(s, dir)
+        val evalSpans = pos.filter(col("doc_id") % EvalModulus === 0)
+          .select(col("h"), col("doc_id").as("eval_id"))
+          .distinct()
+        pos.filter(col("doc_id") % EvalModulus =!= 0)
+          .join(broadcast(evalSpans), Seq("h"))
+          .groupBy("doc_id")
+          .agg(countDistinct("i").as("n_spans"),
+            countDistinct("eval_id").as("n_eval_docs"))
+      },
+      Some(s"""
+        WITH $spanPosCtes,
+        ev AS (SELECT DISTINCT h, doc_id AS eval_id FROM pos
+               WHERE doc_id % $EvalModulus = 0)
+        SELECT doc_id, count(DISTINCT i) AS n_spans,
+               CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
+        FROM pos JOIN ev USING (h)
+        WHERE doc_id % $EvalModulus <> 0
+        GROUP BY doc_id"""),
     ),
   )
 }

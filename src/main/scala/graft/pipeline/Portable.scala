@@ -63,19 +63,31 @@ object Portable {
         (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
 
-  /** Word 3-gram shingles (space-joined), empty when fewer than 3 words. */
-  def shingles3(wordsCol: Column): Column =
-    when(size(wordsCol) >= 3,
-      transform(sequence(lit(1), size(wordsCol) - 2), // 1-based window starts
-        i => concat_ws(" ", slice(wordsCol, i, lit(3)))))
+  /** Word k-gram spans (space-joined), empty when fewer than k words —
+    * the sliding window under both the 3-gram shingles (d2/d3) and the
+    * d8 span-position table. Pure column algebra (sequence + slice), so
+    * span generation stays inside WholeStageCodegen.
+    */
+  def spansK(wordsCol: Column, k: Int): Column =
+    when(size(wordsCol) >= k,
+      transform(sequence(lit(1), size(wordsCol) - (k - 1)), // 1-based window starts
+        i => concat_ws(" ", slice(wordsCol, i, lit(k)))))
       .otherwise(array().cast("array<string>"))
+
+  /** DuckDB twin of [[spansK]], as a SQL snippet producing a list of
+    * 'w1 .. wk' strings from a words-list expression `w`.
+    */
+  def spansKSql(w: String, k: Int): String =
+    s"""CASE WHEN len($w) >= $k
+        THEN list_transform(generate_series(1, len($w) - ${k - 1}),
+                            i -> array_to_string(list_slice($w, i, i + ${k - 1}), ' '))
+        ELSE [] END"""
+
+  /** Word 3-gram shingles (space-joined), empty when fewer than 3 words. */
+  def shingles3(wordsCol: Column): Column = spansK(wordsCol, 3)
 
   /** DuckDB twin of shingle generation, as a SQL snippet producing a list
     * of 'w1 w2 w3' strings from a words-list expression `w`.
     */
-  def shingles3Sql(w: String): String =
-    s"""CASE WHEN len($w) >= 3
-        THEN list_transform(generate_series(1, len($w) - 2),
-                            i -> array_to_string(list_slice($w, i, i + 2), ' '))
-        ELSE [] END"""
+  def shingles3Sql(w: String): String = spansKSql(w, 3)
 }

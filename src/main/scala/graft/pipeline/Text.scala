@@ -340,6 +340,61 @@ object Text {
                CAST(length(red) - length(text) AS INT) AS len_delta
         FROM r"""),
     ),
+
+    // ---- t9: domain-mixture token allocation — the sampling-weight
+    //      computation every pretraining run does before reading a
+    //      byte: per-source token counts → temperature-scaled mixture
+    //      weights (α = 0.5, i.e. w_d = sqrt(n_d) — the multilingual /
+    //      multi-domain rebalancing rule from the XLM-R line of work:
+    //      upsample small domains, downsample huge ones) → per-domain
+    //      token budgets under a total budget of half the corpus →
+    //      per-domain sampling rates (capped at 1: a domain smaller
+    //      than its allocation is taken whole). Scale shape: ONE
+    //      map-side-combined aggregate to |sources| rows, then pure
+    //      column algebra over that tiny table (the unpartitioned
+    //      window ranges over |sources| rows, never the corpus) — the
+    //      corpus is read once, shuffle volume is |sources| rows.
+    //      Float determinism: the only cross-engine float reduction is
+    //      the |sources|-element sum of sqrt weights (error ~1e-12 vs
+    //      the oracle's 9-decimal rounding tolerance); token sums stay
+    //      integer until the final division, in the SAME textual op
+    //      order in both engines. ----
+    Q(
+      "t9_domain_mix",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy() // |sources| rows post-agg — tiny
+        t(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(bpeTokens(col("text"))).as("n_tokens"))
+          .withColumn("wt", sqrt(col("n_tokens").cast("double")))
+          .withColumn("mix_share", col("wt") / sum("wt").over(w))
+          .withColumn("alloc_tokens",
+            col("mix_share") * (sum("n_tokens").over(w).cast("double") * 0.5))
+          .withColumn("sample_rate",
+            least(lit(1.0), col("alloc_tokens") / col("n_tokens").cast("double")))
+          .select("source", "n_docs", "n_tokens", "mix_share",
+            "alloc_tokens", "sample_rate")
+      },
+      Some("""
+        WITH c AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        sh AS (
+          SELECT source, n_docs, n_tokens,
+                 sqrt(CAST(n_tokens AS DOUBLE)) AS wt,
+                 sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS sum_wt,
+                 CAST(sum(n_tokens) OVER () AS DOUBLE) AS total_tokens
+          FROM c)
+        SELECT source, n_docs, n_tokens,
+               wt / sum_wt AS mix_share,
+               (wt / sum_wt) * (total_tokens * 0.5) AS alloc_tokens,
+               least(1.0, ((wt / sum_wt) * (total_tokens * 0.5))
+                          / CAST(n_tokens AS DOUBLE)) AS sample_rate
+        FROM sh"""),
+    ),
   )
 
   /** DuckDB twin of `winnow_fp(text, k, w)` → (doc_id, n_fp, fp_md5).

@@ -114,4 +114,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(d7.length == byRoot.size)
     d7.foreach(r => assert(byRoot(r.getLong(0)) == r.getLong(2)))
   }
+
+  test("t9: mixture invariants — shares sum to 1, budget conserved, rates capped") {
+    val rows = SparkEntry.queries("t9_domain_mix")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("mix_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val allocs = rows.map(_.getAs[Double]("alloc_tokens"))
+    assert(math.abs(allocs.sum - 0.5 * totalTokens) < 1e-6 * totalTokens,
+      "allocations spend exactly the half-corpus budget")
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("sample_rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      // sqrt temperature upsamples small domains: rate must decrease
+      // with domain size ordering (checked pairwise on the extremes)
+    }
+    val bySize = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(bySize.head.getAs[Double]("sample_rate") >=
+      bySize.last.getAs[Double]("sample_rate"),
+      "smallest domain samples at >= the largest domain's rate")
+  }
+
+  test("t9 plan: one aggregate over the corpus; window ranges over the tiny side") {
+    val df = SparkEntry.queries("t9_domain_mix")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    // corpus read once: a single scan of documents feeds the plan
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"t9 must read the corpus exactly once:\n$p")
+  }
 }
