@@ -74,16 +74,26 @@ object Tables {
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-      // outright; read the raw int64 nanos and truncate to microseconds
-      // (exactly what DuckDB's epoch_us does on the same values).
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark 4
+      // rejects outright) and as TIMESTAMP(MICROS) with no timezone
+      // (which Spark reads as TIMESTAMP_NTZ, rejected by unix_micros and
+      // friends). Normalize both to the session-zoned TIMESTAMP type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      else raw
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // nanos-as-long: truncate to micros (what DuckDB's epoch_us does).
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // The session timezone is pinned UTC by every main, so this cast
+          // is a pure reinterpretation of the same micros value and matches
+          // DuckDB's epoch_us on the identical parquet bytes.
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }
