@@ -92,8 +92,14 @@ object Advanced {
     ),
 
     // ---- q25: as-of join — each event joined to the user's most recent
-    //      order at event time (composed: equi join on user + window
-    //      argmax per event; no custom operator needed) ----
+    //      order at event time (composed: equi join on user + max_by
+    //      argmax per event; no custom operator needed). max_by, not a
+    //      row_number window: the aggregate partial-combines MAP-SIDE, so
+    //      the post-join exchange carries at most one row per (event,
+    //      upstream partition) instead of the full (event x matching
+    //      order) pair stream — at 100x a hot user inflates the pair
+    //      space, and the window spelling would shuffle and sort all of
+    //      it before the rn=1 filter. ----
     Q(
       "q25_asof_join",
       (s, dir) => {
@@ -104,13 +110,18 @@ object Advanced {
             // o_orderdate is TIMESTAMP_NTZ; session tz is UTC, so the
             // cast is a pure reinterpretation
             unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
-        val w = Window.partitionBy(col("event_id"))
-          .orderBy(col("od_us").desc, col("o_orderkey").desc)
+        // Argmax key (od_us, o_orderkey) matches the oracle's ORDER BY
+        // od DESC, orderkey DESC tie-break; unmatched left rows carry a
+        // (null, null) key and only ever lose to a real match, yielding
+        // the same NULL columns the outer join produced.
         e.join(o, col("user_id") === col("o_custkey") && col("od_us") <= col("ts_us"), "left_outer")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+          .groupBy(col("event_id"), col("user_id"))
+          .agg(
+            max_by(col("o_orderkey"), struct(col("od_us"), col("o_orderkey")))
+              .as("asof_orderkey"),
+            max(col("od_us")).as("asof_od_us"))
           .select(col("event_id"), col("user_id"),
-            col("o_orderkey").as("asof_orderkey"), col("od_us").as("asof_od_us"))
+            col("asof_orderkey"), col("asof_od_us"))
       },
       Some("""
         WITH j AS (

@@ -153,6 +153,14 @@ class PlanSpec extends SparkSpec {
       s"join inputs must be the bucketed scans:\n$p")
   }
 
+  test("q25: as-of argmax is a map-side-combined aggregate, not a pair window") {
+    val p = plan("q25_asof_join")
+    assert(!p.contains("Window"),
+      s"as-of join must not window-sort the joined pair stream:\n$p")
+    assert(p.contains("partial_max_by") || p.contains("partial_max"),
+      s"argmax must partial-aggregate before the exchange:\n$p")
+  }
+
   test("q34: event_type predicate prunes partitions at planning time") {
     val p = plan("q34_partition_prune")
     assert(p.contains("PartitionFilters") && p.contains("event_type"),
