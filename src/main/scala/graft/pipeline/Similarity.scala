@@ -644,8 +644,13 @@ object Similarity {
     * per query. Composes with s4: quantize within IVF cells to cut
     * probe bytes 4×.
     */
-  /** The materialized int8 corpus s5 scans: `(vec_id, qv: array<long of
-    * int8 range>)`. Exposed for the spec that pins the byte-range claim.
+  /** The materialized int8 corpus s5 scans: `(vec_id, qv:
+    * array<tinyint>)` — ONE byte per coordinate, so the scanned payload
+    * is dims bytes/vector (64 B at the testdata's 64 dims; the fp64
+    * corpus is 512 B/vector). The physical element type is the claim:
+    * quantized values in an `array<long>` would spend the same 8 B/elem
+    * as the doubles they replaced. Exposed for the spec that pins the
+    * byte-width and range claims.
     */
   private[graft] def sq8Corpus(s: SparkSession, dir: String): DataFrame = {
     val nv = vecs(s, dir).select(col("vec_id"),
@@ -655,8 +660,9 @@ object Similarity {
     Materialized(s"s5.qz|$dir",
       nv.crossJoin(broadcast(ma))
         .select(col("vec_id"),
-          expr("""transform(nv, x ->
-                    least(127L, greatest(-128L, CAST(floor(x / maxabs * 128) AS BIGINT))))""")
+          expr("""transform(nv, x -> CAST(
+                    least(127L, greatest(-128L, CAST(floor(x / maxabs * 128) AS BIGINT)))
+                  AS TINYINT))""")
             .as("qv")))
   }
 
@@ -783,18 +789,40 @@ object Similarity {
       (1 to PqLloydIters).foldLeft(pqSeeds(pqSlices(s, dir)))(
         (c, _) => pqLloydStep(pqSlices(s, dir), c)).localCheckpoint())
 
-  /** The PQ index proper: `(vec_id, sub, cid)` — the 4-bit-per-subspace
-    * code table, the ONLY corpus-sized artifact the query path scans.
+  /** The PQ index proper: `(vec_id, code)` — all [[PqSubs]] 4-bit codes
+    * PACKED into one BIGINT (16 × log2(16) = 64 bits exactly, subspace j
+    * at bits [4j, 4j+4)), the ONLY corpus-sized artifact the query path
+    * scans: 8 B/vector, the 64× cut vs the 512 B fp64 row the scaladoc
+    * claims. Packing is physical, not cosmetic — a (vec_id, sub, cid)
+    * row-per-subspace table spends ~3 longs × 16 rows ≈ 384 B/vector,
+    * worse than the fp64 corpus it was meant to shrink. The fields are
+    * disjoint, so the sum of shifted codes is their bitwise OR.
     */
   private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
     Materialized.getOrBuild(s, s"s6.codes|$dir")(
       pqAssign(pqSlices(s, dir), pqCodebook(s, dir))
-        .select(col("vec_id"), col("sub"), col("cid")).localCheckpoint())
+        .groupBy(col("vec_id"))
+        .agg(sum(expr("shiftleft(CAST(cid AS BIGINT), CAST(sub * 4 AS INT))"))
+          .as("code"))
+        .localCheckpoint())
+
+  /** Map-side unpack of the packed code column back to `(vec_id, sub,
+    * cid)` rows for the ADC LUT join — a pure projection (explode of a
+    * 16-element transform), so the bytes READ stay 8 B/vector; the
+    * widened rows exist only inside the scan→join pipeline, never as a
+    * stored artifact. Exposed for the spec that round-trips it against
+    * the codebook assignment.
+    */
+  private[graft] def pqCodesUnpacked(s: SparkSession, dir: String): DataFrame =
+    pqCodes(s, dir)
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqSubs - 1}), j -> shiftright(code, CAST(j * 4 AS INT)) & 15L)")))
+      .select(col("vec_id"), col("pos").as("sub"), col("col").as("cid"))
 
   def knnPq(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val cb = pqCodebook(s, dir)
-    val codes = pqCodes(s, dir)
+    val codes = pqCodesUnpacked(s, dir)
     // ADC lookup table: per (query, subspace, codeword) dot — tiny, broadcast
     val lut = pqSlices(s, dir).filter(col("vec_id") < AuditQueries)
       .select(col("vec_id").as("qid"), col("sub"), col("sv"))
@@ -839,7 +867,7 @@ object Similarity {
     val k = numCentroids(corpusCount(s, dir))
     val cent = ivfCentroids(s, dir, e, k)
     val assigned = ivfAssigned(s, dir, e, k)
-    val codes = pqCodes(s, dir)
+    val codes = pqCodesUnpacked(s, dir)
     val cb = pqCodebook(s, dir)
     val q = e.filter(col("vec_id") < AuditQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))

@@ -80,12 +80,19 @@ class SimilaritySpec extends SparkSpec {
 
   test("s5 quantized corpus stays in int8 range and reuses one materialized table") {
     import org.apache.spark.sql.functions._
-    // every quantized coordinate must be representable in a signed byte —
-    // the 4x memory-traffic claim rests on this
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    // the memory-traffic claim is PHYSICAL: the stored element type must
+    // be TINYINT (1 B/coord -> 64 B/vector at 64 dims), not a long that
+    // happens to hold int8 values (8 B/coord, zero bandwidth saved)
     val qz = Similarity.sq8Corpus(spark, dir)
+    assert(qz.schema("qv").dataType == ArrayType(ByteType, containsNull = false)
+      || qz.schema("qv").dataType == ArrayType(ByteType),
+      s"quantized corpus must be array<tinyint>: ${qz.schema("qv").dataType}")
+    val dims = qz.select(max(size(col("qv")))).first().getInt(0)
+    assert(dims <= 64, s"payload must be <=64 B/vector at the testdata dims: $dims B")
     val bounds = qz.select(
-      min(expr("aggregate(qv, 127L, (a, q) -> least(a, q))")).as("lo"),
-      max(expr("aggregate(qv, -128L, (a, q) -> greatest(a, q))")).as("hi")).first()
+      min(expr("aggregate(qv, 127L, (a, q) -> least(a, CAST(q AS BIGINT)))")).as("lo"),
+      max(expr("aggregate(qv, -128L, (a, q) -> greatest(a, CAST(q AS BIGINT)))")).as("hi")).first()
     assert(bounds.getLong(0) >= -128 && bounds.getLong(1) <= 127,
       s"quantized coords outside int8: $bounds")
     // and the quantizer actually uses the range (not collapsed to 0)
@@ -109,18 +116,27 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 0.6, f"PQ recall vs brute force too low: $overlap%.2f")
   }
 
-  test("s6 code table is the 64x-smaller artifact: PqSubs codes per vector, 4-bit range") {
+  test("s6 code table is the 64x-smaller artifact: one packed 8-byte code per vector") {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
     val codes = Similarity.pqCodes(spark, dir)
-    assert(codes.columns.toSeq == Seq("vec_id", "sub", "cid"),
-      "the scanned artifact must hold codes only, never vectors")
-    // exactly PqSubs rows per vector
+    // ONE row, ONE 8-byte BIGINT per vector — the stored artifact really
+    // is 8 B/vector (a row-per-subspace table would be ~384 B/vector)
+    assert(codes.columns.toSeq == Seq("vec_id", "code"),
+      "the scanned artifact must hold one packed code column, never vectors")
+    assert(codes.schema("code").dataType == LongType,
+      s"packed code must be a single BIGINT: ${codes.schema("code").dataType}")
     val perVec = codes.groupBy("vec_id").count()
       .agg(min("count").as("lo"), max("count").as("hi")).first()
-    assert(perVec.getLong(0) == Similarity.PqSubs && perVec.getLong(1) == Similarity.PqSubs,
-      s"expected exactly ${Similarity.PqSubs} codes per vector: $perVec")
-    // every code addresses a codeword: 4 bits suffice per subspace
-    val cidRange = codes.agg(min("cid").as("lo"), max("cid").as("hi")).first()
+    assert(perVec.getLong(0) == 1 && perVec.getLong(1) == 1,
+      s"expected exactly one packed code per vector: $perVec")
+    // the map-side unpack restores PqSubs in-codebook codes per vector
+    val unpacked = Similarity.pqCodesUnpacked(spark, dir)
+    val perVecU = unpacked.groupBy("vec_id").count()
+      .agg(min("count").as("lo"), max("count").as("hi")).first()
+    assert(perVecU.getLong(0) == Similarity.PqSubs && perVecU.getLong(1) == Similarity.PqSubs,
+      s"expected exactly ${Similarity.PqSubs} unpacked codes per vector: $perVecU")
+    val cidRange = unpacked.agg(min("cid").as("lo"), max("cid").as("hi")).first()
     assert(cidRange.getLong(0) >= 0 && cidRange.getLong(1) < Similarity.PqK,
       s"codes outside the codebook: $cidRange")
     // repeated queries reuse the materialized index tables
