@@ -49,6 +49,29 @@ object Bench {
       graft.pipeline.Similarity.releaseBlockStats(spark)
     }
 
+    // Noise-calibration cell: a fixed single-threaded pure-CPU kernel
+    // (xorshift stream sum, no allocation, no Spark) timed at each
+    // phase boundary. The container's co-tenant load swings single-core
+    // throughput ~1.5-3× between minute-scale windows (VERDICT r4
+    // item 3), and a pure-CPU constant exposes exactly that factor:
+    // consumers can divide a phase's cells by (cal_phase / min cal) to
+    // separate plan regressions from window noise. ~150 ms per sample,
+    // min-of-3 adjacent samples per phase (the kernel itself is
+    // constant work; min strips scheduler preemption).
+    def noiseCal(): Double = {
+      def onceCal(): Double = {
+        var x = 0x9E3779B97F4A7C15L; var s = 0L; var i = 0
+        val t0 = System.nanoTime()
+        while (i < 100000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; s += x; i += 1
+        }
+        if (s == 42) System.err.println("") // keep the loop observable
+        (System.nanoTime() - t0) / 1e6
+      }
+      Seq.fill(3)(onceCal()).min
+    }
+    val cal = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.inventory.foreach { q =>
       try q.run(spark, warmDir).write.format("noop").mode("overwrite").save()
@@ -91,6 +114,7 @@ object Bench {
           pts
         }
       } yield s"${p.caseName}|${p.strategy}|${p.batchSize}" -> p.avgUs
+    cal("sweep1") = noiseCal()
     val sweepPass1 = sweepPass()
     mark("sweep pass 1")
 
@@ -118,30 +142,34 @@ object Bench {
       }
     }
 
-    /** First runs for the whole list, THEN the >2 s re-runs as a second
-      * sweep. Adjacent re-runs put both samples of a cell inside the
-      * same minute, and this container's minute-scale degradation
-      * windows (measured up to 20×) then poison the min; separated
-      * sweeps make one quiet sample per cell likely — the same
-      * two-window argument as the sort sweep. Cache billing is
-      * unchanged: first runs build the shared indexes in inventory
-      * order, re-runs measure steady state.
+    /** First runs for the whole list, THEN every cell re-run as a second
+      * sweep, min-merged. Adjacent re-runs put both samples of a cell
+      * inside the same minute, and this container's minute-scale
+      * degradation windows (measured up to 20×) then poison the min;
+      * separated sweeps make one quiet sample per cell likely — the same
+      * two-window argument as the sort sweep. Round 4 re-ran only the
+      * >1.5 s cells and its SUB-second cells swung 1.6-3× round-over-
+      * round on no code change (VERDICT r4 item 3) — large enough to
+      * mask real regressions, so every cell now gets the two-window
+      * treatment, and cells measuring under 1.5 s get a third adjacent
+      * sample in the re-run sweep (micro-spikes sit in the 100 ms-1 s
+      * band; a back-to-back pair costs almost nothing there and min-of-3
+      * bounds them). Cache billing is unchanged: first runs build the
+      * shared indexes in inventory order, re-runs measure steady state.
       */
-    // Re-run threshold 1.5 s: the round-4 window-noise audit showed the
-    // 1.5-2 s band is where co-tenant swings manufacture phantom ~30%
-    // regressions (q21/q25/s2/d2), and one extra sample there costs
-    // ~20 s against the multi-minute sweep phases.
     def timePass(qs: Seq[Q], dir: String): Seq[(String, Double)] = {
       val firsts = qs.map(q => q -> once(q, dir))
       firsts.map { case (q, t1) =>
-        q.name -> (if (t1 >= 0 && t1 > 1.5) {
-          val t2 = once(q, dir)
-          if (t2 < 0) t1 else math.min(t1, t2)
-        } else t1)
+        val t2 = if (t1 >= 0) once(q, dir) else -1.0
+        val t3 = if (t1 >= 0 && math.max(t1, t2) < 1.5) once(q, dir) else -1.0
+        val samples = Seq(t1, t2, t3).filter(_ >= 0)
+        q.name -> (if (samples.isEmpty) -1.0 else samples.min)
       }
     }
 
+    cal("queries") = noiseCal()
     val results = timePass(SparkEntry.inventory, sfDir)
+    cal("queries_end") = noiseCal()
     releasePhase(sfDir)
     mark("query pass")
 
@@ -212,6 +240,7 @@ object Bench {
     // minutes (co-tenant load), and the in-task sweep medians are fully
     // exposed to it. Two windows far apart make one quiet window likely;
     // min = the kernel's actual cost, not the neighbors'.
+    cal("sweep2") = noiseCal()
     val sweepPass2 = sweepPass()
     mark("sweep pass 2")
     val sweepPts = (sweepPass1 ++ sweepPass2)
@@ -234,8 +263,22 @@ object Bench {
     // per-query sentinels and stderr carry the detail.
     val nFailed = resultsMerged.count(_._2 < 0)
     val total = if (nFailed > 0) -1.0 else resultsMerged.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"skew_queries":$sk,"sort_sweep_us":$sw,"sf":"$sfDir"}""")
+    val calJson = cal.map { case (k, v) => "\"" + k + "\":" + num(v, 1) }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"skew_queries":$sk,"sort_sweep_us":$sw,"noise_cal_ms":$calJson,"sf":"$sfDir"}"""
+    println(line)
+    // Durable copy: the driver's fixed-size stdout tail capture truncated
+    // round 4's metrics line mid-JSON once the inventory grew past ~70
+    // queries (ADVICE r4). The committed file is the full self-contained
+    // artifact regardless of how much tail the capture keeps.
+    try {
+      val out = java.nio.file.Paths.get("results")
+      java.nio.file.Files.createDirectories(out)
+      java.nio.file.Files.writeString(out.resolve("bench_local.json"), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write results/bench_local.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

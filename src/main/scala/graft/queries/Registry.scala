@@ -16,5 +16,6 @@ object Registry {
       graft.pipeline.Events.all ++
       graft.pipeline.Curation.all ++
       graft.multimodal.Multimodal.all ++
-      graft.sources.Layout.all
+      graft.sources.Layout.all ++
+      graft.streaming.StreamTwins.all
 }

@@ -33,12 +33,25 @@ object DocStream {
         Portable.nWords(col("text")).as("n_words") :+
         Portable.bpeTokens(col("text")).as("bpe_tokens") :+
         Portable.normFingerprint(col("text")).as("fingerprint"): _*)
-    feats
+    val gated = feats
       .filter(col("n_words").between(Curation.MinWords, Curation.MaxWords))
       .withColumn("pred_lang", Text.predLangCol)
-      .withWatermark("ingest_ts", watermark)
-      .dropDuplicatesWithinWatermark("fingerprint")
-      .select("ingest_ts", "doc_id", "pred_lang", "n_words", "bpe_tokens", "fingerprint")
+    // The watermark-bounded dedup is a streaming-only operator (batch
+    // rejects it at analysis). The batch path — the backfill/oracle run
+    // of the same function — dedups globally and DETERMINISTICALLY
+    // (lowest doc_id per fingerprint, p1/p2's exact-dedup rule); a bare
+    // dropDuplicates would keep an arbitrary row and no oracle could
+    // pin its output.
+    val deduped =
+      if (docs.isStreaming)
+        gated.withWatermark("ingest_ts", watermark)
+          .dropDuplicatesWithinWatermark("fingerprint")
+      else
+        gated.withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("fingerprint").orderBy("doc_id")))
+          .filter(col("rn") === 1)
+    deduped.select("ingest_ts", "doc_id", "pred_lang", "n_words", "bpe_tokens", "fingerprint")
   }
 
   /** Streaming twin of p2's DELTA-vs-LAKE exact stages: [[curationIngest]]'s

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Batch-equivalence inventory entries for the Structured Streaming
+  * twins: each runs a streaming module's transform in BATCH mode (the
+  * backfill path — watermarks no-op, state starts empty, each group sees
+  * its full history) and checks it against a DuckDB oracle. This is the
+  * lambda-free contract made testable: the SAME function body serves the
+  * live stream and the replay, so an oracle-green batch run pins the
+  * semantics both paths share. The streaming-only properties (state
+  * eviction, watermark drops, micro-batch merging) are covered by
+  * EventStreamSpec/DocStreamSpec; THESE entries put the twins' logic
+  * under the driver's per-round hash gate.
+  */
+object StreamTwins {
+  import Tables.t
+
+  def all: Seq[Q] = Seq(
+    // ---- e7: batch run of the funnelStages state machine — must emit
+    //      exactly e5's per-user stage times, one row per reached stage.
+    //      Scale shape: one shuffle on user_id (groupByKey), per-user
+    //      work linear in that user's events; state machine semantics
+    //      identical to e5's running-min windows (proved by the shared
+    //      oracle chain). ----
+    Q(
+      "e7_stream_funnel",
+      (s, dir) => {
+        import s.implicits._
+        EventStream.funnelStages(
+          t(s, dir, "events")
+            .select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
+            .as[EventStream.FunnelEv]
+        ).toDF()
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        st1 AS (
+          SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+                      OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_view
+          FROM ev),
+        st2 AS (
+          SELECT *, CASE WHEN event_type = 'click' AND first_view IS NOT NULL
+                              AND ts_us > first_view THEN ts_us END AS click_after
+          FROM st1),
+        st3 AS (
+          SELECT *, min(click_after)
+                      OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_click
+          FROM st2),
+        st4 AS (
+          SELECT *, CASE WHEN event_type = 'purchase' AND first_click IS NOT NULL
+                              AND ts_us > first_click THEN ts_us END AS purchase_after
+          FROM st3),
+        pu AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts_us END) AS t_view,
+                 min(click_after) AS t_click,
+                 min(purchase_after) AS t_purchase
+          FROM st4 GROUP BY 1)
+        SELECT user_id, 'view' AS stage, t_view AS ts_us FROM pu WHERE t_view IS NOT NULL
+        UNION ALL
+        SELECT user_id, 'click' AS stage, t_click FROM pu WHERE t_click IS NOT NULL
+        UNION ALL
+        SELECT user_id, 'purchase' AS stage, t_purchase FROM pu WHERE t_purchase IS NOT NULL"""),
+    ),
+
+    // ---- e8: batch run of retentionIncrements — must emit e6's
+    //      triangle EXPANDED to per-user increments: one row per
+    //      distinct (user, active week) with the user's cohort week and
+    //      offset. ----
+    Q(
+      "e8_stream_retention",
+      (s, dir) =>
+        EventStream.retentionIncrements(t(s, dir, "events")).toDF(),
+      Some("""
+        WITH wk AS (
+          SELECT DISTINCT user_id, epoch_us(date_trunc('week', ts)) AS week_us
+          FROM events)
+        SELECT user_id,
+               min(week_us) OVER (PARTITION BY user_id) AS cohort_us,
+               week_us,
+               (week_us - min(week_us) OVER (PARTITION BY user_id)) // 604800000000 AS week_offset
+        FROM wk"""),
+    ),
+
+    // ---- p3: batch run of deltaIngest — the ingest-time exact stages
+    //      of p2 (gate, in-batch exact dedup, lake-fingerprint
+    //      rejection) over the delta sources, with the lake's
+    //      fingerprint column as the static side. ingest_ts is a
+    //      deterministic function of doc_id (1 s apart) so the
+    //      timestamp survives the oracle boundary as doc_id·10⁶ µs. ----
+    Q(
+      "p3_stream_delta",
+      (s, dir) => {
+        import graft.pipeline.Curation
+        val docs = t(s, dir, "documents")
+        val isDelta = col("source").isin(Curation.DeltaSources: _*)
+        val delta = docs.filter(isDelta)
+          .select(timestamp_micros(col("doc_id") * 1000000L).as("ingest_ts"),
+            col("doc_id"), col("text"))
+        val lake = docs.filter(!isDelta)
+          .select(graft.pipeline.Portable.normFingerprint(col("text")).as("fingerprint"))
+        DocStream.deltaIngest(delta, lake)
+          .select(unix_micros(col("ingest_ts")).as("ingest_us"),
+            col("doc_id"), col("pred_lang"), col("n_words"),
+            col("bpe_tokens"), col("fingerprint"))
+      },
+      Some(s"""
+        WITH feats AS (
+          SELECT doc_id, source,
+                 ${graft.pipeline.Text.langCountsSql},
+                 CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INT) AS n_words,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+          FROM documents),
+        gated AS (
+          SELECT *, ${graft.pipeline.Text.predLangSql} AS pred_lang
+          FROM feats
+          WHERE n_words BETWEEN ${graft.pipeline.Curation.MinWords} AND ${graft.pipeline.Curation.MaxWords}),
+        lake AS (
+          SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+          FROM documents
+          WHERE source NOT IN (${graft.pipeline.Curation.DeltaSources.map(x => s"'$x'").mkString(", ")})),
+        delta_uniq AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+            FROM gated
+            WHERE source IN (${graft.pipeline.Curation.DeltaSources.map(x => s"'$x'").mkString(", ")})
+              AND fingerprint NOT IN (SELECT fingerprint FROM lake))
+          WHERE rn = 1)
+        SELECT doc_id * 1000000 AS ingest_us, doc_id, pred_lang, n_words,
+               bpe_tokens, fingerprint
+        FROM delta_uniq"""),
+    ),
+  )
+}
