@@ -153,6 +153,13 @@ object GraftFunctions {
         require(exprs.length == 2, "vec_dot(a, b)")
         VecDot(exprs.head, exprs(1))
       }),
+    (
+      FunctionIdentifier("byte_hist"),
+      new ExpressionInfo(classOf[ByteHist].getName, "byte_hist"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "byte_hist(payload, dim)")
+        ByteHist(exprs.head, literalInt(exprs(1), "byte_hist", "dim"))
+      }),
   )
 
   def register(spark: SparkSession): Unit =

@@ -137,6 +137,30 @@ object Multimodal {
       .drop("c", "nb")
   }
 
+  /** Native-kernel twin of [[decodeFeaturesExploded]]: the codegen'd
+    * `byte_hist` expression computes the whole per-row histogram in one
+    * fused loop over the raw payload bytes (no hex round-trip, no
+    * per-byte explode), and the per-(id, dim) rows fall out of a
+    * posexplode of the 16-element count array — so the entire operator
+    * is a single shuffle-FREE codegen stage (the explode/agg spelling
+    * shuffled |docs|·FeatureDim count partials). Per-row state is
+    * FeatureDim longs whatever the payload size, which also retires the
+    * array-explosion hazard the frame chunking bounded. The zero-fill
+    * spine is free: the histogram array always carries all FeatureDim
+    * buckets. Requires `GraftFunctions.register` (or the
+    * GraftExtensions config) on the session.
+    */
+  def decodeFeaturesHist(blobs: DataFrame): DataFrame = {
+    val keep = blobs.columns.filterNot(_ == "payload").map(col)
+    blobs
+      .withColumn("nb", octet_length(col("payload")))
+      .select(keep :+ col("nb") :+
+        posexplode(call_function("byte_hist", col("payload"), lit(FeatureDim))): _*)
+      .withColumn("feat", col("col") / greatest(col("nb"), lit(1)).cast("double"))
+      .withColumnRenamed("pos", "dim")
+      .drop("col", "nb")
+  }
+
   /** Frame chunking + every-k-th sampling as pure column algebra (no
     * UDF): frames = payload split into FrameBytes chunks; sample stride k.
     */
@@ -236,9 +260,10 @@ object Multimodal {
         FROM b"""),
     ),
 
-    // ---- m3: stubbed decode → feature extraction, via the column-algebra
-    //      explode→agg stub (codegen-clean; the mapPartitions seam for
-    //      real codecs is fakeDecodeFeatures, differential-tested equal).
+    // ---- m3: stubbed decode → feature extraction, via the native
+    //      byte_hist kernel (one shuffle-free codegen stage; the
+    //      mapPartitions seam for real codecs is fakeDecodeFeatures,
+    //      differential-tested equal, as is the explode→agg spelling).
     //      Output is one scalar row per (id, dim) — the driver harness
     //      can't sort array columns — and the oracle recomputes the
     //      byte-class histogram in SQL (bytes via hex()+substr; validated
@@ -246,9 +271,11 @@ object Multimodal {
     //      Determinism + shape also asserted in MultimodalSpec. ----
     Q(
       "m3_decode_features",
-      (s, dir) =>
-        decodeFeaturesExploded(blobs(s, dir))
-          .select(col("id"), col("modality"), col("dim"), col("feat")),
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        decodeFeaturesHist(blobs(s, dir))
+          .select(col("id"), col("modality"), col("dim"), col("feat"))
+      },
       Some(s"""
         WITH b AS (
           SELECT doc_id AS id,

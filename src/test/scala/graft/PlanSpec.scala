@@ -101,10 +101,10 @@ class PlanSpec extends SparkSpec {
       s"IVF must never plan a cartesian product:\n$p")
   }
 
-  test("m3: byte-histogram aggregate combines map-side before the exchange") {
+  test("m3: native byte_hist decode plans with zero Exchange and no RDD seam") {
     val p = plan("m3_decode_features")
-    assert(p.contains("partial_count"),
-      s"per-byte rows must partial-aggregate before shuffling:\n$p")
+    assert(!p.contains("Exchange"),
+      s"per-row histogram must not shuffle anything:\n$p")
     assert(!p.contains("Scan ExistingRDD"),
       s"decode stub must stay in the Tungsten pipeline:\n$p")
   }

@@ -88,6 +88,41 @@ class MultimodalSpec extends SparkSpec {
       collectMap(Multimodal.decodeFeaturesUnchunked(edge)))
   }
 
+  test("decodeFeaturesHist: byte_hist kernel equals the explode-agg path, shuffle-free") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val b = Multimodal.blobs(spark, dir)
+    def collectMap(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(r.fieldIndex("id")), r.getInt(r.fieldIndex("dim"))) ->
+        r.getDouble(r.fieldIndex("feat"))
+    }.toMap
+    val viaHist = collectMap(
+      Multimodal.decodeFeaturesHist(b).select("id", "dim", "feat"))
+    val viaExplode = collectMap(
+      Multimodal.decodeFeaturesExploded(b).select("id", "dim", "feat"))
+    assert(viaHist.nonEmpty && viaHist == viaExplode,
+      "native byte_hist must equal the explode-agg spelling exactly")
+    // same edge payloads as the chunked/unchunked differential
+    val edge = Seq(
+      (1L, "image", Array.empty[Byte]),
+      (2L, "audio", Array.fill[Byte](Multimodal.FrameBytes)(7)),
+      (3L, "video", Array.fill[Byte](Multimodal.FrameBytes + 1)(9)))
+      .toDF("id", "modality", "payload")
+    assert(collectMap(Multimodal.decodeFeaturesHist(edge).select("id", "dim", "feat")) ==
+      collectMap(Multimodal.decodeFeaturesExploded(edge).select("id", "dim", "feat")))
+    // THE point of the kernel: the whole operator is one codegen stage —
+    // no Exchange (the explode-agg spelling shuffled count partials),
+    // no RDD seam, and pruning still reaches the scan
+    val df = Multimodal.decodeFeaturesHist(b).select("id", "dim", "feat")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"byte_hist decode must be shuffle-free:\n$plan")
+    assert(plan.contains("*("), s"byte_hist decode lost codegen:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"pruning severed:\n$plan")
+  }
+
   test("frameSample: stride sampling yields ceil(n_frames/stride) frames of <= FrameBytes") {
     val b = Multimodal.blobs(spark, dir)
     val frames = Multimodal.frameSample(b, stride = 4)
