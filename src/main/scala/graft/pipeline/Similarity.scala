@@ -905,6 +905,91 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
   }
 
+  /** s8's on-disk serving index: `(vec_id, code)` parquet PARTITIONED BY
+    * cell id, written once per (JVM, corpus) on the scratch volume
+    * (Layout's memoization pattern) — the single-node twin of the
+    * materialized billion-scale layout, 8 B/vector of code payload per
+    * cell directory.
+    */
+  private def ivfPqLayoutPath(s: SparkSession, dir: String): String = {
+    val path = f"${graft.Scratch.dir}/graft-layout-${s.sparkContext.applicationId}/ivfpq_${dir.hashCode & 0x7fffffff}%08x"
+    this.synchronized {
+      if (!new java.io.File(path + "/_SUCCESS").isFile) {
+        val e = vecs(s, dir)
+        val k = numCentroids(corpusCount(s, dir))
+        ivfAssigned(s, dir, e, k).select(col("cid"), col("vec_id"))
+          .join(pqCodes(s, dir), "vec_id")
+          .write.partitionBy("cid").mode("overwrite").parquet(path)
+      }
+    }
+    path
+  }
+
+  /** s8 kernel: s7 probed through the PERSISTED layout — the probe cids
+    * become a literal partition filter on the [[ivfPqLayoutPath]] read
+    * (PartitionFilters prune the cell directories at planning time,
+    * before any I/O), and the ADC scoring + exact rerank tail is s7's.
+    * The probe-cid collect is AuditQueries·[[NProbe]] longs — index
+    * metadata, the q31-documented driver-side scale. The partition
+    * filter uses the read schema's inferred Int partition values
+    * UN-cast: a cast on the partition attribute would defeat the
+    * planning-time prune.
+    */
+  def knnIvfPqServed(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val k = numCentroids(corpusCount(s, dir))
+    val cent = ivfCentroids(s, dir, e, k)
+    val cb = pqCodebook(s, dir)
+    val q = e.filter(col("vec_id") < AuditQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("c_sim").desc, col("cid").asc)
+    val probeDf = q.join(broadcast(cent))
+      .withColumn("c_sim", round(cosine("cv", "qv"), 6))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= NProbe)
+      .select(col("qid"), col("cid"))
+    val probePairs = probeDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val probeCells = probePairs.map(_._2).distinct.sorted
+    val probes = {
+      import s.implicits._
+      probePairs.toDF("qid", "cid")
+    }
+    val layout = s.read.parquet(ivfPqLayoutPath(s, dir))
+      .filter(col("cid").isin(probeCells.map(_.toInt): _*))
+      .withColumn("cid", col("cid").cast("long"))
+    val cand = layout.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("code"))
+    // map-side unpack (pqCodesUnpacked's expression) — NOTE `cid` now
+    // means CODEWORD id again, the cell id is consumed above
+    val unpacked = cand
+      .select(col("qid"), col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqSubs - 1}), j -> shiftright(code, CAST(j * 4 AS INT)) & 15L)")))
+      .select(col("qid"), col("vec_id"), col("pos").as("sub"), col("col").as("cid"))
+    val lut = pqSlices(s, dir).filter(col("vec_id") < AuditQueries)
+      .select(col("vec_id").as("qid"), col("sub"), col("sv"))
+      .join(cb, "sub")
+      .select(col("qid"), col("sub"), col("cid"),
+        round(expr("vec_dot(sv, cv)"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("lutv"))
+    val aw = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id").asc)
+    val pool = unpacked.join(broadcast(lut), Seq("qid", "sub", "cid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("lutv")).as("ascore"))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= PqPool)
+      .select(col("qid"), col("vec_id"))
+    val q2 = e.filter(col("vec_id") < AuditQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    pool.join(e, "vec_id").join(broadcast(q2), "qid")
+      .withColumn("cos_sim", round(cosine("qv2", "v"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
+  }
+
   /** DuckDB twin of the PQ train + code assignment:
     * slices → seed codebooks → [[PqLloydIters]] × (assign, decimal-exact
     * means, refresh) → final codes. Mirrors [[lloydCtesSql]]'s shape
@@ -1163,7 +1248,31 @@ object Similarity {
     Q(
       "s7_knn_ivfpq",
       (s, dir) => knnIvfPq(s, dir),
-      Some(s"""
+      Some(ivfPqOracleSql),
+    ),
+
+    // ---- s8: the SERVING layout made real — s7's index written to disk
+    //      as (vec_id, code) parquet PARTITIONED BY cell id, probed back
+    //      through partition pruning (q34's machinery composed with
+    //      s7's math). The semantics are identical to s7 (same oracle),
+    //      but the bytes READ are now the physical claim: a probe scans
+    //      NProbe directories of 8 B/vector codes, planned via
+    //      PartitionFilters before any I/O — at 100 TB this is the
+    //      difference between an ANN query that touches the corpus and
+    //      one that touches NProbe/K of it on disk. The probe-cid
+    //      collect is AuditQueries·NProbe cells (index metadata, q31's
+    //      documented scale), never data. ----
+    Q(
+      "s8_ann_layout",
+      (s, dir) => knnIvfPqServed(s, dir),
+      Some(ivfPqOracleSql),
+    ),
+  )
+
+  /** Shared DuckDB twin of the IVF-PQ chain (s7 and s8 — the layout
+    * changes WHERE the codes are read from, not what they compute).
+    */
+  private def ivfPqOracleSql: String = s"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         ivfpar AS (
           SELECT k, CAST(ceil(k / ceil(sqrt(k))) AS BIGINT) AS m
@@ -1218,7 +1327,5 @@ object Similarity {
                      row_number() OVER (PARTITION BY pool.qid
                        ORDER BY ${cosSql("qv2", "v")} DESC, pool.vec_id ASC) AS rn
               FROM pool JOIN e USING (vec_id) JOIN qv2 USING (qid))
-        WHERE rn <= 10"""),
-    ),
-  )
+        WHERE rn <= 10"""
 }

@@ -395,7 +395,55 @@ object Text {
                           / CAST(n_tokens AS DOUBLE)) AS sample_rate
         FROM sh"""),
     ),
+
+    // ---- t10: SEQUENCE PACKING — lay the corpus out as a packed token
+    //      stream of fixed-capacity training windows: each doc gets the
+    //      (bin, offset) where its tokens land when docs are concatenated
+    //      in deterministic order, bins of SeqPackCapacity tokens. THE
+    //      final physical step of a training-data pipeline (LLM trainers
+    //      consume fixed-length sequences, not ragged docs).
+    //      Scale shape: packing is per-SOURCE (partitionBy(source) window
+    //      + running sum) — one shuffle on source, each source packs
+    //      independently in parallel, exactly how sharded training files
+    //      are laid out. A single GLOBAL pack would funnel the corpus
+    //      through one reducer (the q31 trap); per-source bins are the
+    //      sharded layout trainers already expect. The running sum is
+    //      one window state register per row — no explode, no join. ----
+    Q(
+      "t10_seq_pack",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            bpeTokens(col("text")).cast("long").as("n_tokens"))
+          .withColumn("cum_excl",
+            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            expr(s"cum_excl div $SeqPackCapacity").as("bin_id"),
+            expr(s"cum_excl % $SeqPackCapacity").as("bin_offset"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT source, doc_id,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT source, doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+          FROM tok)
+        SELECT source, doc_id, n_tokens,
+               cum_excl // $SeqPackCapacity AS bin_id,
+               cum_excl % $SeqPackCapacity AS bin_offset
+        FROM c"""),
+    ),
   )
+
+  /** t10's training-window capacity (tokens per packed sequence). */
+  val SeqPackCapacity = 2048L
 
   /** DuckDB twin of `winnow_fp(text, k, w)` → (doc_id, n_fp, fp_md5).
     * Mirrors graft.functions.WinnowKernel exactly: same base/modulus,

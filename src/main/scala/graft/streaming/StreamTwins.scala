@@ -87,6 +87,49 @@ object StreamTwins {
         FROM wk"""),
     ),
 
+    // ---- e9: batch run of the flatMapGroupsWithState sessionize — in
+    //      batch, state starts empty and no timeout ever fires, so the
+    //      function emits every CLOSED session and each user's final
+    //      session stays in (discarded) state: the oracle is e3's window
+    //      chain MINUS each user's last session. total_value is omitted
+    //      from the checked projection: the state machine accumulates it
+    //      as an order-dependent IEEE double sum, which no engine-
+    //      independent oracle can replay exactly (boundaries and counts
+    //      are the semantics under test). ----
+    Q(
+      "e9_stream_sessions",
+      (s, dir) => {
+        import s.implicits._
+        EventStream.sessionize(
+          t(s, dir, "events")
+            .select(col("ts"), col("user_id"), col("value"))
+            .as[EventStream.Ev]
+        ).toDF()
+          .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
+          FROM events),
+        m AS (
+          SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 30 * 60 * 1000000
+                         THEN 1 ELSE 0 END AS new_session
+          FROM g),
+        sess AS (
+          SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+          FROM m),
+        agg AS (
+          SELECT user_id, session_seq,
+                 min(ts_us) AS start_us, max(ts_us) AS end_us,
+                 count(*) AS n_events
+          FROM sess GROUP BY 1, 2)
+        SELECT user_id, start_us, end_us, n_events
+        FROM (SELECT *, max(session_seq) OVER (PARTITION BY user_id) AS last_seq FROM agg)
+        WHERE session_seq < last_seq"""),
+    ),
+
     // ---- p3: batch run of deltaIngest — the ingest-time exact stages
     //      of p2 (gate, in-batch exact dedup, lake-fingerprint
     //      rejection) over the delta sources, with the lake's

@@ -146,6 +146,22 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore)
   }
 
+  test("s8 served layout: equals s7 exactly, probe prunes cell partitions at plan time") {
+    val viaIndex = SparkEntry.queries("s7_knn_ivfpq")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val df = SparkEntry.queries("s8_ann_layout")(spark, dir)
+    val served = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(served == viaIndex,
+      "the persisted layout must serve exactly the in-session index's results")
+    // the LAYOUT scan must prune to the probed cells BEFORE any I/O
+    // (other scans in the plan — embeddings — are unpartitioned and
+    // print empty PartitionFilters; the assertion targets the cid scan)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid#"),
+      s"probe must plan a non-empty partition filter on cid:\n$plan")
+  }
+
   test("s7 IVF-PQ: full top-10 per query, recall bounded by the probe, sane vs chance") {
     val ivfpq = SparkEntry.queries("s7_knn_ivfpq")(spark, dir).collect()
     assert(ivfpq.length == 50, s"expected 5 queries x 10 rows, got ${ivfpq.length}")
