@@ -706,14 +706,15 @@ object Similarity {
     * vector-quantize each slice against a per-subspace [[PqK]]-codeword
     * codebook, and rank candidates by ASYMMETRIC DISTANCE — the query
     * stays full-precision, a candidate's approximate dot is the sum of
-    * 8 per-subspace lookup-table entries keyed by its codes. Exact
-    * cosine re-ranks the [[PqPool]] survivors, absorbing quantization
-    * reordering (same pool pattern as s5).
+    * [[PqSubs]] per-subspace lookup-table entries keyed by its codes.
+    * Exact cosine re-ranks the [[PqPool]] survivors, absorbing
+    * quantization reordering (same pool pattern as s5).
     *
     * Scale shape — this is the operator that makes a 100 TB embedding
-    * scan cheap: the persisted per-vector artifact is EIGHT 4-bit codes
-    * (vs 512 B of fp64, a 64× storage/bandwidth cut; s5's int8 cut is
-    * 8×); the LUT is |queries|·PqSubs·PqK rows of per-subspace dots —
+    * scan cheap: the persisted per-vector artifact is SIXTEEN 4-bit
+    * codes packed into one BIGINT — 8 B (vs 512 B of fp64, a 64×
+    * storage/bandwidth cut; s5's int8 cut is 8×); the LUT is
+    * |queries|·PqSubs·PqK rows of per-subspace dots —
     * broadcast, never shuffled; the candidate scan joins codes against
     * the LUT and map-side-combines the per-(query, vector) sum, so the
     * corpus crosses the wire once as (qid, vec_id, partial) rows. The
