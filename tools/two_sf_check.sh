@@ -14,7 +14,7 @@ cd "$(dirname "$0")/.."
 
 # d8/d9 (span index is corpus-linear, SpanK constant), t9 (allocation
 # depends on corpus totals) joined the gate in round 5.
-QUERIES="d2_ngram_jaccard,d4b_simhash_pairs,d6_dup_clusters,s2_knn_lsh,s3_cosine_neardup,s4_knn_ivf,s5_knn_sq8,s6_knn_pq,s7_knn_ivfpq,q31_sample,p2_delta_curation,d8_span_dedup,d9_decontam,t9_domain_mix"
+QUERIES="d2_ngram_jaccard,d4b_simhash_pairs,d6_dup_clusters,s2_knn_lsh,s3_cosine_neardup,s4_knn_ivf,s5_knn_sq8,s6_knn_pq,s7_knn_ivfpq,q31_sample,p2_delta_curation,d8_span_dedup,d9_decontam,t9_domain_mix,s8_ann_layout"
 
 ADDOPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
   java.net java.nio java.util java.util.concurrent \
