@@ -158,7 +158,9 @@ object GraftFunctions {
       new ExpressionInfo(classOf[ByteHist].getName, "byte_hist"),
       { exprs: Seq[Expression] =>
         require(exprs.length == 2, "byte_hist(payload, dim)")
-        ByteHist(exprs.head, literalInt(exprs(1), "byte_hist", "dim"))
+        val dim = literalInt(exprs(1), "byte_hist", "dim")
+        require(dim > 0, s"byte_hist: dim must be positive, got $dim")
+        ByteHist(exprs.head, dim)
       }),
   )
 

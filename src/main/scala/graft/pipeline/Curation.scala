@@ -61,7 +61,23 @@ object Curation {
     * delta; everything else is the already-curated lake.
     */
   private[graft] val DeltaSources = Seq("src18", "src19")
-  private def deltaSourcesSql = DeltaSources.map(s => s"'$s'").mkString(", ")
+  private[graft] def deltaSourcesSql = DeltaSources.map(s => s"'$s'").mkString(", ")
+
+  /** Shared oracle CTE block — per-doc features + the quality gate, the
+    * SQL twin of the feature/gate columns p1/p2/p3 all apply. ONE
+    * spelling: the fingerprint/gate rules must not be able to drift
+    * between the pipeline oracles.
+    */
+  private[graft] def featsGatedCtesSql: String = s"""feats AS (
+          SELECT doc_id, source,
+                 $langCountsSql,
+                 CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INT) AS n_words,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+          FROM documents),
+        gated AS (
+          SELECT *, $predLangSql AS pred_lang
+          FROM feats WHERE n_words BETWEEN $MinWords AND $MaxWords)"""
 
   /** Offset added to delta doc_ids in the mixed components run: every
     * mapped delta id sits above every lake id, so a cluster's min label
@@ -104,16 +120,7 @@ object Curation {
       },
       Some(s"""
         WITH RECURSIVE ${Dedup.lshVerifiedCtes},
-        feats AS (
-          SELECT doc_id,
-                 $langCountsSql,
-                 CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INT) AS n_words,
-                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens,
-                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
-          FROM documents),
-        gated AS (
-          SELECT *, $predLangSql AS pred_lang
-          FROM feats WHERE n_words BETWEEN $MinWords AND $MaxWords),
+        $featsGatedCtesSql,
         uniq AS (
           SELECT * FROM (
             SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
@@ -221,16 +228,7 @@ object Curation {
       },
       Some(s"""
         WITH RECURSIVE ${Dedup.lshVerifiedCtes},
-        feats AS (
-          SELECT doc_id, source,
-                 $langCountsSql,
-                 CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INT) AS n_words,
-                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens,
-                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
-          FROM documents),
-        gated AS (
-          SELECT *, $predLangSql AS pred_lang
-          FROM feats WHERE n_words BETWEEN $MinWords AND $MaxWords),
+        $featsGatedCtesSql,
         base_uniq AS (
           SELECT * FROM (
             SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn

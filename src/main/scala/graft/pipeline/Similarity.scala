@@ -679,14 +679,7 @@ object Similarity {
       .filter(col("arn") <= S5Pool)
       .select(col("qid"), col("vec_id"))
     // exact rerank over the pool only: re-join the fp vectors
-    val q = e.filter(col("vec_id") < AuditQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv2"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
-    pool.join(e, "vec_id").join(broadcast(q), "qid")
-      .withColumn("cos_sim", round(cosine("qv2", "v"), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
-      .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
+    exactRerank(s, dir, pool)
   }
 
   /** s6 geometry: [[PqSubs]] subspaces of [[PqDim]] dims (64-dim
@@ -814,32 +807,50 @@ object Similarity {
     * stored artifact. Exposed for the spec that round-trips it against
     * the codebook assignment.
     */
+  /** The unpack expression over a packed `code` column — ONE spelling
+    * shared by every consumer (a drifted copy would silently split the
+    * s6/s7/s8 results).
+    */
+  private val pqUnpackSql: String =
+    s"transform(sequence(0, ${PqSubs - 1}), j -> shiftright(code, CAST(j * 4 AS INT)) & 15L)"
+
   private[graft] def pqCodesUnpacked(s: SparkSession, dir: String): DataFrame =
     pqCodes(s, dir)
-      .select(col("vec_id"), posexplode(expr(
-        s"transform(sequence(0, ${PqSubs - 1}), j -> shiftright(code, CAST(j * 4 AS INT)) & 15L)")))
+      .select(col("vec_id"), posexplode(expr(pqUnpackSql)))
       .select(col("vec_id"), col("pos").as("sub"), col("col").as("cid"))
 
-  def knnPq(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
-    val cb = pqCodebook(s, dir)
-    val codes = pqCodesUnpacked(s, dir)
-    // ADC lookup table: per (query, subspace, codeword) dot — tiny, broadcast
-    val lut = pqSlices(s, dir).filter(col("vec_id") < AuditQueries)
+  /** ADC lookup table: per (query, subspace, codeword) dot — tiny,
+    * broadcast by every consumer. Decimal-exact (order-insensitive
+    * partial sums), shared by s6/s7/s8.
+    */
+  private def adcLut(s: SparkSession, dir: String): DataFrame =
+    pqSlices(s, dir).filter(col("vec_id") < AuditQueries)
       .select(col("vec_id").as("qid"), col("sub"), col("sv"))
-      .join(cb, "sub")
+      .join(pqCodebook(s, dir), "sub")
       .select(col("qid"), col("sub"), col("cid"),
         round(expr("vec_dot(sv, cv)"), 6)
           .cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("lutv"))
+
+  /** ADC candidate pool: sum the per-subspace LUT entries per
+    * (query, vector) — map-side-combinable exact decimal — and keep the
+    * top [[PqPool]] per query. `scored` carries (qid, vec_id, lutv)
+    * rows, one per matched subspace.
+    */
+  private def adcPool(scored: DataFrame): DataFrame = {
     val aw = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id").asc)
-    val pool = codes.join(broadcast(lut), Seq("sub", "cid"))
-      .filter(col("vec_id") =!= col("qid"))
+    scored
       .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("lutv")).as("ascore")) // decimal: exact, order-insensitive
+      .agg(sum(col("lutv")).as("ascore"))
       .withColumn("arn", row_number().over(aw))
       .filter(col("arn") <= PqPool)
       .select(col("qid"), col("vec_id"))
-    // exact rerank over the pool only (s5's shape)
+  }
+
+  /** Exact-cosine rerank of a (qid, vec_id) candidate pool to top-10 —
+    * the shared tail of every quantized ANN operator (s5-s8).
+    */
+  private def exactRerank(s: SparkSession, dir: String, pool: DataFrame): DataFrame = {
+    val e = vecs(s, dir)
     val q = e.filter(col("vec_id") < AuditQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv2"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
@@ -848,6 +859,16 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
       .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
+  }
+
+  def knnPq(s: SparkSession, dir: String): DataFrame = {
+    val pool = adcPool(
+      pqCodesUnpacked(s, dir)
+        .join(broadcast(adcLut(s, dir)), Seq("sub", "cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("lutv")))
+    // exact rerank over the pool only (s5's shape)
+    exactRerank(s, dir, pool)
   }
 
   /** s7 kernel: IVF-PQ — the standard billion-scale serving layout,
@@ -866,44 +887,35 @@ object Similarity {
   def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val k = numCentroids(corpusCount(s, dir))
-    val cent = ivfCentroids(s, dir, e, k)
     val assigned = ivfAssigned(s, dir, e, k)
-    val codes = pqCodesUnpacked(s, dir)
-    val cb = pqCodebook(s, dir)
+    val probes = ivfProbes(s, dir)
+    val cand = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val pool = adcPool(
+      cand.join(pqCodesUnpacked(s, dir), "vec_id")
+        .join(broadcast(adcLut(s, dir)), Seq("qid", "sub", "cid"))
+        .select(col("qid"), col("vec_id"), col("lutv")))
+    exactRerank(s, dir, pool)
+  }
+
+  /** Probe set for the audit queries: top-[[NProbe]] cells per query by
+    * centroid cosine — shared by s7 (in-session index) and s8 (persisted
+    * layout; it collects these into the literal partition filter).
+    */
+  private def ivfProbes(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val k = numCentroids(corpusCount(s, dir))
+    val cent = ivfCentroids(s, dir, e, k)
     val q = e.filter(col("vec_id") < AuditQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val pw = Window.partitionBy(col("qid"))
       .orderBy(col("c_sim").desc, col("cid").asc)
-    val probes = q.join(broadcast(cent))
+    q.join(broadcast(cent))
       .withColumn("c_sim", round(cosine("cv", "qv"), 6))
       .withColumn("prn", row_number().over(pw))
       .filter(col("prn") <= NProbe)
       .select(col("qid"), col("cid"))
-    val lut = pqSlices(s, dir).filter(col("vec_id") < AuditQueries)
-      .select(col("vec_id").as("qid"), col("sub"), col("sv"))
-      .join(cb, "sub")
-      .select(col("qid"), col("sub"), col("cid"),
-        round(expr("vec_dot(sv, cv)"), 6)
-          .cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("lutv"))
-    val cand = assigned.join(broadcast(probes), Seq("cid"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"))
-    val aw = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id").asc)
-    val pool = cand.join(codes, "vec_id")
-      .join(broadcast(lut), Seq("qid", "sub", "cid"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("lutv")).as("ascore"))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") <= PqPool)
-      .select(col("qid"), col("vec_id"))
-    val q2 = e.filter(col("vec_id") < AuditQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv2"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
-    pool.join(e, "vec_id").join(broadcast(q2), "qid")
-      .withColumn("cos_sim", round(cosine("qv2", "v"), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
-      .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
   }
 
   /** s8's on-disk serving index: `(vec_id, code)` parquet PARTITIONED BY
@@ -937,20 +949,8 @@ object Similarity {
     * planning-time prune.
     */
   def knnIvfPqServed(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
-    val k = numCentroids(corpusCount(s, dir))
-    val cent = ivfCentroids(s, dir, e, k)
-    val cb = pqCodebook(s, dir)
-    val q = e.filter(col("vec_id") < AuditQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val pw = Window.partitionBy(col("qid"))
-      .orderBy(col("c_sim").desc, col("cid").asc)
-    val probeDf = q.join(broadcast(cent))
-      .withColumn("c_sim", round(cosine("cv", "qv"), 6))
-      .withColumn("prn", row_number().over(pw))
-      .filter(col("prn") <= NProbe)
-      .select(col("qid"), col("cid"))
-    val probePairs = probeDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val probePairs = ivfProbes(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val probeCells = probePairs.map(_._2).distinct.sorted
     val probes = {
       import s.implicits._
@@ -962,33 +962,15 @@ object Similarity {
     val cand = layout.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), col("code"))
-    // map-side unpack (pqCodesUnpacked's expression) — NOTE `cid` now
-    // means CODEWORD id again, the cell id is consumed above
+    // map-side unpack ([[pqUnpackSql]], the shared spelling) — NOTE
+    // `cid` now means CODEWORD id again, the cell id is consumed above
     val unpacked = cand
-      .select(col("qid"), col("vec_id"), posexplode(expr(
-        s"transform(sequence(0, ${PqSubs - 1}), j -> shiftright(code, CAST(j * 4 AS INT)) & 15L)")))
+      .select(col("qid"), col("vec_id"), posexplode(expr(pqUnpackSql)))
       .select(col("qid"), col("vec_id"), col("pos").as("sub"), col("col").as("cid"))
-    val lut = pqSlices(s, dir).filter(col("vec_id") < AuditQueries)
-      .select(col("vec_id").as("qid"), col("sub"), col("sv"))
-      .join(cb, "sub")
-      .select(col("qid"), col("sub"), col("cid"),
-        round(expr("vec_dot(sv, cv)"), 6)
-          .cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("lutv"))
-    val aw = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("vec_id").asc)
-    val pool = unpacked.join(broadcast(lut), Seq("qid", "sub", "cid"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("lutv")).as("ascore"))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") <= PqPool)
-      .select(col("qid"), col("vec_id"))
-    val q2 = e.filter(col("vec_id") < AuditQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv2"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
-    pool.join(e, "vec_id").join(broadcast(q2), "qid")
-      .withColumn("cos_sim", round(cosine("qv2", "v"), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
-      .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
+    val pool = adcPool(
+      unpacked.join(broadcast(adcLut(s, dir)), Seq("qid", "sub", "cid"))
+        .select(col("qid"), col("vec_id"), col("lutv")))
+    exactRerank(s, dir, pool)
   }
 
   /** DuckDB twin of the PQ train + code assignment:

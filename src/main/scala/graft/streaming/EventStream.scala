@@ -296,12 +296,25 @@ object EventStream {
   }
 
   /** File-source streaming reader with the events schema — at scale this
-    * is the replay path over a parquet landing zone.
+    * is the replay path over a parquet landing zone. The `ts` encoding
+    * is sniffed from a driver-side batch footer read and normalized with
+    * the SAME three branches as the batch loader (`Tables.t`): the
+    * driver has shipped the column as int64 nanos AND as micros-NTZ,
+    * and a reader pinned to one encoding crashes (or silently compresses
+    * every timestamp 1000×) when the landing zone flips — the round-4
+    * regression class, streaming edition.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = spark.read.parquet(dir).schema // footer-only, driver-side
+    val st = spark.readStream.schema(schema).parquet(dir)
+    schema("ts").dataType match {
+      case LongType =>
+        st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        st.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => st
+    }
   }
 }

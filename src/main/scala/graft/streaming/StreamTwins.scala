@@ -153,26 +153,20 @@ object StreamTwins {
             col("bpe_tokens"), col("fingerprint"))
       },
       Some(s"""
-        WITH feats AS (
-          SELECT doc_id, source,
-                 ${graft.pipeline.Text.langCountsSql},
-                 CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INT) AS n_words,
-                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens,
-                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
-          FROM documents),
-        gated AS (
-          SELECT *, ${graft.pipeline.Text.predLangSql} AS pred_lang
-          FROM feats
-          WHERE n_words BETWEEN ${graft.pipeline.Curation.MinWords} AND ${graft.pipeline.Curation.MaxWords}),
+        WITH ${graft.pipeline.Curation.featsGatedCtesSql},
         lake AS (
-          SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
-          FROM documents
-          WHERE source NOT IN (${graft.pipeline.Curation.DeltaSources.map(x => s"'$x'").mkString(", ")})),
+          -- IS NOT NULL: a single NULL in a NOT IN set makes the whole
+          -- predicate never-true (SQL three-valued logic), silently
+          -- emptying delta_uniq; Spark's left_anti treats NULL keys as
+          -- non-matching, so the engines would split on NULL-text docs
+          SELECT fingerprint FROM feats
+          WHERE source NOT IN (${graft.pipeline.Curation.deltaSourcesSql})
+            AND fingerprint IS NOT NULL),
         delta_uniq AS (
           SELECT * FROM (
             SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
             FROM gated
-            WHERE source IN (${graft.pipeline.Curation.DeltaSources.map(x => s"'$x'").mkString(", ")})
+            WHERE source IN (${graft.pipeline.Curation.deltaSourcesSql})
               AND fingerprint NOT IN (SELECT fingerprint FROM lake))
           WHERE rn = 1)
         SELECT doc_id * 1000000 AS ingest_us, doc_id, pred_lang, n_words,

@@ -253,10 +253,18 @@ class EventStreamSpec extends SparkSpec {
       .outputMode("complete").start()
     try {
       query.processAllAvailable()
+      // full (window, type) -> count map, not just the total: a reader
+      // that mis-decodes the ts encoding preserves counts while
+      // compressing every timestamp into a handful of windows
       val streamed = spark.table("file_hourly")
-        .agg(sum("n")).collect()(0).getLong(0)
-      val batch = graft.Tables.t(spark, "/root/testdata/sf0.001", "events").count()
-      assert(streamed == batch, s"stream counted $streamed of $batch events")
+        .select("window_start", "event_type", "n").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = EventStream.hourlyCounts(
+          graft.Tables.t(spark, "/root/testdata/sf0.001", "events"))
+        .select("window_start", "event_type", "n").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed hourly windows diverge from batch (${streamed.size} vs ${batch.size} cells)")
     } finally query.stop()
   }
 
