@@ -283,6 +283,38 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
   }
 
+  /** s9 kernel: METADATA-FILTERED vector search — top-10 cosine among
+    * the corpus vectors whose paired document passes a metadata
+    * predicate (lang + length here), the retrieval shape production
+    * vector stores serve constantly ("nearest English docs over 200
+    * chars"). FILTER-THEN-SEARCH deliberately: the predicate semi-join
+    * prunes the corpus BEFORE any distance work, and the result is
+    * exact over the filtered set. The alternative (post-filtering an
+    * unfiltered ANN's top-k) under-delivers k whenever the filter is
+    * selective — at a 10% filter an unfiltered top-10 yields ~1
+    * surviving hit. Scale shape: the metadata filter pushes to the
+    * documents scan (pruned columns, PushedFilters), the semi-join is
+    * one hash join on the id (co-partitionable / bucket-able at 100 TB
+    * — q33's layout applies), and the scored side then broadcasts the
+    * query set exactly like s1. Composes with s4/s7: assign cells AFTER
+    * the filter semi-join to probe within the filtered corpus.
+    */
+  def knnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val keep = t(s, dir, "documents")
+      .filter(col("lang") === "en" && col("n_chars") >= 200)
+      .select(col("doc_id").as("vec_id"))
+    val e = vecs(s, dir).join(keep, Seq("vec_id"), "left_semi")
+    val q = vecs(s, dir).filter(col("vec_id") < AuditQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", round(cosine("qv", "v"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
+  }
+
   /** s2 kernel: LSH-bucketed ANN top-10 (same output shape as s1). */
   def knnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
@@ -1249,6 +1281,31 @@ object Similarity {
       "s8_ann_layout",
       (s, dir) => knnIvfPqServed(s, dir),
       Some(ivfPqOracleSql),
+    ),
+
+    // ---- s9: metadata-filtered vector search (see [[knnFiltered]]) —
+    //      filter-then-search, exact over the filtered corpus. ----
+    Q(
+      "s9_filtered_knn",
+      (s, dir) => knnFiltered(s, dir),
+      Some(s"""
+        WITH keep AS (
+          SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200),
+        e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id IN (SELECT doc_id FROM keep)),
+        q AS (
+          SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id < $AuditQueries),
+        p AS (SELECT qid, vec_id,
+                     round(list_dot_product(qv, v)
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+              FROM q, e WHERE vec_id != qid)
+        SELECT qid, vec_id, cos_sim, rn
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                           ORDER BY cos_sim DESC, vec_id ASC) AS rn
+              FROM p)
+        WHERE rn <= 10"""),
     ),
   )
 

@@ -93,6 +93,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"df cap must not shuffle the index:\n$p")
   }
 
+  test("s9: metadata predicate pushes to the documents scan; filter precedes distance work") {
+    val p = plan("s9_filtered_knn")
+    assert(p.contains("EqualTo(lang,en)") && p.contains("GreaterThanOrEqual(n_chars,200)"),
+      s"metadata predicate must reach the parquet scan:\n$p")
+    assert(!p.contains("text"),
+      s"the filter scan must prune the text column:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set should broadcast:\n$p")
+  }
+
   test("s4: centroid assignment and probes broadcast; no cartesian product") {
     val p = plan("s4_knn_ivf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
