@@ -38,10 +38,12 @@ object Md5LongKernel {
   /** First 15 hex digits of md5 as a long = first 7 bytes, plus the high
     * nibble of byte 8.
     */
-  def hash(s: UTF8String): Long = {
+  def hash(s: UTF8String): Long = hashBytes(s.getBytes)
+
+  def hashBytes(bytes: Array[Byte]): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(s.getBytes)
+    val d = md.digest(bytes)
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }

@@ -162,6 +162,16 @@ object GraftFunctions {
         require(dim > 0, s"byte_hist: dim must be positive, got $dim")
         ByteHist(exprs.head, dim)
       }),
+    (
+      FunctionIdentifier("byte_simhash"),
+      new ExpressionInfo(classOf[ByteSimhash].getName, "byte_simhash"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "byte_simhash(payload, nbits)")
+        val nbits = literalInt(exprs(1), "byte_simhash", "nbits")
+        require(nbits > 0 && nbits <= 60,
+          s"byte_simhash: nbits must be in (0, 60] (the portable-hash width), got $nbits")
+        ByteSimhash(exprs.head, nbits)
+      }),
   )
 
   def register(spark: SparkSession): Unit =

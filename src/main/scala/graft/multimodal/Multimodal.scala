@@ -260,6 +260,42 @@ object Multimodal {
         FROM b"""),
     ),
 
+    // ---- m5: perceptual-hash-style media fingerprint — the 32-bit
+    //      byte-gram SimHash of each payload via the native byte_simhash
+    //      kernel (one fused map-side loop, no shuffle: the signature a
+    //      media pipeline persists for near-dup detection; a shifted or
+    //      locally-edited payload lands a few hamming bits away, unlike
+    //      m1's exact md5). Shares d4's bit rule, so d4b's pigeonhole
+    //      pairing works on these signatures unchanged. ----
+    Q(
+      "m5_payload_phash",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        blobs(s, dir).select(col("id"), col("modality"),
+          call_function("byte_simhash", col("payload"), lit(32)).as("phash"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id AS id,
+                 ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+                 lower(hex(encode(text))) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents),
+        tok AS (
+          SELECT id, CAST(('0x' || substr(md5(substr(hx, 2*i+1, 8)), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT id, hx, unnest(generate_series(0, n-4)) AS i FROM b WHERE n >= 4)),
+        bits AS (
+          SELECT id, bit,
+                 sum(CASE WHEN (h // (1::BIGINT << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS w
+          FROM tok, (SELECT unnest(generate_series(0, 31)) AS bit)
+          GROUP BY 1, 2),
+        sig AS (
+          SELECT id, CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS phash
+          FROM bits GROUP BY 1)
+        SELECT b.id, b.modality, coalesce(sig.phash, 0) AS phash
+        FROM b LEFT JOIN sig USING (id)"""),
+    ),
+
     // ---- m3: stubbed decode → feature extraction, via the native
     //      byte_hist kernel (one shuffle-free codegen stage; the
     //      mapPartitions seam for real codecs is fakeDecodeFeatures,

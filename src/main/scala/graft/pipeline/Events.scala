@@ -242,5 +242,36 @@ object Events {
                count(*) AS n_users
         FROM coh GROUP BY 1, 2"""),
     ),
+
+    // ---- e10: trending — top-3 event types per hour by count, the
+    //      agg-then-rank-per-window dashboard shape. Scale: the count is
+    //      a map-side-partial two-stage aggregate; the rank window runs
+    //      over |event types| rows per hour (already aggregated, tiny)
+    //      and Spark's WindowGroupLimit prunes below the rank filter —
+    //      the corpus itself is never window-sorted. ----
+    Q(
+      "e10_trending",
+      (s, dir) => {
+        val w = Window.partitionBy(col("hour_us"))
+          .orderBy(col("n").desc, col("event_type").asc)
+        t(s, dir, "events")
+          .groupBy(
+            unix_micros(date_trunc("HOUR", col("ts"))).as("hour_us"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+      },
+      Some("""
+        WITH c AS (
+          SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT hour_us, event_type, n, rk FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY hour_us ORDER BY n DESC, event_type ASC) AS INT) AS rk
+          FROM c)
+        WHERE rk <= 3"""),
+    ),
   )
 }

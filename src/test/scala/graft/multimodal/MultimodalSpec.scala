@@ -123,6 +123,32 @@ class MultimodalSpec extends SparkSpec {
       s"pruning severed:\n$plan")
   }
 
+  test("byte_simhash: exact dups collide, local edits land nearby, distinct content far") {
+    import graft.functions.ByteSimhashKernel.simhash
+    val base = Array.tabulate[Byte](400)(i => ((i * 37 + 11) % 251).toByte)
+    // exact duplicate -> identical signature
+    assert(simhash(base, 32) == simhash(base.clone(), 32))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // a PREPENDED byte shifts every offset but the rolling grams are
+    // unchanged except one new gram: signature must stay close — the
+    // property that makes this a near-dup fingerprint and m1's exact
+    // md5 not
+    val shifted = (Array[Byte](99) ++ base)
+    assert(hamming(simhash(base, 32), simhash(shifted, 32)) <= 6,
+      "shift-invariance: prepending one byte must barely move the signature")
+    // a small in-place edit changes only 4 overlapping grams
+    val edited = base.clone(); edited(200) = 77
+    assert(hamming(simhash(base, 32), simhash(edited, 32)) <= 6,
+      "a one-byte edit must barely move the signature")
+    // unrelated content lands far away (expected hamming ~16 of 32)
+    val other = Array.tabulate[Byte](400)(i => ((i * 101 + 7) % 239).toByte)
+    assert(hamming(simhash(base, 32), simhash(other, 32)) >= 8,
+      "distinct content must not collide")
+    // sub-4-byte payloads have no grams: all-zero signature, no crash
+    assert(simhash(Array[Byte](1, 2, 3), 32) == 0L)
+    assert(simhash(Array.empty[Byte], 32) == 0L)
+  }
+
   test("frameSample: stride sampling yields ceil(n_frames/stride) frames of <= FrameBytes") {
     val b = Multimodal.blobs(spark, dir)
     val frames = Multimodal.frameSample(b, stride = 4)
