@@ -180,6 +180,28 @@ object Multimodal {
       .select(col("id"), col("modality"), col("frame_idx"), col("frame"),
         octet_length(col("frame")).as("frame_bytes"))
 
+  /** Shared oracle CTE block for the byte-gram SimHash (m5/m6): blob
+    * hex + rolling 4-byte-gram hashes + per-bit sums + signature — the
+    * SQL twin of [[graft.functions.ByteSimhashKernel]], one spelling.
+    */
+  private def phashCtesSql: String = """b AS (
+          SELECT doc_id AS id,
+                 ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+                 lower(hex(encode(text))) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents),
+        tok AS (
+          SELECT id, CAST(('0x' || substr(md5(substr(hx, 2*i+1, 8)), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT id, hx, unnest(generate_series(0, n-4)) AS i FROM b WHERE n >= 4)),
+        bits AS (
+          SELECT id, bit,
+                 sum(CASE WHEN (h // (1::BIGINT << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS w
+          FROM tok, (SELECT unnest(generate_series(0, 31)) AS bit)
+          GROUP BY 1, 2),
+        sig AS (
+          SELECT id, CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS phash
+          FROM bits GROUP BY 1)"""
+
   def all: Seq[Q] = Seq(
     // ---- m1: binary metadata extraction (oracle-checked) ----
     Q(
@@ -274,26 +296,51 @@ object Multimodal {
         blobs(s, dir).select(col("id"), col("modality"),
           call_function("byte_simhash", col("payload"), lit(32)).as("phash"))
       },
-      Some("""
-        WITH b AS (
-          SELECT doc_id AS id,
-                 ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
-                 lower(hex(encode(text))) AS hx,
-                 octet_length(encode(text)) AS n
-          FROM documents),
-        tok AS (
-          SELECT id, CAST(('0x' || substr(md5(substr(hx, 2*i+1, 8)), 1, 15)) AS BIGINT) AS h
-          FROM (SELECT id, hx, unnest(generate_series(0, n-4)) AS i FROM b WHERE n >= 4)),
-        bits AS (
-          SELECT id, bit,
-                 sum(CASE WHEN (h // (1::BIGINT << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS w
-          FROM tok, (SELECT unnest(generate_series(0, 31)) AS bit)
-          GROUP BY 1, 2),
-        sig AS (
-          SELECT id, CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS phash
-          FROM bits GROUP BY 1)
+      Some(s"""
+        WITH $phashCtesSql
         SELECT b.id, b.modality, coalesce(sig.phash, 0) AS phash
         FROM b LEFT JOIN sig USING (id)"""),
+    ),
+
+    // ---- m6: media near-dup PAIRS over the m5 signatures — d4b's
+    //      pigeonhole at the fixed 32-bit width: hamming ≤ 3 implies at
+    //      least one of 4 8-bit pieces is identical, so candidates meet
+    //      through an equi-join on (piece idx, piece value) and the
+    //      exact hamming check verifies — never all-pairs. The media
+    //      twin of d4b: retry uploads, re-encodes and watermarked copies
+    //      collide here while m1's exact md5 misses them. ----
+    Q(
+      "m6_media_neardup",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val sig = blobs(s, dir).select(col("id"),
+          call_function("byte_simhash", col("payload"), lit(32)).as("phash"))
+        val pieces = sig.select(col("id"), col("phash"),
+          explode(array((0 until 4).map(i =>
+            expr(s"(phash div ${1L << (8 * i)}L) % 256L + ${i.toLong * 256}L")): _*)).as("piece"))
+        pieces.select(col("piece"), col("id").as("id1"), col("phash").as("p1"))
+          .join(pieces.select(col("piece"), col("id").as("id2"), col("phash").as("p2")),
+            Seq("piece"))
+          .filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"), col("p1"), col("p2")).distinct()
+          .withColumn("hamming", expr("bit_count(p1 ^ p2)"))
+          .filter(col("hamming") <= 3)
+          .select(col("id1"), col("id2"), col("hamming"))
+      },
+      Some(s"""
+        WITH $phashCtesSql,
+        s2 AS (
+          SELECT b.id, coalesce(sig.phash, 0) AS phash
+          FROM b LEFT JOIN sig USING (id)),
+        pieces AS (
+          SELECT id, phash, (phash // (1::BIGINT << (8*i))) % 256 + i * 256 AS piece
+          FROM s2, (SELECT unnest(generate_series(0, 3)) AS i)),
+        cand AS (
+          SELECT DISTINCT a.id AS id1, c.id AS id2, a.phash AS p1, c.phash AS p2
+          FROM pieces a JOIN pieces c USING (piece)
+          WHERE a.id < c.id)
+        SELECT id1, id2, CAST(bit_count(xor(p1, p2)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(p1, p2)) <= 3"""),
     ),
 
     // ---- m3: stubbed decode → feature extraction, via the native
