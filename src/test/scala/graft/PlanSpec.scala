@@ -179,6 +179,28 @@ class PlanSpec extends SparkSpec {
       s"purchase slice should prune directories:\n$p")
   }
 
+  test("t10: per-source pack partitions on source; no global range sort") {
+    val p = plan("t10_seq_pack")
+    assert(p.contains("hashpartitioning(source"),
+      s"pack must shuffle once on source:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"a global sort would funnel the corpus through few reducers:\n$p")
+  }
+
+  test("m5: byte_simhash fingerprint plans with zero Exchange") {
+    val p = plan("m5_payload_phash")
+    assert(!p.contains("Exchange"),
+      s"the per-row signature must not shuffle anything:\n$p")
+  }
+
+  test("e10: trending rank runs over aggregated rows with a group limit") {
+    val p = plan("e10_trending")
+    assert(p.contains("partial_count"),
+      s"hourly counts must partial-aggregate map-side:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the rk<=3 filter should prune inside the window sort:\n$p")
+  }
+
   test("entry flagship returns rows (the driver's smoke check)") {
     assert(SparkEntry.entry(spark).count() > 0, "entry must return rows at sf0.001")
   }
