@@ -357,6 +357,39 @@ object Advanced {
         FROM m GROUP BY 1, 2"""),
     ),
 
+    // ---- q36: RANGE-frame moving average — trailing-7-day mean of
+    //      daily revenue, the time-series smoothing query. RANGE (not
+    //      ROWS): the frame is defined by VALUE distance on the
+    //      ordering key, so missing days widen the row span correctly —
+    //      a ROWS frame would silently average "last 7 rows" across
+    //      gaps. Scale shape: the daily roll-up is a map-side-partial
+    //      aggregate down to |days| rows; only that tiny series flows
+    //      through the unpartitioned window (at 100 TB of orders the
+    //      window input is still just the calendar). ----
+    Q(
+      "q36_moving_avg",
+      (s, dir) => {
+        val day = 86400000000L
+        val w = Window.orderBy(col("day_us")).rangeBetween(-6 * day, 0)
+        t(s, dir, "orders")
+          .groupBy(unix_micros(col("o_orderdate").cast("timestamp")).as("day_us"))
+          .agg(dsum(col("o_totalprice")).as("revenue"))
+          .withColumn("ma7", round(avg(col("revenue")).over(w), 4))
+          .withColumn("n_days7", count(lit(1)).over(w))
+      },
+      Some("""
+        WITH d AS (
+          SELECT epoch_us(o_orderdate) AS day_us,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+          FROM orders GROUP BY 1)
+        SELECT day_us, revenue,
+               round(avg(revenue) OVER w, 4) AS ma7,
+               count(*) OVER w AS n_days7
+        FROM d
+        WINDOW w AS (ORDER BY day_us
+                     RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW)"""),
+    ),
+
     // ---- q35: WEIGHTED stratified sampling — per-stratum k
     //      proportional to stratum mass (k_g = max(1, K·n_g/n), floor
     //      division), the eval-set shape where strata must be
