@@ -99,7 +99,7 @@ object Curation {
         val gated = feats
           .filter(col("n_words").between(MinWords, MaxWords))
           .withColumn("pred_lang", predLangCol)
-        val uniq = Materialized(s"p1.uniq|$dir", gated
+        val uniq = Materialized.getOrBuild(s, s"p1.uniq|$dir")(gated
           .withColumn("rn",
             row_number().over(Window.partitionBy("fingerprint").orderBy("doc_id")))
           .filter(col("rn") === 1)
@@ -184,7 +184,7 @@ object Curation {
         val isDelta = col("source").isin(DeltaSources: _*)
         // lake = p1 over the base sources only (the state before the
         // delta arrived), fingerprints kept for the exact check
-        val baseUniq = Materialized(s"p2.lake.uniq|$dir", gated
+        val baseUniq = Materialized.getOrBuild(s, s"p2.lake.uniq|$dir")(gated
           .filter(!isDelta)
           .withColumn("rn",
             row_number().over(Window.partitionBy("fingerprint").orderBy("doc_id")))

@@ -173,7 +173,8 @@ object Similarity {
     */
   private def s2BandedCached(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    Materialized(s"s2.banded|$dir", s2Banded(e, s2Bits(corpusCount(s, dir))))
+    Materialized.getOrBuild(s, s"s2.banded|$dir")(
+      s2Banded(e, s2Bits(corpusCount(s, dir))))
   }
       .select(col("vec_id"), col("v"), col("bucket"))
 
@@ -689,7 +690,7 @@ object Similarity {
       expr("transform(v, x -> x / sqrt(vec_dot(v, v)))").as("nv"))
     val ma = nv.agg(
       max(expr("aggregate(nv, 0D, (a, x) -> greatest(a, abs(x)))")).as("maxabs"))
-    Materialized(s"s5.qz|$dir",
+    Materialized.getOrBuild(s, s"s5.qz|$dir")(
       nv.crossJoin(broadcast(ma))
         .select(col("vec_id"),
           expr("""transform(nv, x -> CAST(
@@ -761,7 +762,7 @@ object Similarity {
     * it [[PqLloydIters]]+1 times, the code assignment once more.
     */
   private def pqSlices(s: SparkSession, dir: String): DataFrame =
-    Materialized(s"s6.slices|$dir", vecs(s, dir)
+    Materialized.getOrBuild(s, s"s6.slices|$dir")(vecs(s, dir)
       .select(col("vec_id"),
         expr("transform(v, x -> x / sqrt(vec_dot(v, v)))").as("nv"))
       .select(col("vec_id"), posexplode(expr(
@@ -1091,7 +1092,7 @@ object Similarity {
       (s, dir) => {
         // the banded table feeds BOTH self-join sides: materialize it
         // once (sign-bit dots are the dominant per-row cost)
-        val banded = Materialized(s"s3.banded|$dir", s3BandedDf(vecs(s, dir)))
+        val banded = Materialized.getOrBuild(s, s"s3.banded|$dir")(s3BandedDf(vecs(s, dir)))
         val x = banded.select(col("vec_id").as("id1"), col("label"), col("v").as("v1"), col("band"))
         val y = banded.select(col("vec_id").as("id2"), col("label"), col("v").as("v2"), col("band"))
         x.join(y, Seq("label", "band")).filter(col("id1") < col("id2"))
