@@ -280,7 +280,18 @@ object Bench {
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"skew_queries":$sk,"sort_sweep_us":$sw,"noise_cal_ms":$calJson,"sf":"$sfDir"}"""
+    // stdout protocol: the driver keeps only a fixed-size TAIL of stdout
+    // (~2000 chars — BENCH_r4/r5 both captured the metrics line with its
+    // head cut off, leaving "parsed": null). Print the full-precision
+    // line FIRST (it may truncate harmlessly; the results/ file below is
+    // the durable copy), then a compact contract line LAST — 2-decimal
+    // per-query values, no extras — sized to survive the tail capture
+    // whole so the driver's parse comes back non-null (ADVICE r4/r5).
     println(line)
+    val qs2 = resultsMerged.map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","failed":$nFailed,"queries":$qs2,"sf":"$sfDir"}""")
     // Durable copy: the driver's fixed-size stdout tail capture truncated
     // round 4's metrics line mid-JSON once the inventory grew past ~70
     // queries (ADVICE r4). The committed file is the full self-contained

@@ -822,15 +822,25 @@ object Similarity {
     * scans: 8 B/vector, the 64× cut vs the 512 B fp64 row the scaladoc
     * claims. Packing is physical, not cosmetic — a (vec_id, sub, cid)
     * row-per-subspace table spends ~3 longs × 16 rows ≈ 384 B/vector,
-    * worse than the fp64 corpus it was meant to shrink. The fields are
-    * disjoint, so the sum of shifted codes is their bitwise OR.
+    * worse than the fp64 corpus it was meant to shrink. Packing uses
+    * bit_or (not sum — OR can't carry across nibbles if an upstream bug
+    * ever duplicates a subspace row), and the materialization ASSERTS
+    * exactly [[PqSubs]] rows per vec_id so a malformed assignment fails
+    * loudly here instead of silently corrupting every s6/s7/s8 result.
     */
   private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
     Materialized.getOrBuild(s, s"s6.codes|$dir")(
       pqAssign(pqSlices(s, dir), pqCodebook(s, dir))
         .groupBy(col("vec_id"))
-        .agg(sum(expr("shiftleft(CAST(cid AS BIGINT), CAST(sub * 4 AS INT))"))
-          .as("code"))
+        .agg(expr("bit_or(shiftleft(CAST(cid AS BIGINT), CAST(sub * 4 AS INT)))")
+          .as("code"),
+          count(lit(1)).as("n_sub"))
+        // assert_true returns NULL on pass (and throws on fail), so the
+        // `when` both forces its evaluation and drops the helper column
+        .select(col("vec_id"),
+          when(expr(s"assert_true(n_sub = $PqSubs, " +
+              s"'pqCodes: expected $PqSubs subspace rows per vec_id, got ' || n_sub)")
+            .isNull, col("code")).as("code"))
         .localCheckpoint())
 
   /** Map-side unpack of the packed code column back to `(vec_id, sub,
@@ -958,7 +968,12 @@ object Similarity {
     * cell directory.
     */
   private def ivfPqLayoutPath(s: SparkSession, dir: String): String = {
-    val path = f"${graft.Scratch.dir}/graft-layout-${s.sparkContext.applicationId}/ivfpq_${dir.hashCode & 0x7fffffff}%08x"
+    // Collision-proof key: an md5 of the FULL source path (ADVICE r5 —
+    // dir.hashCode is 31 bits, and two dirs that collide would silently
+    // serve each other's index; _SUCCESS can't tell them apart).
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"${graft.Scratch.dir}/graft-layout-${s.sparkContext.applicationId}/ivfpq_$dirKey"
     this.synchronized {
       if (!new java.io.File(path + "/_SUCCESS").isFile) {
         val e = vecs(s, dir)

@@ -303,11 +303,27 @@ object EventStream {
     * and a reader pinned to one encoding crashes (or silently compresses
     * every timestamp 1000×) when the landing zone flips — the round-4
     * regression class, streaming edition.
+    *
+    * CONTRACT: the sniff runs once, at stream DEFINITION time, so the
+    * landing zone's `ts` encoding must stay stable for the lifetime of
+    * the stream — a mid-stream encoding flip needs a stream restart
+    * (file sources give no per-file schema hook to re-sniff). An EMPTY
+    * landing zone falls back to the nanos-as-long schema the driver
+    * currently ships (the pre-sniff fixed schema), so a stream can be
+    * started before the first file arrives.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(dir).schema // footer-only, driver-side
+    val schema =
+      try spark.read.parquet(dir).schema // footer-only, driver-side
+      catch {
+        // "Unable to infer schema": no files yet. Fixed fallback keeps
+        // the empty-dir start working (it did before the sniff existed).
+        case _: org.apache.spark.sql.AnalysisException =>
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      }
     val st = spark.readStream.schema(schema).parquet(dir)
     schema("ts").dataType match {
       case LongType =>

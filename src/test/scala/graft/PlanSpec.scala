@@ -97,8 +97,13 @@ class PlanSpec extends SparkSpec {
     val p = plan("s9_filtered_knn")
     assert(p.contains("EqualTo(lang,en)") && p.contains("GreaterThanOrEqual(n_chars,200)"),
       s"metadata predicate must reach the parquet scan:\n$p")
-    assert(!p.contains("text"),
-      s"the filter scan must prune the text column:\n$p")
+    // column pruning: check the SCANS' ReadSchema specifically — a bare
+    // substring match on the whole plan also hits file paths/expression
+    // names and can fail (or silently pass) for unrelated reasons
+    val readSchemas = raw"ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+    assert(readSchemas.nonEmpty, s"expected parquet scans with ReadSchema:\n$p")
+    assert(readSchemas.forall(!_.contains("text")),
+      s"the filter scan must prune the text column, got $readSchemas:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query set should broadcast:\n$p")
   }
