@@ -31,6 +31,27 @@ object Agg {
     sum(c.cast(DecimalType(30, scale))).cast("double")
 }
 
+/** The one sanctioned way for OPERATOR code to pull rows to the driver.
+  *
+  * Legitimate driver-side state in this engine is index METADATA whose
+  * size is fixed by named constants, never by the corpus — q31's stratum
+  * counts (≤ the return-flag domain), s8's probe cells
+  * (AuditQueries·NProbe). Routing those pulls through here makes the
+  * bound executable: a future edit that turns a metadata read into a
+  * data collect fails at runtime with the site's name, and
+  * `DriverScalarBoundSpec` pins (a) this guard's behavior and (b) that
+  * no raw `.collect()` exists in operator sources outside it.
+  */
+object BoundedCollect {
+  def rows(df: DataFrame, bound: Int, what: String): Array[org.apache.spark.sql.Row] = {
+    val r = df.collect()
+    require(r.length <= bound,
+      s"$what pulled ${r.length} driver-side rows (bound $bound): " +
+        "driver-side state must stay corpus-size-independent")
+    r
+  }
+}
+
 /** Shuffle/spill scratch location for the single-node mains.
   *
   * A cluster deployment puts `spark.local.dir` on local NVMe; the

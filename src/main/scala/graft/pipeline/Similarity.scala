@@ -1003,7 +1003,8 @@ object Similarity {
     * planning-time prune.
     */
   def knnIvfPqServed(s: SparkSession, dir: String): DataFrame = {
-    val probePairs = ivfProbes(s, dir).collect()
+    val probePairs = graft.BoundedCollect
+      .rows(ivfProbes(s, dir), AuditQueries * NProbe, "s8 probe cells")
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val probeCells = probePairs.map(_._2).distinct.sorted
     val probes = {

@@ -284,7 +284,10 @@ object Advanced {
         val li = t(s, dir, "lineitem")
         val withH = li.withColumn("h",
           md5Long(concat_ws("-", col("l_orderkey"), col("l_linenumber"))))
-        val counts = withH.groupBy("l_returnflag").count().collect()
+        // bound: the stratum key is the return-flag DOMAIN (3 values),
+        // not the corpus — 8 leaves headroom without admitting a scan
+        val counts = graft.BoundedCollect
+          .rows(withH.groupBy("l_returnflag").count(), 8, "q31 stratum counts")
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         val cutExpr = counts.foldLeft(lit(Long.MaxValue)) { case (acc, (flag, n)) =>
           val cut =

