@@ -98,8 +98,14 @@ object Bench {
       graft.bench.SortSweep.measureBoth(cn, df, 20000, 3)
       df.unpersist(blocking = true)
     }
+    // Parquet-dictionary variant (SURVEY §7.3): the two dictionary cases
+    // additionally measured over a batch that round-tripped through
+    // dictionary-ENCODED parquet — the storage-side twin of the
+    // reference's DictionaryArray input, reported as its own
+    // "<case>-parquet" cell family.
+    val pqSweepCases = Seq("dictionary-tuple", "mixed-dictionary-tuple")
     def sweepPass(): Seq[(String, Double)] =
-      for {
+      (for {
         caseName <- sweepCases
         p <- {
           System.gc() // earlier cases' garbage must not bill this one
@@ -113,7 +119,19 @@ object Bench {
           df.unpersist(blocking = true)
           pts
         }
-      } yield s"${p.caseName}|${p.strategy}|${p.batchSize}" -> p.avgUs
+      } yield s"${p.caseName}|${p.strategy}|${p.batchSize}" -> p.avgUs) ++
+      (for {
+        caseName <- pqSweepCases
+        p <- {
+          System.gc()
+          val c = graft.datagen.Case.byName(caseName)
+          val df = graft.bench.SortSweep.parquetInput(spark, c, 100000).persist()
+          df.count()
+          val pts = graft.bench.SortSweep.measureBoth(caseName, df, 100000, 31)
+          df.unpersist(blocking = true)
+          pts
+        }
+      } yield s"${p.caseName}-parquet|${p.strategy}|${p.batchSize}" -> p.avgUs)
     cal("sweep1") = noiseCal()
     val sweepPass1 = sweepPass()
     mark("sweep pass 1")

@@ -72,7 +72,8 @@ object SortSweep {
     val points = sweep(spark, opt)
 
     Files.createDirectories(Paths.get(opt.out))
-    val csvPath = Paths.get(opt.out, s"${opt.caseName}.csv")
+    val label = if (opt.parquet) s"${opt.caseName}-parquet" else opt.caseName
+    val csvPath = Paths.get(opt.out, s"$label.csv")
     val csv = ("case,batch_size,strategy,iters,avg_us" +:
       points.map(p =>
         s"${p.caseName},${p.batchSize},${p.strategy},${p.iters},"
@@ -80,8 +81,8 @@ object SortSweep {
           + String.format(java.util.Locale.ROOT, "%.2f", Double.box(p.avgUs))))
       .mkString("\n") + "\n"
     Files.writeString(csvPath, csv)
-    Files.writeString(Paths.get(opt.out, s"${opt.caseName}.svg"), SvgChart.render(points))
-    Files.write(Paths.get(opt.out, s"${opt.caseName}.png"), PngChart.render(points))
+    Files.writeString(Paths.get(opt.out, s"$label.svg"), SvgChart.render(points))
+    Files.write(Paths.get(opt.out, s"$label.png"), PngChart.render(points))
     println(s"[sweep] wrote ${points.size} points -> $csvPath (+ .svg/.png)")
     spark.stop()
   }
@@ -93,6 +94,11 @@ object SortSweep {
       stepSize: Int = 500,
       iters: Int = 50, // reference default, src/main.rs:19-21
       out: String = "results",
+      /** Materialize the batch through a dictionary-encoded parquet round
+        * trip instead of the in-memory generator (SURVEY §7.3) — the
+        * storage-side twin of the reference's `DictionaryArray` input.
+        */
+      parquet: Boolean = false,
   )
 
   def parseArgs(args: Array[String]): Opt = {
@@ -104,6 +110,7 @@ object SortSweep {
       case "--step-size" :: v :: t => go(t, o.copy(stepSize = v.toInt))
       case "--iters" :: v :: t => go(t, o.copy(iters = v.toInt))
       case "--out" :: v :: t => go(t, o.copy(out = v))
+      case "--parquet" :: t => go(t, o.copy(parquet = true))
       case Nil => o
       case x :: _ => throw new IllegalArgumentException(s"unknown arg $x")
     }
@@ -114,12 +121,37 @@ object SortSweep {
     val c = Case.byName(opt.caseName)
     val sizes = opt.begin to opt.end by opt.stepSize
     sizes.flatMap { size =>
-      val input = c.df(spark, size).persist()
+      val input =
+        (if (opt.parquet) parquetInput(spark, c, size) else c.df(spark, size)).persist()
       input.count() // materialize outside the timed region
       val pts = measureBoth(c.name, input, size, opt.iters)
       input.unpersist(blocking = true)
-      pts
+      // the parquet variant reports under its own cell family so the
+      // two input paths stay separately comparable against BASELINE.md
+      if (opt.parquet) pts.map(p => p.copy(caseName = s"${p.caseName}-parquet")) else pts
     }
+  }
+
+  /** The case's batch round-tripped through DICTIONARY-ENCODED parquet
+    * (SURVEY §7.3, deferred since round 1): the reference's dictionary
+    * cases sort real `DictionaryArray<Int32>` columns, and the in-memory
+    * generator path reaches the dict-coded kernel layout without the
+    * data ever having LIVED dictionary-encoded. This variant writes the
+    * batch once per (JVM, case, n) to scratch with parquet dictionary
+    * encoding forced on, reads it back, and hands the sweep the same
+    * rows with storage-born strings — one file, one row group, one
+    * split, so row order survives the round trip and the measured
+    * kernels see the identical pre-sorted batch.
+    */
+  def parquetInput(spark: SparkSession, c: Case, n: Int): DataFrame = {
+    val path = s"${graft.Scratch.dir}/graft-sweep-pq/${c.name}-$n"
+    this.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").isFile)
+        c.df(spark, n).coalesce(1).write
+          .option("parquet.enable.dictionary", "true")
+          .mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
   }
 
   /** One Spark job; both kernels timed inside the task on the same
