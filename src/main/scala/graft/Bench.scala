@@ -296,8 +296,12 @@ object Bench {
     val total = if (nFailed > 0) -1.0 else resultsMerged.map(_._2).sum
     val calJson = cal.map { case (k, v) => "\"" + k + "\":" + num(v, 1) }
       .mkString("{", ",", "}")
+    // run timestamp: makes the durable artifact self-evidencing — a
+    // stale results/bench_local.json can no longer masquerade as the
+    // round's run (ADVICE r4/r5 asked the same of the driver artifacts)
+    val ts = java.time.Instant.now().toString
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"skew_queries":$sk,"sort_sweep_us":$sw,"noise_cal_ms":$calJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"ts":"$ts","queries":$qs,"skew_queries":$sk,"sort_sweep_us":$sw,"noise_cal_ms":$calJson,"sf":"$sfDir"}"""
     // stdout protocol: the driver keeps only a fixed-size TAIL of stdout
     // (~2000 chars — BENCH_r4/r5 both captured the metrics line with its
     // head cut off, leaving "parsed": null). Print the full-precision

@@ -17,6 +17,12 @@ cell of <round> against the most recent earlier round that has the cell,
 and flags ratio > 1.5 with an absolute-floor guard (0.15 s / 500 us) so
 scheduler jitter on near-zero cells can't trip the gate. Exit code 1 on
 any flagged regression, 0 otherwise.
+
+A flag is a PROMPT TO PROBE (graft.bench.QProbe <cell>), not proof of a
+regression: this host's minute-scale throughput windows swing ~1.5x, so
+cells near 1 s occasionally trip the ratio on no code change. A real
+regression reproduces in the probe's warm iterations; window noise
+does not.
 """
 import csv, json, os, sys
 
