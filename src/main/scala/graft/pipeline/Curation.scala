@@ -269,5 +269,39 @@ object Curation {
         FROM delta_uniq
         WHERE doc_id NOT IN (SELECT doc_id FROM delta_losers)"""),
     ),
+
+    // ---- p4: deterministic train/val/test split assignment — the
+    //      eval-split step every training pipeline runs after curation.
+    //      The split is a PURE FUNCTION of a salted document hash
+    //      (90/5/5 by thousandths of the portable 60-bit md5), which is
+    //      the property production splits need: reproducible across
+    //      runs, engines and cluster layouts, no coordination or stored
+    //      split table, and newly arriving documents land in a split
+    //      without touching the old ones (contrast a row_number cut,
+    //      which reshuffles membership whenever the corpus grows). The
+    //      salt isolates this hash use from the dedup fingerprints so
+    //      correlated hash reuse can't bias the split. Scale: one
+    //      narrow, shuffle-free map over the corpus; the per-source
+    //      stratification is statistical (hash uniformity within every
+    //      stratum), which the oracle verifies document-by-document. ----
+    Q(
+      "p4_split_assign",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s) // md5_long below
+        val h = Portable.md5Long(concat_ws("|", lit("split-v1"), col("doc_id"))) % 1000
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            when(h < 900, "train").when(h < 950, "val").otherwise("test")
+              .as("split"))
+      },
+      Some(s"""
+        SELECT doc_id, source,
+               CASE WHEN h < 900 THEN 'train'
+                    WHEN h < 950 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, source,
+                     ${Portable.md5LongSql("concat_ws('|', 'split-v1', doc_id)")} % 1000 AS h
+              FROM documents)"""),
+    ),
   )
 }

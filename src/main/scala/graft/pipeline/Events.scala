@@ -273,5 +273,69 @@ object Events {
           FROM c)
         WHERE rk <= 3"""),
     ),
+
+    // ---- e11: event-rate anomaly detection — per-type hourly counts
+    //      z-scored against that type's own trailing 24-hour window
+    //      (ROWS frame, excluding the current hour), the ops-monitoring
+    //      query every ingestion pipeline runs on itself. Cross-engine
+    //      determinism by construction: the window carries only EXACT
+    //      integer sums (n, sum, sum of squares of counts — all exact in
+    //      64-bit), and mean/variance/z are derived from them with the
+    //      TEXTUALLY identical scalar formula in both engines, so the
+    //      doubles match bitwise (a stddev_samp aggregate would sum
+    //      squared deviations in engine-specific order and drift in the
+    //      last ulp). Scale: the hourly roll-up is a map-side-partial
+    //      aggregate down to |types|·|hours| rows; the window runs over
+    //      that tiny series, partitioned by type — at 100 TB of events
+    //      the z-score input is still just the calendar. Warm-up hours
+    //      (fewer than 12 trailing samples) and zero-variance windows
+    //      are excluded, not NaN-scored. ----
+    Q(
+      "e11_rate_anomaly",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+          .rowsBetween(-24, -1)
+        val z = (col("cnt") - col("mean")) / sqrt(col("variance"))
+        t(s, dir, "events")
+          .groupBy(
+            col("event_type"),
+            unix_micros(date_trunc("HOUR", col("ts"))).as("hour_us"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("n_w", count(lit(1)).over(w))
+          .withColumn("s1", sum(col("cnt")).over(w))
+          .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+          .filter(col("n_w") >= 12)
+          .withColumn("mean", col("s1").cast("double") / col("n_w"))
+          .withColumn("variance",
+            (col("s2") - col("s1").cast("double") * col("s1") / col("n_w"))
+              / (col("n_w") - 1))
+          .filter(col("variance") > 0)
+          .select(col("event_type"), col("hour_us"), col("cnt"),
+            round(z, 4).as("z"),
+            (abs(z) >= 3.0).as("is_anomaly"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        win AS (
+          SELECT event_type, hour_us, cnt,
+                 count(*) OVER w AS n_w,
+                 sum(cnt) OVER w AS s1,
+                 sum(cnt * cnt) OVER w AS s2
+          FROM c
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        stats AS (
+          SELECT event_type, hour_us, cnt,
+                 CAST(s1 AS DOUBLE) / n_w AS mean,
+                 (s2 - CAST(s1 AS DOUBLE) * s1 / n_w) / (n_w - 1) AS variance
+          FROM win WHERE n_w >= 12)
+        SELECT event_type, hour_us, cnt,
+               round((cnt - mean) / sqrt(variance), 4) AS z,
+               abs((cnt - mean) / sqrt(variance)) >= 3.0 AS is_anomaly
+        FROM stats WHERE variance > 0"""),
+    ),
   )
 }

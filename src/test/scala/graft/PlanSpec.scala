@@ -33,6 +33,26 @@ class PlanSpec extends SparkSpec {
       s"scan should prune unused columns:\n$p")
   }
 
+  test("e11: z-score window runs over the aggregated hourly series, not raw events") {
+    val p = plan("e11_rate_anomaly")
+    // two-stage hash aggregate (map-side partials) feeds the window
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"hourly roll-up should partial-aggregate map-side:\n$p")
+    assert(p.contains("Window"), s"expected a window over the series:\n$p")
+    val readSchemas = raw"ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(rs =>
+      !rs.contains("props") && !rs.contains("user_id") && !rs.contains("value")),
+      s"events scan should read only ts/event_type, got $readSchemas:\n$p")
+  }
+
+  test("p4: split assignment is a shuffle-free narrow map with a pruned scan") {
+    val p = plan("p4_split_assign")
+    assert(!p.contains("Exchange"), s"pure per-row map must not shuffle:\n$p")
+    val readSchemas = raw"ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("text")),
+      s"documents scan should not read text, got $readSchemas:\n$p")
+  }
+
   test("q5: dimension chain is broadcast, not shuffled") {
     val p = plan("q5_star_join")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")

@@ -157,4 +157,36 @@ class CurationSpec extends SparkSpec {
       assert(intact == 0, s"$intact verified pairs survived within the delta manifest")
     } finally p2.unpersist()
   }
+
+  test("p4: split assignment is total, deterministic, and ~90/5/5 in every stratum") {
+    // sf0.01 for the distributional check — 500 docs/source bounds the
+    // binomial noise enough for a ±6-point window per stratum
+    val d01 = "/root/testdata/sf0.01"
+    val p4 = SparkEntry.queries("p4_split_assign")(spark, d01).cache()
+    try {
+      val total = graft.Tables.t(spark, d01, "documents").count()
+      assert(p4.count() == total, "every document must receive a split")
+      assert(p4.select("doc_id").distinct().count() == total, "exactly one split per doc")
+      // determinism: a re-invocation assigns identically (pure hash)
+      val again = SparkEntry.queries("p4_split_assign")(spark, d01)
+      assert(p4.exceptAll(again).count() == 0, "assignment must be reproducible")
+      // stratified fractions: train ~0.90 within every source
+      val bySrc = p4.groupBy("source")
+        .agg(
+          (sum(when(col("split") === "train", 1).otherwise(0)) / count(lit(1)))
+            .as("f_train"),
+          count(lit(1)).as("n"))
+        .collect()
+      bySrc.foreach { r =>
+        val f = r.getAs[Double]("f_train")
+        val n = r.getLong(2)
+        // binomial 3-sigma window around 0.90, stratum-size aware (the
+        // sources are uneven; a 25-doc stratum legitimately hits 0.96)
+        val tol = 3 * math.sqrt(0.9 * 0.1 / n) + 1e-9
+        assert(math.abs(f - 0.9) <= tol,
+          s"source ${r.getString(0)}: train fraction $f outside 0.90±$tol (n=$n)")
+      }
+      assert(p4.select("split").distinct().count() == 3, "all three splits must occur")
+    } finally p4.unpersist()
+  }
 }
