@@ -222,8 +222,10 @@ object Dedup {
       concat_ws("_", (BandRows until 2 * BandRows).map(j => col(s"mh$j")): _*).as("band1"))
   }
 
-  /** DuckDB twin of the shared distinct shingle-hash set. */
-  private def shingleIndexSql: String =
+  /** DuckDB twin of the shared distinct shingle-hash set (shared with
+    * t11's novelty oracle).
+    */
+  private[pipeline] def shingleIndexSql: String =
     s"""SELECT DISTINCT doc_id, ${md5LongSql("shingle")} AS h
           FROM (SELECT doc_id,
                        unnest(${shingles3Sql(wordsSql("text"))}) AS shingle

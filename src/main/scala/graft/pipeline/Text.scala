@@ -440,6 +440,42 @@ object Text {
                cum_excl % $SeqPackCapacity AS bin_offset
         FROM c"""),
     ),
+
+    // ---- t11: cross-document n-gram NOVELTY — what fraction of each
+    //      document's shingle set it contributes FIRST to the corpus
+    //      (first = lowest doc_id, the same canonical order the dedup
+    //      family keeps). Boilerplate-heavy near-copies score near 0,
+    //      genuinely new content near 1 — the content-value signal a
+    //      curation pipeline ranks by between dedup (binary) and
+    //      quality (intrinsic). Scale shape: reuses the session's
+    //      materialized shingle index; the first-owner table is one
+    //      map-side-partial min() per shingle hash; owner join and
+    //      per-doc roll-up are hash-bucketed on h then doc_id — the d2
+    //      inverted-index shape WITHOUT the pairwise explosion, so it
+    //      stays corpus-linear at 100 TB. ----
+    Q(
+      "t11_novelty",
+      (s, dir) => {
+        val idx = Dedup.shingleIndex(s, dir)
+        val owner = idx.groupBy("h").agg(min("doc_id").as("owner"))
+        idx.join(owner, "h")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_sh"),
+            sum(when(col("doc_id") === col("owner"), 1L).otherwise(0L)).as("n_novel"))
+          .select(col("doc_id"), col("n_sh"), col("n_novel"),
+            round(col("n_novel").cast("double") / col("n_sh"), 6).as("novelty"))
+      },
+      Some(s"""
+        WITH sh0 AS (${Dedup.shingleIndexSql}),
+        own AS (SELECT h, min(doc_id) AS owner FROM sh0 GROUP BY 1)
+        SELECT doc_id, count(*) AS n_sh,
+               CAST(sum(CASE WHEN doc_id = owner THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               round(CAST(sum(CASE WHEN doc_id = owner THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS novelty
+        FROM sh0 JOIN own USING (h)
+        GROUP BY 1"""),
+    ),
   )
 
   /** t10's training-window capacity (tokens per packed sequence). */

@@ -144,4 +144,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 1,
       s"t9 must read the corpus exactly once:\n$p")
   }
+
+  test("t11: novelty semantics on a crafted corpus — copies score 0, fresh content 1") {
+    writeDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon"), // first owner of all its shingles
+      (2L, "alpha beta gamma delta epsilon"), // exact copy of 1 -> novelty 0
+      (3L, "zeta eta theta iota kappa"),      // disjoint -> novelty 1
+      // 4 shingles: "alpha beta gamma" (owned by 1), "zeta eta theta"
+      // (owned by 3), plus the two seam trigrams only 4 has -> 0.5
+      (4L, "alpha beta gamma zeta eta theta"),
+    ))
+    Dedup.releaseIndex(spark, fixtureDir) // fixture dir is rewritten in place
+    try {
+      val nv = SparkEntry.queries("t11_novelty")(spark, fixtureDir)
+        .collect().map(r => r.getLong(0) -> r.getAs[Double]("novelty")).toMap
+      assert(nv(1L) == 1.0, s"doc 1 owns all its shingles: $nv")
+      assert(nv(2L) == 0.0, s"doc 2 is an exact copy: $nv")
+      assert(nv(3L) == 1.0, s"doc 3 is disjoint: $nv")
+      assert(nv(4L) == 0.5, s"doc 4 owns only its two seam shingles: $nv")
+      val all = SparkEntry.queries("t11_novelty")(spark, fixtureDir)
+        .agg(min("novelty"), max("novelty")).head()
+      assert(all.getDouble(0) >= 0.0 && all.getDouble(1) <= 1.0)
+    } finally Dedup.releaseIndex(spark, fixtureDir)
+  }
 }
