@@ -314,7 +314,15 @@ object Events {
             round(z, 4).as("z"),
             (abs(z) >= 3.0).as("is_anomaly"))
       },
-      Some("""
+      Some(rateAnomalySql),
+    ),
+  )
+
+  /** e11's oracle — shared verbatim with e12, the streaming twin's
+    * batch-equivalence entry (the two MUST emit identical rows on a
+    * complete replay, so they share one ground truth).
+    */
+  private[graft] val rateAnomalySql: String = """
         WITH c AS (
           SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
                  count(*) AS cnt
@@ -335,7 +343,5 @@ object Events {
         SELECT event_type, hour_us, cnt,
                round((cnt - mean) / sqrt(variance), 4) AS z,
                abs((cnt - mean) / sqrt(variance)) >= 3.0 AS is_anomaly
-        FROM stats WHERE variance > 0"""),
-    ),
-  )
+        FROM stats WHERE variance > 0"""
 }

@@ -295,6 +295,126 @@ object EventStream {
       }
   }
 
+  final case class RateEv(ts: java.sql.Timestamp, event_type: String)
+  final case class RateHour(hourUs: Long, cnt: Long)
+  final case class RateState(closed: Seq[RateHour], open: Option[RateHour], lastUs: Long)
+  final case class AnomalyOut(
+      event_type: String, hour_us: Long, cnt: Long, z: Double, is_anomaly: Boolean)
+
+  private val HourUsLen = 3600L * 1000000L
+  private val RateWindowHours = 24
+  private val RateMinSamples = 12
+
+  private def rateUs(e: RateEv): Long =
+    e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+
+  /** Score one closing hour against the trailing closed-hour ring with
+    * EXACTLY e11's arithmetic: the ring carries only exact integer sums,
+    * and mean/variance/z reproduce the SQL formula operation for
+    * operation (each `.toDouble` below mirrors a Cast in e11's plan), so
+    * the emitted doubles match the batch operator and the shared DuckDB
+    * oracle bitwise. Warm-up (<12 samples) and zero-variance windows
+    * emit nothing, like e11's filters.
+    */
+  private def scoreHour(etype: String, closed: Seq[RateHour], h: RateHour): Option[AnomalyOut] = {
+    val nW = closed.size
+    if (nW < RateMinSamples) None
+    else {
+      val s1 = closed.map(_.cnt).sum
+      val s2 = closed.map(c => c.cnt * c.cnt).sum
+      val mean = s1.toDouble / nW
+      val variance = (s2.toDouble - s1.toDouble * s1 / nW) / (nW - 1)
+      if (variance <= 0) None
+      else {
+        val z = (h.cnt - mean) / math.sqrt(variance)
+        val zRounded = BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some(AnomalyOut(etype, h.hourUs, h.cnt, zRounded, math.abs(z) >= 3.0))
+      }
+    }
+  }
+
+  private def pushRing(closed: Seq[RateHour], h: RateHour): Seq[RateHour] =
+    (closed :+ h).takeRight(RateWindowHours)
+
+  /** Streaming twin of batch e11 (trailing-window z-score rate
+    * anomalies): per event type, a [[flatMapGroupsWithState]] keeps the
+    * OPEN hour's running count plus a ring of the last 24 CLOSED hourly
+    * counts (as exact integer sums — ~25 pairs of longs per event type,
+    * the whole state). An hour is scored the moment it closes: in
+    * streaming, when a later hour's first event arrives (succession) or
+    * the event-time timeout fires after the watermark passes the hour's
+    * end; in a batch replay (complete history, watermarks no-op), the
+    * same succession rule plus an end-of-input flush of the final hour —
+    * which makes the batch run emit EXACTLY e11's rows (e12 shares
+    * e11's oracle). Late events into an already-closed hour are dropped
+    * by the streaming path (the watermark contract) and corrected by
+    * the batch backfill, the same batch-fixes-stream contract as
+    * [[funnelStages]]. Idle types evict their state after `idleDays`.
+    */
+  def rateAnomaly(events: DataFrame, idleDays: Int = 7): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    val isStream = events.isStreaming
+    events.select(col("ts"), col("event_type")).as[RateEv]
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[RateState, AnomalyOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (etype: String, evs: Iterator[RateEv], state: GroupState[RateState]) =>
+          if (state.hasTimedOut) {
+            // the watermark passed the open hour's end: close + score it,
+            // keep the ring (future hours still need the history); a
+            // type with nothing open has been idle — evict entirely
+            val st = state.get
+            st.open match {
+              case Some(o) =>
+                val out = scoreHour(etype, st.closed, o)
+                val st2 = RateState(pushRing(st.closed, o), None, st.lastUs)
+                state.update(st2)
+                state.setTimeoutTimestamp(
+                  st2.lastUs / 1000 + idleDays.toLong * 86400L * 1000)
+                out.iterator
+              case None =>
+                state.remove()
+                Iterator.empty
+            }
+          } else {
+            var st = state.getOption.getOrElse(RateState(Nil, None, 0L))
+            val out = scala.collection.mutable.ListBuffer[AnomalyOut]()
+            for (e <- evs.toSeq.sortBy(rateUs)) {
+              val us = rateUs(e)
+              val h = Math.floorDiv(us, HourUsLen) * HourUsLen
+              st.open match {
+                case Some(o) if o.hourUs == h =>
+                  st = st.copy(open = Some(o.copy(cnt = o.cnt + 1)))
+                case Some(o) if h > o.hourUs =>
+                  out ++= scoreHour(etype, st.closed, o)
+                  st = RateState(pushRing(st.closed, o), Some(RateHour(h, 1L)), st.lastUs)
+                case Some(_) => // late event into a closed hour: dropped
+                case None =>
+                  st = st.copy(open = Some(RateHour(h, 1L)))
+              }
+              st = st.copy(lastUs = math.max(st.lastUs, us))
+            }
+            if (!isStream) {
+              // complete replay: the final hour has no successor and no
+              // timeout will fire — close it here so the batch run emits
+              // every hour e11 scores
+              st.open.foreach { o =>
+                out ++= scoreHour(etype, st.closed, o)
+                st = RateState(pushRing(st.closed, o), None, st.lastUs)
+              }
+            }
+            state.update(st)
+            // no-op in batch runs, like sessionize's
+            state.setTimeoutTimestamp(st.open match {
+              case Some(o) => o.hourUs / 1000 + HourUsLen / 1000 // hour end
+              case None => st.lastUs / 1000 + idleDays.toLong * 86400L * 1000
+            })
+            out.iterator
+          }
+      }
+  }
+
   /** File-source streaming reader with the events schema — at scale this
     * is the replay path over a parquet landing zone. The `ts` encoding
     * is sniffed from a driver-side batch footer read and normalized with

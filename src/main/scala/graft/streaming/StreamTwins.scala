@@ -173,5 +173,17 @@ object StreamTwins {
                bpe_tokens, fingerprint
         FROM delta_uniq"""),
     ),
+
+    // ---- e12: batch run of the rateAnomaly state machine — must emit
+    //      exactly e11's rows (it SHARES e11's oracle): the per-type
+    //      closed-hour ring replayed over the full history scores every
+    //      hour with the identical exact-integer-sums formula. Scale
+    //      shape: one shuffle on event_type; state is ~25 pairs of longs
+    //      per type however large the stream. ----
+    Q(
+      "e12_stream_anomaly",
+      (s, dir) => EventStream.rateAnomaly(t(s, dir, "events")).toDF(),
+      Some(graft.pipeline.Events.rateAnomalySql),
+    ),
   )
 }

@@ -288,4 +288,43 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(custom == closed)
   }
+
+  test("rateAnomaly: streamed closed-hour scores equal the batch replay") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "event_type")
+    val query = EventStream.rateAnomaly(df)
+      .writeStream.format("memory").queryName("rate_anomaly")
+      .outputMode("append").start()
+    try {
+      // type "a": 12 warm-up hours alternating 1/2 events, a 5-event
+      // spike at hour 12, one event at hour 13 (closes 12 in-batch)
+      def hourEvs(h: Int, n: Int): Seq[(Timestamp, String)] =
+        (0 until n).map(i => (ts(h * 60 + 5 + i), "a"))
+      val warm = (0 until 12).flatMap(h => hourEvs(h, 1 + h % 2))
+      mem.addData(warm ++ hourEvs(12, 5) ++ hourEvs(13, 1): _*)
+      query.processAllAvailable()
+      // hour 17 closes 13 by succession in the second micro-batch
+      mem.addData(hourEvs(17, 1): _*)
+      query.processAllAvailable()
+
+      val streamed = spark.table("rate_anomaly")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4))).toSet
+      // batch replay over the same events scores hours 12 and 13 the
+      // same way, plus the final hour (17) its end-of-input flush closes
+      import spark.implicits._
+      val all = warm ++ hourEvs(12, 5) ++ hourEvs(13, 1) ++ hourEvs(17, 1)
+      val batch = EventStream.rateAnomaly(all.toDF("ts", "event_type"))
+        .collect().map(a => (a.event_type, a.hour_us, a.cnt, a.z, a.is_anomaly)).toSet
+      val hour17Us = 17L * 3600L * 1000000L +
+        Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+      assert(streamed.nonEmpty, "expected scored hours from the stream")
+      assert(streamed == batch.filterNot(_._2 == hour17Us),
+        s"stream/batch divergence:\nstream $streamed\nbatch  $batch")
+      // the 5-event spike over an alternating-1/2 warm-up must flag
+      assert(streamed.exists(r => r._3 == 5L && r._5), s"spike not flagged: $streamed")
+    } finally query.stop()
+  }
 }
