@@ -53,6 +53,24 @@ class PlanSpec extends SparkSpec {
       s"documents scan should not read text, got $readSchemas:\n$p")
   }
 
+  test("t11: novelty joins are hash-bucketed — no pair explosion, no cartesian") {
+    val p = plan("t11_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"owner join must be an equi-join on h:\n$p")
+    // reuses the session-materialized shingle index, not a fresh corpus scan
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan parquet"),
+      s"expected the shared index (or its first build) to feed the join:\n$p")
+  }
+
+  test("e12: one event_type shuffle feeds the stateful ring") {
+    val p = plan("e12_stream_anomaly")
+    // batch runs plan flatMapGroupsWithState as MapGroups (state no-ops)
+    assert(p.contains("FlatMapGroupsWithState") || p.contains("MapGroups"),
+      s"expected the state machine:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"at most one shuffle (event_type) below the state op:\n$p")
+  }
+
   test("q5: dimension chain is broadcast, not shuffled") {
     val p = plan("q5_star_join")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
