@@ -193,6 +193,7 @@ object Bench {
     // makes every dedup cell measure its own joins — the steady-state,
     // like-for-like number BASELINE.md's warm-mean protocol reports.
     graft.pipeline.Dedup.prewarmIndexes(spark, sfDir)
+    graft.pipeline.Similarity.prewarmIndexes(spark, sfDir)
     mark("index prewarm")
 
     cal("queries") = noiseCal()
@@ -220,6 +221,7 @@ object Bench {
       try {
         val skewDir = graft.bench.SkewBench.prepare(spark, sfDir)
         graft.pipeline.Dedup.prewarmIndexes(spark, skewDir)
+        graft.pipeline.Similarity.prewarmIndexes(spark, skewDir)
         mark("skew prep")
         try {
           timePass(skewQs, skewDir)
@@ -250,6 +252,7 @@ object Bench {
       try {
         // same billing as the main pass: index build happens out-of-cell
         graft.pipeline.Dedup.prewarmIndexes(spark, sfDir)
+        graft.pipeline.Similarity.prewarmIndexes(spark, sfDir)
         val ts = skewQs.map(q => q.name -> once(q, sfDir)).toMap
         releasePhase(sfDir)
         ts
