@@ -24,3 +24,13 @@ for case in utf8-tuple mixed-tuple dictionary-tuple mixed-dictionary-tuple; do
     --begin 250 --end 100000 --step-size "$STEP" --iters "$ITERS" \
     --out results 2>/dev/null
 done
+
+# parquet-dictionary variants (SURVEY §7.3): same sweep over batches
+# round-tripped through dictionary-encoded parquet
+for case in dictionary-tuple mixed-dictionary-tuple; do
+  java $ADDOPENS -Dspark.ui.enabled=false -Xmx8g \
+    -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.bench.SortSweep --case "$case" --parquet \
+    --begin 250 --end 100000 --step-size "$STEP" --iters "$ITERS" \
+    --out results 2>/dev/null
+done
