@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** The bench prewarms shared index artifacts by KEY
+  * ([[graft.pipeline.Materialized.getOrBuild]] is key-trusting: a hit
+  * returns the live table without comparing plans). If an operator's
+  * own construction ever drifts from the prewarm's under the same key,
+  * the prewarmed table would silently serve the WRONG shape. This spec
+  * pins the contract: every index-backed operator returns identical
+  * rows whether its caches were filled by its own first run or by the
+  * prewarm helpers.
+  */
+class PrewarmConsistencySpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private val indexQueries = Seq(
+    "d2_ngram_jaccard", "d5_lsh_verified", "s2_knn_lsh",
+    "s3_cosine_neardup", "s4_knn_ivf", "s5_knn_sq8",
+    "s6_knn_pq", "s8_ann_layout")
+
+  private def release(): Unit = {
+    graft.pipeline.Materialized.releaseMatching(_.endsWith(s"|$dir"))
+    graft.pipeline.Dedup.releaseIndex(spark, dir)
+    graft.pipeline.Similarity.releaseBlockStats(spark)
+  }
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("index-backed operators return identical rows fresh vs prewarmed") {
+    release()
+    val fresh = indexQueries.map(n => n -> rows(SparkEntry.queries(n)(spark, dir))).toMap
+    release()
+    graft.pipeline.Dedup.prewarmIndexes(spark, dir)
+    graft.pipeline.Similarity.prewarmIndexes(spark, dir)
+    val warmed = indexQueries.map(n => n -> rows(SparkEntry.queries(n)(spark, dir))).toMap
+    release()
+    for (n <- indexQueries) {
+      assert(fresh(n).nonEmpty, s"$n: empty result at sf0.001")
+      assert(fresh(n) == warmed(n),
+        s"$n: prewarm-filled caches diverge from the operator's own build " +
+          s"(fresh ${fresh(n).size} rows, warmed ${warmed(n).size})")
+    }
+  }
+}
