@@ -303,5 +303,50 @@ object Curation {
                      ${Portable.md5LongSql("concat_ws('|', 'split-v1', doc_id)")} % 1000 AS h
               FROM documents)"""),
     ),
+
+    // ---- p5: per-source QUOTA sampling — cap every source at
+    //      [[QuotaPerSource]] documents, selected by a deterministic
+    //      salted-hash order (not doc_id order, which would bias toward
+    //      whatever arrived first; not rand(), which is irreproducible).
+    //      This is the mixture-capping step of a training-data pipeline:
+    //      after t9 decides the target domain weights, p5 enforces a hard
+    //      per-domain ceiling so one crawl-heavy source can't swamp the
+    //      mix. The hash salt ("quota-v1") isolates this ordering from
+    //      p4's split hash and the dedup fingerprints. Scale shape: the
+    //      rank-limit window runs as WindowGroupLimit — every map task
+    //      forwards at most QuotaPerSource rows per source BEFORE the
+    //      shuffle on source, so shuffle volume is O(sources · quota ·
+    //      tasks-touched), never corpus-sized; with ~20 sources the
+    //      post-filter result is tiny however large the corpus. ----
+    Q(
+      "p5_domain_quota",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s) // md5_long below
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(col("h").asc, col("doc_id").asc)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            Portable.md5Long(concat_ws("|", lit("quota-v1"), col("doc_id"))).as("h"))
+          .withColumn("rk", row_number().over(win).cast("long"))
+          .filter(col("rk") <= QuotaPerSource)
+          .select(col("doc_id"), col("source"), col("rk"))
+      },
+      Some(s"""
+        SELECT doc_id, source, rk
+        FROM (SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ${Portable.md5LongSql("concat_ws('|', 'quota-v1', doc_id)")} ASC,
+                                doc_id ASC) AS rk
+              FROM documents)
+        WHERE rk <= $QuotaPerSource"""),
+    ),
   )
+
+  /** p5's hard per-source document ceiling — binding at every testdata
+    * SF (25 docs/source at sf0.001, 250 at sf0.1), so the gate exercises
+    * the cap, not a pass-through.
+    */
+  val QuotaPerSource = 10L
 }

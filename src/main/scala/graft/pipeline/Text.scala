@@ -476,7 +476,60 @@ object Text {
         FROM sh0 JOIN own USING (h)
         GROUP BY 1"""),
     ),
+
+    // ---- t12: per-document DISTINCTIVE terms — top-3 words ranked by a
+    //      tf/df distinctiveness score: term frequency in the doc over
+    //      the term's corpus document frequency. Same role as TF-IDF
+    //      keyword extraction (for a fixed corpus size, 1/df is a
+    //      monotone stand-in for idf = ln(N/df)); the ln form is
+    //      deliberately NOT used because JVM and libm `ln` differ in the
+    //      last ulp and would break cross-engine hash equality (the t6
+    //      precedent) — int/int division + round(,6) is exact in both
+    //      engines. Scale shape: tf is a map-side-combined count on
+    //      (doc_id, word); df a count-distinct on word; the tf⋈df join is
+    //      hash-bucketed on word; the final per-doc top-3 is a
+    //      rank-limit window, which Spark runs as WindowGroupLimit (each
+    //      map task forwards ≤3 rows per doc before the shuffle). No
+    //      stage touches pairs of documents — corpus-linear at 100 TB. ----
+    Q(
+      "t12_tfidf",
+      (s, dir) => {
+        val w = Dedup.docsSharded(s, dir)
+          .select(col("doc_id"), explode(words(col("text"))).as("term"))
+        val tf = w.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = w.select("term", "doc_id").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)
+        tf.join(df, "term")
+          .withColumn("score", round(col("tf").cast("double") / col("df"), 6))
+          .withColumn("rk", row_number().over(win).cast("long"))
+          .filter(col("rk") <= TfidfTopK)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            col("score"), col("rk"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, unnest(${wordsSql("text")}) AS term FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        df AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        scored AS (
+          SELECT doc_id, term, tf, df,
+                 round(CAST(tf AS DOUBLE) / df, 6) AS score
+          FROM tf JOIN df USING (term))
+        SELECT doc_id, term, tf, df, score, rk
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, term ASC) AS rk
+              FROM scored)
+        WHERE rk <= $TfidfTopK"""),
+    ),
   )
+
+  /** t12's per-document keyword budget. */
+  val TfidfTopK = 3L
 
   /** t10's training-window capacity (tokens per packed sequence). */
   val SeqPackCapacity = 2048L

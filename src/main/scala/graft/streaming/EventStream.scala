@@ -159,8 +159,8 @@ object EventStream {
     * (retries, crawler refetches) collapse inside the window; the
     * batch d1 pass remains the global, exact backstop.
     */
-  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val fp = events
       // CONTENT fingerprint (deliberately no event_id/ts: retries and
       // refetch bursts arrive with fresh ids, and collapsing them is the
       // point). to_json(struct(...)) rather than concat_ws: concat_ws
@@ -169,8 +169,17 @@ object EventStream {
       // null patterns always fingerprint differently.
       .withColumn("fingerprint",
         md5(to_json(struct(col("user_id"), col("event_type"), col("value")))))
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("fingerprint")
+    // Batch is the backfill/replay path: the watermark horizon spans the
+    // whole input, so the windowed dedup degenerates to a global exact
+    // dedup. Spark refuses dropDuplicatesWithinWatermark on batch inputs
+    // outright, so the degeneration is written out rather than relied on
+    // — both branches keep one survivor per fingerprint; only the state
+    // RETENTION policy differs, which is exactly the streaming-only
+    // property EventStreamSpec covers.
+    if (fp.isStreaming)
+      fp.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("fingerprint")
+    else fp.dropDuplicates("fingerprint")
+  }
 
   final case class UserWeek(user_id: Long, week_us: Long)
   final case class RetentionInc(

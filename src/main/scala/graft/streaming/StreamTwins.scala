@@ -185,5 +185,28 @@ object StreamTwins {
       (s, dir) => EventStream.rateAnomaly(t(s, dir, "events")).toDF(),
       Some(graft.pipeline.Events.rateAnomalySql),
     ),
+
+    // ---- e13: batch run of dedupStream — the streaming content-dedup
+    //      twin of d1 over events. In batch, dropDuplicatesWithinWatermark
+    //      degenerates to an exact dedup (watermark no-ops, state spans
+    //      the whole input), keeping ONE survivor per content
+    //      fingerprint; WHICH physical row survives is execution-order
+    //      noise, so the driver-facing projection is the deterministic
+    //      part of the contract — the surviving content-key set
+    //      (user_id, event_type, value), which equals the distinct
+    //      triple set because the fingerprint is a pure function of
+    //      exactly those three fields. Scale shape: one shuffle on the
+    //      fingerprint with map-side partial dedup; streaming state is
+    //      watermark-bounded (EventStreamSpec covers eviction). ----
+    Q(
+      "e13_stream_dedup",
+      (s, dir) =>
+        EventStream.dedupStream(
+          t(s, dir, "events")
+            .select(col("ts"), col("user_id"), col("event_type"), col("value")))
+          .select(col("user_id"), col("event_type"), col("value")),
+      Some("""
+        SELECT DISTINCT user_id, event_type, value FROM events"""),
+    ),
   )
 }

@@ -244,6 +244,32 @@ class PlanSpec extends SparkSpec {
       s"the rk<=3 filter should prune inside the window sort:\n$p")
   }
 
+  test("p5: per-source quota prunes inside the window sort, scan reads only keys") {
+    val p = plan("p5_domain_quota")
+    assert(p.contains("WindowGroupLimit"),
+      s"the rk<=quota filter must prune per-source before the shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string"),
+      s"the documents scan must not read text for a (doc_id,source) quota:\n$p")
+  }
+
+  test("t12: tf and df partial-aggregate map-side; top-k is a group limit") {
+    val p = plan("t12_tfidf")
+    assert(p.contains("partial_count"),
+      s"tf/df counts must partial-aggregate before their exchanges:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-doc top-3 must prune inside the window sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"tf⋈df must stay an equi-join on term:\n$p")
+  }
+
+  test("e13: batch dedup twin is one fingerprint shuffle with map-side partial dedup") {
+    val p = plan("e13_stream_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly one exchange (on the content fingerprint) expected:\n$p")
+    assert(p.contains("partial_first") || p.contains("HashAggregate"),
+      s"survivor pick must partial-aggregate map-side:\n$p")
+  }
+
   test("entry flagship returns rows (the driver's smoke check)") {
     assert(SparkEntry.entry(spark).count() > 0, "entry must return rows at sf0.001")
   }
