@@ -465,5 +465,47 @@ object Advanced {
                CAST(rn AS INT) AS rn
         FROM r WHERE rn <= k_g"""),
     ),
+
+    // ---- q38: INCREMENTAL aggregate maintenance — the materialized-
+    //      view refresh shape: per-customer order stats kept current by
+    //      merging the frozen lake's PARTIAL aggregates with a partial
+    //      aggregate of only the delta (orders ≥ the cutoff), exploiting
+    //      that (count, decimal-sum) is a commutative monoid. The lake
+    //      partials build once per (session, corpus) — every refresh
+    //      after that touches |customers| cached rows plus the delta
+    //      scan, never the lake's raw rows. At 100 TB that is the
+    //      difference between a nightly full re-aggregation of the lake
+    //      and a job proportional to one day of ingest (the same
+    //      lake-immutable contract as p2). Decimal partials make the
+    //      merge order-insensitive, so merged == full-recompute exactly
+    //      — which is precisely what the oracle (a full recompute)
+    //      asserts. ----
+    Q(
+      "q38_incremental_agg",
+      (s, dir) => {
+        val cutoff = lit(IncAggCutoff).cast("timestamp_ntz")
+        def partials(src: org.apache.spark.sql.DataFrame) =
+          src.groupBy("o_custkey").agg(
+            count(lit(1)).as("pn"),
+            sum(col("o_totalprice").cast(DecimalType(30, 2))).as("psum"))
+        val lake = graft.pipeline.Materialized.getOrBuild(s, s"q38.lake|$dir") {
+          partials(t(s, dir, "orders").filter(col("o_orderdate") < cutoff))
+        }
+        val delta = partials(t(s, dir, "orders").filter(col("o_orderdate") >= cutoff))
+        lake.unionByName(delta)
+          .groupBy("o_custkey")
+          .agg(sum(col("pn")).as("n_orders"),
+            sum(col("psum")).cast("double").as("sum_total"))
+      },
+      Some(s"""
+        SELECT o_custkey, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_total
+        FROM orders GROUP BY 1"""),
+    ),
   )
+
+  /** q38's lake/delta boundary: the last ~7 months of the orders range
+    * are the "delta" at every testdata SF (dates span 1995..2001-08).
+    */
+  private val IncAggCutoff = "2001-01-01 00:00:00"
 }

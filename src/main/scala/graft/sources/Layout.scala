@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.{Q, Scratch, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage-layout operators: the write-side techniques that let a 100 TB
@@ -123,5 +123,138 @@ object Layout {
         FROM events WHERE event_type = 'purchase'
         GROUP BY 1"""),
     ),
+
+    // ---- q37: Z-ORDER clustered layout — 2-D (customer × day) range
+    //      queries over `orders` served by a z-bucket-partitioned copy.
+    //      Each dim is scaled to a 16-cell grid off its corpus min/max
+    //      (integer arithmetic, oracle-replayed), the two 4-bit cell
+    //      coords are bit-interleaved into a 256-bucket Morton code, and
+    //      the table is written partitioned by that bucket. A query
+    //      rectangle then prunes to exactly its intersecting z-cells at
+    //      PLANNING time (the cell cover is computed driver-side over
+    //      the 256-cell grid — bounded by the grid constant, never the
+    //      corpus — and injected as a partition IN-filter). This is the
+    //      lakehouse clustering technique single-dimension partitioning
+    //      (q34) can't reach: at 100 TB a (customer, time) rectangle
+    //      reads ~|rect|/|space| of the files instead of a full
+    //      customer- OR time-slice. The residual rectangle predicate
+    //      stays in the plan — the cover is a superset in general (here
+    //      cell-aligned, so it filters nothing, but the operator must
+    //      not silently rely on that). ----
+    Q(
+      "q37_zorder",
+      (s, dir) => {
+        val zd = zorderedOrders(s, dir)
+        val xb = zCellExpr("o_custkey", zd.ckMin, zd.ckSpan)
+        val yb = zCellExpr("day_no", zd.dayMin, zd.daySpan)
+        val buckets = for {
+          x <- ZQueryXCells; y <- ZQueryYCells
+        } yield zInterleaveScala(x, y)
+        zd.df
+          .filter(col("zbucket").isin(buckets: _*)) // planning-time prune
+          .filter(xb.between(ZQueryXCells.head, ZQueryXCells.last)
+            && yb.between(ZQueryYCells.head, ZQueryYCells.last)) // residual
+          .select(col("o_orderkey"), col("o_custkey"), col("day_no"),
+            col("o_totalprice"), col("zbucket").cast("long").as("zbucket"))
+      },
+      Some(s"""
+        WITH mm AS (
+          SELECT min(o_custkey) AS ckmin,
+                 max(o_custkey) - min(o_custkey) + 1 AS ckspan,
+                 min(epoch_us(o_orderdate) // 86400000000) AS dmin,
+                 max(epoch_us(o_orderdate) // 86400000000)
+                   - min(epoch_us(o_orderdate) // 86400000000) + 1 AS dspan
+          FROM orders),
+        cells AS (
+          SELECT o_orderkey, o_custkey,
+                 epoch_us(o_orderdate) // 86400000000 AS day_no,
+                 o_totalprice,
+                 ((o_custkey - ckmin) * $ZCells) // ckspan AS xb,
+                 (((epoch_us(o_orderdate) // 86400000000) - dmin) * $ZCells) // dspan AS yb
+          FROM orders, mm)
+        SELECT o_orderkey, o_custkey, day_no, o_totalprice,
+               ${zInterleaveSql("xb", "yb")} AS zbucket
+        FROM cells
+        WHERE xb BETWEEN ${ZQueryXCells.head} AND ${ZQueryXCells.last}
+          AND yb BETWEEN ${ZQueryYCells.head} AND ${ZQueryYCells.last}"""),
+    ),
   )
+
+  /** Z-grid resolution: 16 cells per dimension, 256 Morton buckets. */
+  private val ZBits = 4
+  private val ZCells = 1 << ZBits // 16
+
+  /** The gate query's rectangle, in cell coords: a quarter of each dim
+    * (cell-aligned so the bucket cover is exact — see the q37 comment),
+    * i.e. 16 of 256 buckets ≈ 6% of the layout read.
+    */
+  private val ZQueryXCells: Seq[Int] = 4 to 7
+  private val ZQueryYCells: Seq[Int] = 8 to 11
+
+  /** Cell coordinate of a value on a min/span-scaled 16-cell grid —
+    * `((v - min) * 16) div span`, kept in integer arithmetic so Spark
+    * and DuckDB agree exactly ('div'/'//'; a double division could
+    * round differently at cell edges).
+    */
+  private def zCellExpr(name: String, min: Long, span: Long): Column =
+    expr(s"(($name - ${min}L) * $ZCells) div ${span}L")
+
+  /** Morton interleave of two [[ZBits]]-bit cell coords (x even bits,
+    * y odd bits) — column, SQL-oracle, and driver-side Scala twins.
+    */
+  private def zInterleaveCol(xb: Column, yb: Column): Column =
+    (0 until ZBits).map { b =>
+      shiftright(xb, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b)) +
+        shiftright(yb, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1))
+    }.reduce(_ + _)
+  private def zInterleaveSql(xb: String, yb: String): String =
+    (0 until ZBits).map { b =>
+      s"((($xb >> $b) & 1) * ${1L << (2 * b)} + (($yb >> $b) & 1) * ${1L << (2 * b + 1)})"
+    }.mkString(" + ")
+  private def zInterleaveScala(x: Int, y: Int): Long =
+    (0 until ZBits).map { b =>
+      (((x >> b) & 1).toLong << (2 * b)) + (((y >> b) & 1).toLong << (2 * b + 1))
+    }.sum
+
+  /** The z-clustered `orders` layout plus the grid geometry it was
+    * written with. The min/max dims are four driver-side longs
+    * (BoundedCollect, q31 precedent) — index metadata, not data.
+    */
+  private final case class ZLayout(
+      df: DataFrame, ckMin: Long, ckSpan: Long, dayMin: Long, daySpan: Long)
+
+  private val zDims = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long, Long)]
+
+  private def zorderedOrders(s: SparkSession, dir: String): ZLayout = {
+    val withDay = t(s, dir, "orders")
+      // o_orderdate is TIMESTAMP_NTZ; session tz is UTC, so the cast
+      // reads the same instant DuckDB's epoch_us sees (q25 precedent)
+      .withColumn("day_no",
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
+    val (ckMin, ckSpan, dayMin, daySpan) = zDims.computeIfAbsent(dir, { _ =>
+      val r = graft.BoundedCollect.rows(
+        withDay.agg(
+          min("o_custkey"), max("o_custkey"), min("day_no"), max("day_no")),
+        1, "q37 z-grid dims")(0)
+      (r.getLong(0), r.getLong(1) - r.getLong(0) + 1,
+        r.getLong(2), r.getLong(3) - r.getLong(2) + 1)
+    })
+    val path = f"${layoutRoot(s)}/graft_zorder_orders_${dir.hashCode & 0x7fffffff}%08x"
+    this.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").isFile) {
+        withDay
+          .withColumn("zbucket",
+            zInterleaveCol(
+              zCellExpr("o_custkey", ckMin, ckSpan),
+              zCellExpr("day_no", dayMin, daySpan)).cast("int"))
+          .select("o_orderkey", "o_custkey", "day_no", "o_totalprice", "zbucket")
+          // one shuffle on the bucket so each partition dir is one file,
+          // not one fragment per input task — the write-side compaction a
+          // clustered layout needs anyway
+          .repartition(col("zbucket"))
+          .write.partitionBy("zbucket").mode("overwrite").parquet(path)
+      }
+    }
+    ZLayout(s.read.parquet(path), ckMin, ckSpan, dayMin, daySpan)
+  }
 }

@@ -222,6 +222,31 @@ class PlanSpec extends SparkSpec {
       s"purchase slice should prune directories:\n$p")
   }
 
+  test("q37: z-bucket cover prunes partitions at planning time") {
+    val p = plan("q37_zorder")
+    assert(p.contains("PartitionFilters") && p.contains("zbucket"),
+      s"expected a planning-time partition filter on zbucket:\n$p")
+    assert(p.contains("zbucket#") && (p.contains(" IN (") || p.contains("INSET")),
+      s"the 16-cell cover should be a literal IN partition filter:\n$p")
+  }
+
+  test("q38: refresh reads cached lake partials; only the delta scans orders") {
+    val p = plan("q38_incremental_agg")
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan In-memory"),
+      s"the lake's partial aggregates must come from the materialized cache:\n$p")
+    // exactly one relation LEAF besides the cache (the delta side) in
+    // the optimized logical tree — the executed-plan STRING nests the
+    // cache's original build plan inside InMemoryRelation, so leaves are
+    // counted structurally, not textually
+    val leaves = SparkEntry.queries("q38_incremental_agg")(spark, dir)
+      .queryExecution.optimizedPlan.collectLeaves().map(_.nodeName)
+    assert(leaves.count(_ == "InMemoryRelation") == 1
+      && leaves.count(_ != "InMemoryRelation") == 1,
+      s"expected exactly {cache leaf, delta scan leaf}, got: $leaves")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"the delta cutoff must reach the scan:\n$p")
+  }
+
   test("t10: per-source pack partitions on source; no global range sort") {
     val p = plan("t10_seq_pack")
     assert(p.contains("hashpartitioning(source"),
