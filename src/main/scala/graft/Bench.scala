@@ -194,6 +194,8 @@ object Bench {
     // like-for-like number BASELINE.md's warm-mean protocol reports.
     graft.pipeline.Dedup.prewarmIndexes(spark, sfDir)
     graft.pipeline.Similarity.prewarmIndexes(spark, sfDir)
+    graft.pipeline.Text.prewarmIndexes(spark, sfDir)
+    graft.multimodal.Multimodal.prewarmIndexes(spark, sfDir)
     mark("index prewarm")
 
     cal("queries") = noiseCal()
@@ -253,6 +255,8 @@ object Bench {
         // same billing as the main pass: index build happens out-of-cell
         graft.pipeline.Dedup.prewarmIndexes(spark, sfDir)
         graft.pipeline.Similarity.prewarmIndexes(spark, sfDir)
+        graft.pipeline.Text.prewarmIndexes(spark, sfDir)
+        graft.multimodal.Multimodal.prewarmIndexes(spark, sfDir)
         val ts = skewQs.map(q => q.name -> once(q, sfDir)).toMap
         releasePhase(sfDir)
         ts

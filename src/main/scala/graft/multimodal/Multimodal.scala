@@ -184,6 +184,26 @@ object Multimodal {
     * hex + rolling 4-byte-gram hashes + per-bit sums + signature — the
     * SQL twin of [[graft.functions.ByteSimhashKernel]], one spelling.
     */
+  /** The (id, byte-SimHash) signature table m6's pigeonhole self-join
+    * reads on BOTH sides — materialized once per (session, corpus);
+    * without the cache each join side re-runs byte_simhash over every
+    * payload (the corpus's full byte volume, twice). m5 stays the pure
+    * fused-map spelling; this is its persisted-signature shape.
+    */
+  private[graft] def sigIndex(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Materialized.getOrBuild(s, s"m6.sig|$dir") {
+      graft.functions.GraftFunctions.register(s)
+      blobs(s, dir).select(col("id"),
+        call_function("byte_simhash", col("payload"), lit(32)).as("phash"))
+    }
+
+  /** Pre-build m6's signature table (same out-of-cell billing contract
+    * as [[graft.pipeline.Dedup.prewarmIndexes]]).
+    */
+  private[graft] def prewarmIndexes(s: SparkSession, dir: String): Unit = {
+    sigIndex(s, dir); ()
+  }
+
   private def phashCtesSql: String = """b AS (
           SELECT doc_id AS id,
                  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
@@ -313,8 +333,7 @@ object Multimodal {
       "m6_media_neardup",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
-        val sig = blobs(s, dir).select(col("id"),
-          call_function("byte_simhash", col("payload"), lit(32)).as("phash"))
+        val sig = sigIndex(s, dir) // shared materialized table, see its doc
         val pieces = sig.select(col("id"), col("phash"),
           explode(array((0 until 4).map(i =>
             expr(s"(phash div ${1L << (8 * i)}L) % 256L + ${i.toLong * 256}L")): _*)).as("piece"))

@@ -181,9 +181,7 @@ object Text {
       "t6_bigram_lm",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
-        val b = Dedup.docsSharded(s, dir)
-          .select(col("doc_id"), explode(bigrams(words(col("text")))).as("bg"))
-          .select(col("doc_id"), md5Long(col("bg")).as("h"))
+        val b = bigramIndex(s, dir) // shared materialized table, see its doc
         val freq = b.groupBy("h").agg(count(lit(1)).as("c"))
         b.join(freq, "h")
           .groupBy("doc_id")
@@ -530,6 +528,26 @@ object Text {
 
   /** t12's per-document keyword budget. */
   val TfidfTopK = 3L
+
+  /** The (doc_id, bigram-hash) table t6's frequency build AND per-doc
+    * probe both read — materialized once per (session, corpus); without
+    * it the corpus-wide explode+md5 runs twice (two Generate branches,
+    * no reusable exchange).
+    */
+  private[graft] def bigramIndex(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Materialized.getOrBuild(s, s"t6.bigrams|$dir") {
+      graft.functions.GraftFunctions.register(s)
+      Dedup.docsSharded(s, dir)
+        .select(col("doc_id"), explode(bigrams(words(col("text")))).as("bg"))
+        .select(col("doc_id"), md5Long(col("bg")).as("h"))
+    }
+
+  /** Pre-build t6's shared bigram-hash table (same out-of-cell billing
+    * contract as [[Dedup.prewarmIndexes]]).
+    */
+  private[graft] def prewarmIndexes(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    bigramIndex(s, dir); ()
+  }
 
   /** t10's training-window capacity (tokens per packed sequence). */
   val SeqPackCapacity = 2048L

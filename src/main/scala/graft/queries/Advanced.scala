@@ -17,13 +17,20 @@ object Advanced {
   import graft.Agg.dsum
 
   def all: Seq[Q] = Seq(
-    // ---- q21: CUBE aggregation ----
+    // ---- q21: CUBE aggregation — TWO-PHASE (q17's rewrite, one more
+    //      grouping set): the fact table reduces to the 6-row key
+    //      domain before the cube's ×4 Expand, so the expansion
+    //      multiplies partials, not the corpus. ----
     Q(
       "q21_cube",
-      (s, dir) =>
-        t(s, dir, "lineitem")
-          .cube(col("l_returnflag"), col("l_linestatus"))
-          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue")),
+      (s, dir) => {
+        val pre = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("pn"),
+            sum(col("l_extendedprice").cast(DecimalType(30, 2))).as("psum"))
+        pre.cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("pn")).as("n"), sum(col("psum")).cast("double").as("revenue"))
+      },
       Some("""
         SELECT l_returnflag, l_linestatus, count(*) AS n,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue

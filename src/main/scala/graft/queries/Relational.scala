@@ -364,13 +364,25 @@ object Relational {
         FROM orders GROUP BY 1, 2 HAVING o_year = 1997"""),
     ),
 
-    // ---- q17: grouping sets / rollup ----
+    // ---- q17: grouping sets / rollup — TWO-PHASE: the fact table is
+    //      first reduced to the grouping-key domain (6 rows here) with
+    //      ordinary map-side-combined partials, and only those partials
+    //      feed the rollup's Expand. A naive rollup Expands EVERY fact
+    //      row ×(levels) before aggregating — at 100 TB that triples the
+    //      shuffle input for keys whose domain fits in one page. The
+    //      (count, decimal-sum) partials form the same monoid q38
+    //      merges, so the re-aggregated rollup is exactly the direct
+    //      one (the oracle, a direct rollup, asserts it). ----
     Q(
       "q17_rollup",
-      (s, dir) =>
-        t(s, dir, "lineitem")
-          .rollup(col("l_returnflag"), col("l_linestatus"))
-          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty")),
+      (s, dir) => {
+        val pre = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("pn"),
+            sum(col("l_quantity").cast(DecimalType(30, 2))).as("pqty"))
+        pre.rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("pn")).as("n"), sum(col("pqty")).cast("double").as("qty"))
+      },
       Some("""
         SELECT l_returnflag, l_linestatus, count(*) AS n,
                CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS qty

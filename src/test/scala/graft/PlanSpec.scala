@@ -222,6 +222,18 @@ class PlanSpec extends SparkSpec {
       s"purchase slice should prune directories:\n$p")
   }
 
+  test("q17/q21: grouping-set Expand multiplies pre-aggregated partials, not the fact table") {
+    for (name <- Seq("q17_rollup", "q21_cube")) {
+      val p = plan(name).split("== Initial Plan ==")(0)
+      val i = p.indexOf("Expand")
+      assert(i >= 0, s"$name must still plan a grouping-set Expand:\n$p")
+      // two-phase signature: an aggregate BELOW the Expand (tree prints
+      // children underneath) — the naive plan expands raw scan rows
+      assert(p.substring(i).contains("HashAggregate"),
+        s"$name: Expand must sit above the pre-aggregation, not the scan:\n$p")
+    }
+  }
+
   test("q37: z-bucket cover prunes partitions at planning time") {
     val p = plan("q37_zorder")
     assert(p.contains("PartitionFilters") && p.contains("zbucket"),

@@ -17,7 +17,7 @@ class PrewarmConsistencySpec extends SparkSpec {
   private val indexQueries = Seq(
     "d2_ngram_jaccard", "d5_lsh_verified", "s2_knn_lsh",
     "s3_cosine_neardup", "s4_knn_ivf", "s5_knn_sq8",
-    "s6_knn_pq", "s8_ann_layout")
+    "s6_knn_pq", "s8_ann_layout", "t6_bigram_lm", "m6_media_neardup")
 
   private def release(): Unit = {
     graft.pipeline.Materialized.releaseMatching(_.endsWith(s"|$dir"))
@@ -34,6 +34,8 @@ class PrewarmConsistencySpec extends SparkSpec {
     release()
     graft.pipeline.Dedup.prewarmIndexes(spark, dir)
     graft.pipeline.Similarity.prewarmIndexes(spark, dir)
+    graft.pipeline.Text.prewarmIndexes(spark, dir)
+    graft.multimodal.Multimodal.prewarmIndexes(spark, dir)
     val warmed = indexQueries.map(n => n -> rows(SparkEntry.queries(n)(spark, dir))).toMap
     release()
     for (n <- indexQueries) {
