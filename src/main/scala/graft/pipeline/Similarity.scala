@@ -266,6 +266,59 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("v"), col("band"))
   }
 
+  /** s3's candidate pairs with their RAW cosine — the shared upstream of
+    * s3 (threshold 0.25 near-dup report) and d10 (the stricter
+    * [[SemanticDupCos]] pairs fed to the cluster closure). The banded
+    * table feeds BOTH self-join sides: materialize it once (sign-bit
+    * dots are the dominant per-row cost).
+    */
+  private[graft] def s3RawPairs(s: SparkSession, dir: String): DataFrame = {
+    val banded = Materialized.getOrBuild(s, s"s3.banded|$dir")(s3BandedDf(vecs(s, dir)))
+    val x = banded.select(col("vec_id").as("id1"), col("label"), col("v").as("v1"), col("band"))
+    val y = banded.select(col("vec_id").as("id2"), col("label"), col("v").as("v2"), col("band"))
+    x.join(y, Seq("label", "band")).filter(col("id1") < col("id2"))
+      .select(col("label"), col("id1"), col("id2"), col("v1"), col("v2"))
+      .distinct() // a pair can share several bands — count it once
+      .withColumn("cos_raw", cosine("v1", "v2"))
+  }
+
+  /** DuckDB twin of [[s3RawPairs]]: CTE chain ending in
+    * `s3sim(label, id1, id2, cos_raw)`. WITH-RECURSIVE-safe (d10
+    * appends the cluster closure after it).
+    */
+  private[graft] def s3PairsCtes: String = s"""
+        e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        blocks AS (SELECT label, count(*) AS block_n FROM e GROUP BY 1),
+        nb AS (SELECT label, $s3BitsSql AS nbits FROM blocks),
+        sig AS (
+          SELECT vec_id, label, v,
+               ${signBitsSql(MaxPlanes)}
+          FROM e),
+        sb AS (
+          SELECT vec_id, label, v,
+                 concat(${(0 until MaxPlanes).map(i => s"b$i").mkString(", ")}) AS sbits
+          FROM sig),
+        banded AS (
+          SELECT vec_id, label, v,
+                 unnest([${(0 until S3Bands).map(s3BandSql).mkString(", ")}]) AS band
+          FROM sb JOIN nb USING (label)),
+        pairs AS (
+          SELECT DISTINCT x.label AS label, x.vec_id AS id1, y.vec_id AS id2,
+                          x.v AS v1, y.v AS v2
+          FROM banded x JOIN banded y
+            ON x.label = y.label AND x.band = y.band AND x.vec_id < y.vec_id),
+        s3sim AS (
+          SELECT label, id1, id2,
+                 list_dot_product(v1, v2)
+                   / (sqrt(list_dot_product(v1, v1)) * sqrt(list_dot_product(v2, v2))) AS cos_raw
+          FROM pairs)"""
+
+  /** d10's semantic-duplicate cosine threshold (on the raw value, like
+    * s3's 0.25 report cut — strictly above it, so d10's pairs are a
+    * subset of s3's report).
+    */
+  val SemanticDupCos = 0.4
+
   /** (label, band) compare-bucket sizes — the quantity s3's scale safety
     * rests on: all-pairs work is quadratic in the LARGEST of these, and
     * adaptive band width holds it near [[S3TargetBucket]] regardless of
@@ -1186,48 +1239,41 @@ object Similarity {
     //      ADAPTIVE-width LSH band slice within the block (bucket size
     //      held near S3TargetBucket whatever the block size), exact
     //      cosine threshold on survivors ----
+    // ---- d10: SEMANTIC duplicate clusters — the embedding-space twin
+    //      of d6: s3's blocked-LSH-verified cosine pairs at the stricter
+    //      [[SemanticDupCos]] threshold, closed under transitivity by
+    //      the same distributed min-label propagation (a re-encoded or
+    //      paraphrased copy chains A≈B≈C without A and C colliding
+    //      directly). Scale shape: the fixpoint runs over the
+    //      |near-dup-pairs| table, never the corpus, and the pair table
+    //      itself is s3's bucketed (never all-pairs) join. The DuckDB
+    //      oracle replays the full chain — sign bits, adaptive band
+    //      width, bucket join, exact cosine, recursive-CTE closure. ----
+    Q(
+      "d10_semantic_clusters",
+      (s, dir) => Materialized.getOrBuild(s, s"d10.cc|$dir")(
+        Cluster.minLabelComponents(
+          s3RawPairs(s, dir).filter(col("cos_raw") >= SemanticDupCos)
+            .select(col("id1").as("doc1"), col("id2").as("doc2")))
+          .select(col("doc_id").as("vec_id"), col("root"))),
+      Some(s"""
+        WITH RECURSIVE $s3PairsCtes,
+        dup AS (SELECT id1 AS doc1, id2 AS doc2 FROM s3sim
+                WHERE cos_raw >= $SemanticDupCos),
+        ${Cluster.componentsCtes("dup")}
+        SELECT doc_id AS vec_id, root FROM cc_roots"""),
+    ),
+
     Q(
       "s3_cosine_neardup",
-      (s, dir) => {
-        // the banded table feeds BOTH self-join sides: materialize it
-        // once (sign-bit dots are the dominant per-row cost)
-        val banded = Materialized.getOrBuild(s, s"s3.banded|$dir")(s3BandedDf(vecs(s, dir)))
-        val x = banded.select(col("vec_id").as("id1"), col("label"), col("v").as("v1"), col("band"))
-        val y = banded.select(col("vec_id").as("id2"), col("label"), col("v").as("v2"), col("band"))
-        x.join(y, Seq("label", "band")).filter(col("id1") < col("id2"))
-          .select(col("label"), col("id1"), col("id2"), col("v1"), col("v2"))
-          .distinct() // a pair can share several bands — count it once
-          .withColumn("cos_raw", cosine("v1", "v2"))
+      (s, dir) =>
+        s3RawPairs(s, dir)
           .filter(col("cos_raw") >= 0.25) // threshold on RAW value, like the oracle
-          .select(col("label"), col("id1"), col("id2"), round(col("cos_raw"), 6).as("cos_sim"))
-      },
+          .select(col("label"), col("id1"), col("id2"), round(col("cos_raw"), 6).as("cos_sim")),
       Some(s"""
-        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-        blocks AS (SELECT label, count(*) AS block_n FROM e GROUP BY 1),
-        nb AS (SELECT label, $s3BitsSql AS nbits FROM blocks),
-        sig AS (
-          SELECT vec_id, label, v,
-               ${signBitsSql(MaxPlanes)}
-          FROM e),
-        sb AS (
-          SELECT vec_id, label, v,
-                 concat(${(0 until MaxPlanes).map(i => s"b$i").mkString(", ")}) AS sbits
-          FROM sig),
-        banded AS (
-          SELECT vec_id, label, v,
-                 unnest([${(0 until S3Bands).map(s3BandSql).mkString(", ")}]) AS band
-          FROM sb JOIN nb USING (label)),
-        pairs AS (
-          SELECT DISTINCT x.label AS label, x.vec_id AS id1, y.vec_id AS id2,
-                          x.v AS v1, y.v AS v2
-          FROM banded x JOIN banded y
-            ON x.label = y.label AND x.band = y.band AND x.vec_id < y.vec_id)
-        SELECT label, id1, id2,
-               round(list_dot_product(v1, v2)
-                     / (sqrt(list_dot_product(v1, v1)) * sqrt(list_dot_product(v2, v2))), 6) AS cos_sim
-        FROM pairs
-        WHERE list_dot_product(v1, v2)
-              / (sqrt(list_dot_product(v1, v1)) * sqrt(list_dot_product(v2, v2))) >= 0.25"""),
+        WITH $s3PairsCtes
+        SELECT label, id1, id2, round(cos_raw, 6) AS cos_sim
+        FROM s3sim WHERE cos_raw >= 0.25"""),
     ),
 
     // ---- s4: IVF ANN — √n k-means centroids (sampled seeds + Lloyd

@@ -200,4 +200,27 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(lshPairs.forall { case (a, b) => a < b })
   }
+
+  test("d10 semantic clusters: min-labeled, transitive over the >=0.4 pairs, subset of s3") {
+    val roots = SparkEntry.queries("d10_semantic_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roots.nonEmpty, "sf0.001 must produce at least one semantic cluster")
+    assert(roots.forall { case (id, root) => root <= id },
+      "every root must be the component's minimum id")
+    val dupPairs = Similarity.s3RawPairs(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("cos_raw") >= Similarity.SemanticDupCos)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dupPairs.nonEmpty)
+    dupPairs.foreach { case (a, b) =>
+      assert(roots(a) == roots(b), s"pair ($a,$b) must share a root")
+    }
+    // membership is exactly the vertices of the dup-pair graph
+    val verts = dupPairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(roots.keySet == verts, "cluster membership must equal the pair-graph vertices")
+    // d10's threshold is strictly above s3's report cut, so its pairs
+    // are a subset of the s3 report
+    val s3Ids = SparkEntry.queries("s3_cosine_neardup")(spark, dir)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs.forall(s3Ids.contains), "d10 pairs must be a subset of s3's report")
+  }
 }
