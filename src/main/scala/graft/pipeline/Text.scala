@@ -495,8 +495,11 @@ object Text {
         val w = Dedup.docsSharded(s, dir)
           .select(col("doc_id"), explode(words(col("text"))).as("term"))
         val tf = w.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val df = w.select("term", "doc_id").distinct()
-          .groupBy("term").agg(count(lit(1)).as("df"))
+        // df FROM tf (one row per (doc, term) by construction): no second
+        // explode over the corpus, no distinct shuffle — and the two
+        // consumers share tf's exchange (ReusedExchange), so the heavy
+        // explode+aggregate runs once
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val win = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id")
           .orderBy(col("score").desc, col("term").asc)
