@@ -17,7 +17,8 @@ class PrewarmConsistencySpec extends SparkSpec {
   private val indexQueries = Seq(
     "d2_ngram_jaccard", "d5_lsh_verified", "s2_knn_lsh",
     "s3_cosine_neardup", "s4_knn_ivf", "s5_knn_sq8",
-    "s6_knn_pq", "s8_ann_layout", "t6_bigram_lm", "m6_media_neardup")
+    "s6_knn_pq", "s8_ann_layout", "t6_bigram_lm", "m6_media_neardup",
+    "d10_semantic_clusters")
 
   private def release(): Unit = {
     graft.pipeline.Materialized.releaseMatching(_.endsWith(s"|$dir"))
