@@ -167,8 +167,13 @@ object EventStream {
       // SKIPS nulls, so (7, NULL, "42.0") and (7, "42.0", NULL) would
       // collide on "7|42.0" — JSON names each present field, so distinct
       // null patterns always fingerprint differently.
+      // value + 0.0 canonicalizes -0.0 to +0.0 (IEEE: -0.0 + 0.0 = +0.0,
+      // every other value unchanged): to_json renders the two zeros
+      // differently while SQL DISTINCT/grouping treats them equal, so an
+      // unnormalized fingerprint would split a pair the e13 oracle merges
       .withColumn("fingerprint",
-        md5(to_json(struct(col("user_id"), col("event_type"), col("value")))))
+        md5(to_json(struct(col("user_id"), col("event_type"),
+          (col("value") + lit(0.0)).as("value")))))
     // Batch is the backfill/replay path: the watermark horizon spans the
     // whole input, so the windowed dedup degenerates to a global exact
     // dedup. Spark refuses dropDuplicatesWithinWatermark on batch inputs
