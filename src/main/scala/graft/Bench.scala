@@ -222,8 +222,12 @@ object Bench {
     val skewResults =
       try {
         val skewDir = graft.bench.SkewBench.prepare(spark, sfDir)
+        // Lite prewarm: the skew list touches only d2/d4b (dedup) and
+        // s3/s4 — the full similarity prewarm would build s2/sq8/PQ/
+        // layout artifacts this pass never queries, extra corpus passes
+        // plus resident caches inside the window being measured
         graft.pipeline.Dedup.prewarmIndexes(spark, skewDir)
-        graft.pipeline.Similarity.prewarmIndexes(spark, skewDir)
+        graft.pipeline.Similarity.prewarmIndexesLite(spark, skewDir)
         mark("skew prep")
         try {
           timePass(skewQs, skewDir)
@@ -253,10 +257,9 @@ object Bench {
     val twinMins: Map[String, Double] =
       try {
         // same billing as the main pass: index build happens out-of-cell
+        // (lite: the twin list is the skew list — d2/d4b/s3/s4/q5 only)
         graft.pipeline.Dedup.prewarmIndexes(spark, sfDir)
-        graft.pipeline.Similarity.prewarmIndexes(spark, sfDir)
-        graft.pipeline.Text.prewarmIndexes(spark, sfDir)
-        graft.multimodal.Multimodal.prewarmIndexes(spark, sfDir)
+        graft.pipeline.Similarity.prewarmIndexesLite(spark, sfDir)
         val ts = skewQs.map(q => q.name -> once(q, sfDir)).toMap
         releasePhase(sfDir)
         ts

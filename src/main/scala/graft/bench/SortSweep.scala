@@ -133,15 +133,26 @@ object SortSweep {
   }
 
   /** The case's batch round-tripped through DICTIONARY-ENCODED parquet
-    * (SURVEY §7.3, deferred since round 1): the reference's dictionary
-    * cases sort real `DictionaryArray<Int32>` columns, and the in-memory
-    * generator path reaches the dict-coded kernel layout without the
-    * data ever having LIVED dictionary-encoded. This variant writes the
-    * batch once per (JVM, case, n) to scratch with parquet dictionary
-    * encoding forced on, reads it back, and hands the sweep the same
-    * rows with storage-born strings — one file, one row group, one
-    * split, so row order survives the round trip and the measured
-    * kernels see the identical pre-sorted batch.
+    * (SURVEY §7.3, deferred since round 1): writes the batch once per
+    * (JVM, case, n) to scratch with parquet dictionary encoding forced
+    * on, reads it back, and hands the sweep the same rows — one file,
+    * one row group, one split, so row order survives the round trip.
+    *
+    * HONEST SCOPE: because the sweep's seam is row-based,
+    * `measureBoth` rebuilds the ColumnBatch (and its first-appearance
+    * dictionary) from those rows, so the TIMED KERNEL INPUT is
+    * byte-identical to the in-memory family's — the dictionary layout
+    * the kernels sort comes from `dictEncoded`, not the parquet
+    * dictionary pages, on BOTH paths. What this family adds is the
+    * storage gate, not a second physical encoding: the
+    * dictionary-encoded round trip must preserve values, order, and
+    * footer encodings (`ParquetDictSweepSpec` pins all three), and its
+    * cells must land on the in-memory family's numbers — a divergence
+    * flags a round-trip fidelity break, which is exactly what a
+    * lakehouse deployment of these kernels would hit first. The
+    * like-for-like answer to the reference's `DictionaryArray` input
+    * is the dict-coded kernel layout itself, measured by both
+    * families.
     */
   def parquetInput(spark: SparkSession, c: Case, n: Int): DataFrame = {
     val path = s"${graft.Scratch.dir}/graft-sweep-pq/${c.name}-$n"

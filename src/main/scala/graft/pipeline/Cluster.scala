@@ -70,7 +70,9 @@ private[graft] object Cluster {
     // checkpoint), replacing the old per-round join+filter+count job.
     // DECIMAL(38,0): exact at any node count / id range a corpus can hold.
     def rootSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("root").cast(DecimalType(38, 0)))).first().getDecimal(0))
+      Option(graft.BoundedCollect.rows(
+        df.agg(sum(col("root").cast(DecimalType(38, 0)))),
+        1, "cc fixpoint checksum")(0).getDecimal(0))
     var labels = edges
       .select(col("src").as("doc_id"))
       .distinct()

@@ -311,7 +311,20 @@ object EventStream {
 
   final case class RateEv(ts: java.sql.Timestamp, event_type: String)
   final case class RateHour(hourUs: Long, cnt: Long)
-  final case class RateState(closed: Seq[RateHour], open: Option[RateHour], lastUs: Long)
+  final case class RateState(
+      closed: Seq[RateHour],
+      /** Hours still accepting events, hourUs → count. Streaming bound:
+        * only hours whose end the watermark hasn't passed stay open —
+        * ≤ watermark-delay/1h + 1 entries (3-4 at the 2 h default). A
+        * batch replay accumulates the group's full hour histogram here
+        * (|hours|, far below |events|) and flushes it at end of input.
+        */
+      open: Map[Long, Long],
+      lastUs: Long,
+      /** Highest closed hourUs — a stream-side guard dropping the only
+        * events the watermark contract allows us to drop.
+        */
+      closedThroughUs: Long)
   final case class AnomalyOut(
       event_type: String, hour_us: Long, cnt: Long, z: Double, is_anomaly: Boolean)
 
@@ -350,23 +363,78 @@ object EventStream {
   private def pushRing(closed: Seq[RateHour], h: RateHour): Seq[RateHour] =
     (closed :+ h).takeRight(RateWindowHours)
 
+  // NOTE: the state-function helpers below are OBJECT methods, not local
+  // defs inside rateAnomaly — a local def lifts to an instance method of
+  // this (non-serializable) module and drags it into the task closure.
+
+  /** Current watermark in micros, or -1 when absent (batch replay). */
+  private def rateWmUs(state: GroupState[RateState]): Long =
+    try state.getCurrentWatermarkMs() * 1000L
+    catch { case _: UnsupportedOperationException => -1L }
+
+  /** Arm the event-time timeout, clamped just above the watermark — a
+    * timestamp at or below it throws (a watermark that jumped more than
+    * the horizon in one trigger, e.g. a backfill burst, would otherwise
+    * kill the whole query); the firing's sweep closes everything ready
+    * regardless of how tight the clamp landed.
+    */
+  private def rateArmTimeout(state: GroupState[RateState], atMs: Long, wmUs: Long): Unit =
+    state.setTimeoutTimestamp(math.max(atMs, wmUs / 1000 + 1))
+
+  private def rateNextTimeout(
+      state: GroupState[RateState], st: RateState, wmUs: Long, idleDays: Int): Unit =
+    rateArmTimeout(state,
+      if (st.open.nonEmpty) st.open.keys.min / 1000 + HourUsLen / 1000 // earliest open end
+      else st.lastUs / 1000 + idleDays.toLong * 86400L * 1000,
+      wmUs)
+
+  /** Close (score + push to ring) every open hour the event-time
+    * watermark has passed, in ascending hour order; `wmUs < 0` (batch:
+    * watermarks are absent) closes nothing.
+    */
+  private def closeReadyHours(
+      etype: String, st: RateState, wmUs: Long): (RateState, Seq[AnomalyOut]) = {
+    val ready = st.open.keys.filter(h => wmUs >= 0 && h + HourUsLen <= wmUs).toSeq.sorted
+    var cur = st
+    val out = Seq.newBuilder[AnomalyOut]
+    for (h <- ready) {
+      val hour = RateHour(h, cur.open(h))
+      out ++= scoreHour(etype, cur.closed, hour)
+      cur = cur.copy(
+        closed = pushRing(cur.closed, hour),
+        open = cur.open - h,
+        closedThroughUs = math.max(cur.closedThroughUs, h))
+    }
+    (cur, out.result())
+  }
+
   /** Streaming twin of batch e11 (trailing-window z-score rate
     * anomalies): per event type, a [[flatMapGroupsWithState]] keeps the
-    * OPEN hour's running count plus a ring of the last 24 CLOSED hourly
-    * counts (as exact integer sums — ~25 pairs of longs per event type,
-    * the whole state). An hour is scored the moment it closes: in
-    * streaming, when a later hour's first event arrives (succession) or
-    * the event-time timeout fires after the watermark passes the hour's
-    * end; in a batch replay (complete history, watermarks no-op), the
-    * same succession rule plus an end-of-input flush of the final hour —
-    * which makes the batch run emit EXACTLY e11's rows (e12 shares
-    * e11's oracle). Late events into an already-closed hour are dropped
-    * by the streaming path (the watermark contract) and corrected by
-    * the batch backfill, the same batch-fixes-stream contract as
-    * [[funnelStages]]. Idle types evict their state after `idleDays`.
+    * OPEN hours' running counts plus a ring of the last 24 CLOSED hourly
+    * counts (exact integer sums). An hour closes only when the
+    * EVENT-TIME WATERMARK passes its end — not when a later hour's
+    * first event arrives — so out-of-order arrival within the
+    * watermark's tolerance can never undercount an hour (a
+    * close-on-succession rule silently drops exactly the disorder the
+    * watermark promises to absorb). Streaming state is therefore the
+    * ring + at most watermark-delay/1h + 1 open hours (~28 pairs of
+    * longs per type at the 2 h default). A batch replay (watermarks
+    * absent) accumulates the group's hour histogram — |hours| entries,
+    * never |events| — and flushes it ascending at end of input, which
+    * emits EXACTLY e11's rows (e12 shares e11's oracle). Truly late
+    * events (below the watermark, hour already closed) are dropped and
+    * corrected by the batch backfill, the same batch-fixes-stream
+    * contract as [[funnelStages]]. Idle types evict after `idleDays`.
+    *
+    * Hour buckets are UTC-floored epoch hours; e11's `date_trunc` twin
+    * matches only under the UTC session timezone every graft main pins,
+    * so that contract is asserted here rather than silently diverging.
     */
   def rateAnomaly(events: DataFrame, idleDays: Int = 7): Dataset[AnomalyOut] = {
     import events.sparkSession.implicits._
+    require(events.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+      "rateAnomaly buckets hours in UTC; set spark.sql.session.timeZone=UTC " +
+        "so the e11 twin's date_trunc('HOUR') agrees")
     val isStream = events.isStreaming
     events.select(col("ts"), col("event_type")).as[RateEv]
       .withWatermark("ts", "2 hours")
@@ -374,56 +442,46 @@ object EventStream {
       .flatMapGroupsWithState[RateState, AnomalyOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (etype: String, evs: Iterator[RateEv], state: GroupState[RateState]) =>
+          val wmUs = rateWmUs(state)
           if (state.hasTimedOut) {
-            // the watermark passed the open hour's end: close + score it,
-            // keep the ring (future hours still need the history); a
-            // type with nothing open has been idle — evict entirely
-            val st = state.get
-            st.open match {
-              case Some(o) =>
-                val out = scoreHour(etype, st.closed, o)
-                val st2 = RateState(pushRing(st.closed, o), None, st.lastUs)
-                state.update(st2)
-                state.setTimeoutTimestamp(
-                  st2.lastUs / 1000 + idleDays.toLong * 86400L * 1000)
-                out.iterator
-              case None =>
-                state.remove()
-                Iterator.empty
+            val st0 = state.get
+            val (st2, out) = closeReadyHours(etype, st0, wmUs)
+            // a sweep that closed hours (even unscored warm-up ones) must
+            // KEEP the ring — only a firing that found nothing to close
+            // and nothing open is the idle horizon
+            if (st2.open.isEmpty && st2.open.size == st0.open.size) {
+              state.remove() // idle horizon passed with nothing open
+              Iterator.empty
+            } else {
+              state.update(st2)
+              rateNextTimeout(state, st2, wmUs, idleDays)
+              out.iterator
             }
           } else {
-            var st = state.getOption.getOrElse(RateState(Nil, None, 0L))
-            val out = scala.collection.mutable.ListBuffer[AnomalyOut]()
-            for (e <- evs.toSeq.sortBy(rateUs)) {
+            var st = state.getOption.getOrElse(RateState(Nil, Map.empty, 0L, -1L))
+            for (e <- evs) { // streaming iteration: no group-sized buffer
               val us = rateUs(e)
               val h = Math.floorDiv(us, HourUsLen) * HourUsLen
-              st.open match {
-                case Some(o) if o.hourUs == h =>
-                  st = st.copy(open = Some(o.copy(cnt = o.cnt + 1)))
-                case Some(o) if h > o.hourUs =>
-                  out ++= scoreHour(etype, st.closed, o)
-                  st = RateState(pushRing(st.closed, o), Some(RateHour(h, 1L)), st.lastUs)
-                case Some(_) => // late event into a closed hour: dropped
-                case None =>
-                  st = st.copy(open = Some(RateHour(h, 1L)))
-              }
+              // h <= closedThroughUs only for sub-watermark stragglers
+              // (Spark already filters those); belt-and-braces drop
+              if (h > st.closedThroughUs)
+                st = st.copy(open = st.open.updated(h, st.open.getOrElse(h, 0L) + 1L))
               st = st.copy(lastUs = math.max(st.lastUs, us))
             }
+            val (swept, out0) = closeReadyHours(etype, st, wmUs)
+            st = swept
+            val out = scala.collection.mutable.ListBuffer[AnomalyOut](out0: _*)
             if (!isStream) {
-              // complete replay: the final hour has no successor and no
-              // timeout will fire — close it here so the batch run emits
-              // every hour e11 scores
-              st.open.foreach { o =>
-                out ++= scoreHour(etype, st.closed, o)
-                st = RateState(pushRing(st.closed, o), None, st.lastUs)
+              // complete replay: no watermark will ever close these —
+              // flush the full histogram ascending, exactly e11's series
+              for (h <- st.open.keys.toSeq.sorted) {
+                val hour = RateHour(h, st.open(h))
+                out ++= scoreHour(etype, st.closed, hour)
+                st = st.copy(closed = pushRing(st.closed, hour), open = st.open - h)
               }
             }
             state.update(st)
-            // no-op in batch runs, like sessionize's
-            state.setTimeoutTimestamp(st.open match {
-              case Some(o) => o.hourUs / 1000 + HourUsLen / 1000 // hour end
-              case None => st.lastUs / 1000 + idleDays.toLong * 86400L * 1000
-            })
+            rateNextTimeout(state, st, wmUs, idleDays) // no-op in batch runs
             out.iterator
           }
       }
@@ -452,9 +510,15 @@ object EventStream {
     val schema =
       try spark.read.parquet(dir).schema // footer-only, driver-side
       catch {
-        // "Unable to infer schema": no files yet. Fixed fallback keeps
-        // the empty-dir start working (it did before the sniff existed).
-        case _: org.apache.spark.sql.AnalysisException =>
+        // ONLY the no-files-yet condition falls back (empty-dir starts
+        // worked before the sniff existed). Any other analysis failure —
+        // mixed ts encodings across files, corrupt footers — must
+        // surface here, at start, instead of silently pinning the
+        // nanos-as-long schema and mis-reading every micro-batch (the
+        // exact silent-failure class the sniff exists to prevent).
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA"
+              || e.getMessage.contains("Unable to infer schema") =>
           org.apache.spark.sql.types.StructType.fromDDL(
             "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       }

@@ -34,19 +34,28 @@ class DriverScalarBoundSpec extends SparkSpec {
     }
   }
 
-  test("no raw .collect() in operator sources outside BoundedCollect and the bench harness") {
+  test("no raw driver pulls in operator sources outside BoundedCollect and the bench harness") {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val allowed = Set(
-      "core.scala",      // BoundedCollect itself
-      "SortSweep.scala", // bench harness collecting timing rows, not data
+      "core.scala",       // BoundedCollect itself
+      "SortSweep.scala",  // bench harness collecting timing rows, not data
+      "SkewBench.scala",  // bench fixture prep (1-row agg for the hot key)
+      "Probe.scala", "KernelProbe.scala", "CCProbe.scala", "QProbe.scala", // debug mains
     )
+    // every Dataset driver-pull spelling — a guard that only knows
+    // .collect() waves through .first()/.take(n)/.collectAsList()
+    val pulls = Seq(".collect()", ".collectAsList(", ".toLocalIterator",
+      ".first()", ".head()")
     val offenders = java.nio.file.Files.walk(root).iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
       .filterNot(p => allowed.contains(p.getFileName.toString))
-      .filter(p => java.nio.file.Files.readString(p).contains(".collect()"))
+      .filter { p =>
+        val src = java.nio.file.Files.readString(p)
+        pulls.exists(src.contains)
+      }
       .map(_.toString).toList
     assert(offenders.isEmpty,
-      s"raw .collect() in operator code — route through BoundedCollect with a named bound: $offenders")
+      s"raw driver pull in operator code — route through BoundedCollect with a named bound: $offenders")
   }
 }

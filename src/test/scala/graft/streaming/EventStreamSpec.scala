@@ -9,8 +9,14 @@ import java.sql.Timestamp
 class EventStreamSpec extends SparkSpec {
   import EventStream._
 
+  // UTC-anchored (Timestamp.valueOf would read the JVM DEFAULT zone: on
+  // a half-hour-offset default like +05:30 the epoch lands mid-UTC-hour
+  // and every hour-bucket assertion silently shifts)
+  private val specEpochUs: Long =
+    java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
   private def ts(minute: Int): Timestamp =
-    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+    Timestamp.from(java.time.Instant.ofEpochSecond(
+      specEpochUs / 1000000L + minute * 60L))
 
   test("hourlyCounts over a memory stream matches batch semantics") {
     implicit val sq = spark.sqlContext
@@ -299,32 +305,69 @@ class EventStreamSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       // type "a": 12 warm-up hours alternating 1/2 events, a 5-event
-      // spike at hour 12, one event at hour 13 (closes 12 in-batch)
+      // spike at hour 12, one event at hour 13
       def hourEvs(h: Int, n: Int): Seq[(Timestamp, String)] =
         (0 until n).map(i => (ts(h * 60 + 5 + i), "a"))
       val warm = (0 until 12).flatMap(h => hourEvs(h, 1 + h % 2))
       mem.addData(warm ++ hourEvs(12, 5) ++ hourEvs(13, 1): _*)
       query.processAllAvailable()
-      // hour 17 closes 13 by succession in the second micro-batch
+      // hours close when the WATERMARK passes their end (never by mere
+      // succession — out-of-order arrival must not undercount). The
+      // hour-17 trigger advances the watermark to 15:05, and the
+      // hour-19 trigger's in-batch sweep then closes 11/12/13
+      // deterministically; 17 and 19 stay open (watermark 17:05 is
+      // before 17's end, so no timeout can race the assertion).
       mem.addData(hourEvs(17, 1): _*)
+      query.processAllAvailable()
+      mem.addData(hourEvs(19, 1): _*)
       query.processAllAvailable()
 
       val streamed = spark.table("rate_anomaly")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getDouble(3), r.getBoolean(4))).toSet
       // batch replay over the same events scores hours 12 and 13 the
-      // same way, plus the final hour (17) its end-of-input flush closes
+      // same way, plus the still-open hours (17, 19) its end-of-input
+      // flush closes
       import spark.implicits._
-      val all = warm ++ hourEvs(12, 5) ++ hourEvs(13, 1) ++ hourEvs(17, 1)
+      val all = warm ++ hourEvs(12, 5) ++ hourEvs(13, 1) ++
+        hourEvs(17, 1) ++ hourEvs(19, 1)
       val batch = EventStream.rateAnomaly(all.toDF("ts", "event_type"))
         .collect().map(a => (a.event_type, a.hour_us, a.cnt, a.z, a.is_anomaly)).toSet
-      val hour17Us = 17L * 3600L * 1000000L +
-        Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+      def hourUs(h: Int): Long = specEpochUs + h * 3600L * 1000000L
       assert(streamed.nonEmpty, "expected scored hours from the stream")
-      assert(streamed == batch.filterNot(_._2 == hour17Us),
+      assert(streamed == batch.filterNot(r => r._2 == hourUs(17) || r._2 == hourUs(19)),
         s"stream/batch divergence:\nstream $streamed\nbatch  $batch")
       // the 5-event spike over an alternating-1/2 warm-up must flag
       assert(streamed.exists(r => r._3 == 5L && r._5), s"spike not flagged: $streamed")
+    } finally query.stop()
+  }
+
+  test("rateAnomaly: out-of-order events within the watermark never undercount an hour") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)]
+    val query = EventStream.rateAnomaly(mem.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("rate_ooo")
+      .outputMode("append").start()
+    try {
+      def hourEvs(h: Int, n: Int): Seq[(Timestamp, String)] =
+        (0 until n).map(i => (ts(h * 60 + 5 + i), "a"))
+      mem.addData((0 until 12).flatMap(h => hourEvs(h, 1 + h % 2)): _*)
+      query.processAllAvailable()
+      mem.addData(hourEvs(12, 2) ++ hourEvs(13, 1): _*) // watermark → 11:05
+      query.processAllAvailable()
+      // 12:30 arrives AFTER hour 13's event but ABOVE the watermark — the
+      // 2 h tolerance promises it still counts (a close-on-succession
+      // design would have sealed hour 12 already and dropped it)
+      mem.addData((ts(12 * 60 + 30), "a"))
+      query.processAllAvailable()
+      mem.addData(hourEvs(16, 1): _*) // watermark → 14:05: closes 12 and 13
+      query.processAllAvailable()
+      val hour12 = spark.table("rate_ooo")
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+        .find(_._1 == specEpochUs + 12L * 3600L * 1000000L)
+      assert(hour12.exists(_._2 == 3L),
+        s"hour 12 must close with all 3 events counted, got $hour12")
     } finally query.stop()
   }
 }

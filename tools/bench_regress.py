@@ -90,6 +90,16 @@ def check(rnd):
     cur = {r["cell"]: r for r in rows if r["round"] == rnd}
     if not cur:
         sys.exit(f"round {rnd} not in history (have {rounds})")
+    # Disappeared cells are the MOST silent failure: a dropped/renamed
+    # query or a vanished sweep family would otherwise pass with fewer
+    # "cells compared" and exit 0.
+    prev_rounds = [r for r in rounds if r < rnd]
+    missing = []
+    if prev_rounds:
+        prev_cells = {r["cell"] for r in rows if r["round"] == prev_rounds[-1]}
+        missing = sorted(prev_cells - set(cur))
+        for cell in missing:
+            print(f"MISSING    {cell}: present in round {prev_rounds[-1]}, absent in round {rnd}")
     flagged = []
     compared = 0
     for cell, r in sorted(cur.items()):
@@ -104,9 +114,9 @@ def check(rnd):
             print("REGRESSION %-40s r%d %.3f -> r%d %.3f %s (%.1fx)"
                   % (cell, p["round"], p["value"], rnd, r["value"], r["unit"],
                      r["value"] / p["value"]))
-    print(f"== round {rnd}: {compared} cells compared, {len(flagged)} regressed "
-          f"(gate: >{RATIO}x and >+{FLOOR['sec']}s/{FLOOR['us']:.0f}us) ==")
-    sys.exit(1 if flagged else 0)
+    print(f"== round {rnd}: {compared} cells compared, {len(flagged)} regressed, "
+          f"{len(missing)} missing (gate: >{RATIO}x and >+{FLOOR['sec']}s/{FLOOR['us']:.0f}us) ==")
+    sys.exit(1 if (flagged or missing) else 0)
 
 
 if __name__ == "__main__":
