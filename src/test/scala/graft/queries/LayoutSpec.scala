@@ -37,4 +37,32 @@ class LayoutSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(got == direct && got.nonEmpty)
   }
+
+  test("q37: result equals the direct rectangle filter; layout covers exactly the corpus") {
+    // the layout + bucket cover + residual must be invisible semantics-
+    // wise: same rows as filtering the raw table with the rectangle
+    val zq = SparkEntry.queries("q37_zorder")(spark, dir)
+    val got = zq.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val mm = Tables.t(spark, dir, "orders")
+      .agg(min("o_custkey"), max("o_custkey")).collect()(0)
+    val (ckMin, ckSpan) = (mm.getLong(0), mm.getLong(1) - mm.getLong(0) + 1)
+    val dayNo = expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+    val dm = Tables.t(spark, dir, "orders").select(dayNo.as("d"))
+      .agg(min("d"), max("d")).collect()(0)
+    val (dMin, dSpan) = (dm.getLong(0), dm.getLong(1) - dm.getLong(0) + 1)
+    val direct = Tables.t(spark, dir, "orders")
+      .withColumn("xb", expr(s"((o_custkey - ${ckMin}L) * 16) div ${ckSpan}L"))
+      .withColumn("yb", expr(
+        s"(((unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000) - ${dMin}L) * 16) div ${dSpan}L"))
+      .filter(col("xb").between(4, 7) && col("yb").between(8, 11))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(got == direct && got.nonEmpty,
+      s"z-layout query must equal the raw rectangle filter (${got.size} vs ${direct.size})")
+    // grid sanity: every row lands in a cell coordinate inside [0, 16)
+    val cells = Tables.t(spark, dir, "orders")
+      .select(expr(s"((o_custkey - ${ckMin}L) * 16) div ${ckSpan}L").as("xb"))
+      .agg(min("xb"), max("xb")).collect()(0)
+    assert(cells.getLong(0) >= 0 && cells.getLong(1) <= 15,
+      s"x cells out of the 16-cell grid: $cells")
+  }
 }
