@@ -213,6 +213,30 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("round-6 cuts stay bounded at both gate SFs: quota, top-k, z-cover") {
+    for (sf <- Seq("sf0.001", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      // p5: output is sources x quota however large the corpus
+      val nSources = Tables.t(spark, dir, "documents")
+        .select("source").distinct().count()
+      assert(SparkEntry.queries("p5_domain_quota")(spark, dir).count()
+        == nSources * graft.pipeline.Curation.QuotaPerSource, s"p5 at $sf")
+      // t12: at most k rows per document
+      val nDocs = Tables.t(spark, dir, "documents").count()
+      assert(SparkEntry.queries("t12_tfidf")(spark, dir).count()
+        <= nDocs * graft.pipeline.Text.TfidfTopK, s"t12 at $sf")
+      // q37: the planning-time bucket cover is the GRID constant — the
+      // same 16-cell IN-list at any corpus size (the scale claim itself)
+      val p = SparkEntry.queries("q37_zorder")(spark, dir)
+        .queryExecution.executedPlan.toString
+      val cover = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p)
+        .getOrElse(fail(s"no partition filter at $sf:\n$p"))
+      val nLits = "\\d+".r.findAllIn(cover).size
+      assert(nLits >= 8 && nLits <= 24,
+        s"q37 cover should be ~16 z-cell literals at $sf, saw $nLits in: $cover")
+    }
+  }
+
   test("watermark drops state for late data beyond the threshold") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
