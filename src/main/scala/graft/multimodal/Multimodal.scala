@@ -180,10 +180,6 @@ object Multimodal {
       .select(col("id"), col("modality"), col("frame_idx"), col("frame"),
         octet_length(col("frame")).as("frame_bytes"))
 
-  /** Shared oracle CTE block for the byte-gram SimHash (m5/m6): blob
-    * hex + rolling 4-byte-gram hashes + per-bit sums + signature — the
-    * SQL twin of [[graft.functions.ByteSimhashKernel]], one spelling.
-    */
   /** The (id, byte-SimHash) signature table m6's pigeonhole self-join
     * reads on BOTH sides — materialized once per (session, corpus);
     * without the cache each join side re-runs byte_simhash over every
@@ -204,6 +200,10 @@ object Multimodal {
     sigIndex(s, dir); ()
   }
 
+  /** Shared oracle CTE block for the byte-gram SimHash (m5/m6): blob
+    * hex + rolling 4-byte-gram hashes + per-bit sums + signature — the
+    * SQL twin of [[graft.functions.ByteSimhashKernel]], one spelling.
+    */
   private def phashCtesSql: String = """b AS (
           SELECT doc_id AS id,
                  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,

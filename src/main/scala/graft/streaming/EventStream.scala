@@ -432,9 +432,14 @@ object EventStream {
     */
   def rateAnomaly(events: DataFrame, idleDays: Int = 7): Dataset[AnomalyOut] = {
     import events.sparkSession.implicits._
-    require(events.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
-      "rateAnomaly buckets hours in UTC; set spark.sql.session.timeZone=UTC " +
-        "so the e11 twin's date_trunc('HOUR') agrees")
+    // semantic check, not string equality: "Etc/UTC", "GMT", "+00:00"
+    // all bucket hours identically to "UTC"
+    val sessionZone = java.time.ZoneId.of(
+      events.sparkSession.conf.get("spark.sql.session.timeZone"))
+    require(sessionZone.getRules.isFixedOffset
+      && sessionZone.getRules.getOffset(java.time.Instant.EPOCH) == java.time.ZoneOffset.UTC,
+      "rateAnomaly buckets hours in UTC; set spark.sql.session.timeZone to a " +
+        s"UTC-equivalent zone (got $sessionZone) so the e11 twin's date_trunc('HOUR') agrees")
     val isStream = events.isStreaming
     events.select(col("ts"), col("event_type")).as[RateEv]
       .withWatermark("ts", "2 hours")
@@ -447,9 +452,9 @@ object EventStream {
             val st0 = state.get
             val (st2, out) = closeReadyHours(etype, st0, wmUs)
             // a sweep that closed hours (even unscored warm-up ones) must
-            // KEEP the ring — only a firing that found nothing to close
-            // and nothing open is the idle horizon
-            if (st2.open.isEmpty && st2.open.size == st0.open.size) {
+            // KEEP the ring — only a firing that found nothing open at
+            // all is the idle horizon
+            if (st0.open.isEmpty) {
               state.remove() // idle horizon passed with nothing open
               Iterator.empty
             } else {
@@ -458,7 +463,11 @@ object EventStream {
               out.iterator
             }
           } else {
-            var st = state.getOption.getOrElse(RateState(Nil, Map.empty, 0L, -1L))
+            // Long.MinValue sentinel, NOT -1: pre-epoch timestamps floor
+            // to negative hour buckets, and a -1 sentinel would silently
+            // drop them as "already closed"
+            var st = state.getOption.getOrElse(
+              RateState(Nil, Map.empty, 0L, Long.MinValue))
             for (e <- evs) { // streaming iteration: no group-sized buffer
               val us = rateUs(e)
               val h = Math.floorDiv(us, HourUsLen) * HourUsLen
