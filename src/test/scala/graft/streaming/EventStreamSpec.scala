@@ -342,6 +342,47 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("rateAnomaly: ring state survives a checkpointed query restart") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("rate-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("rate-out").toString
+    val mem = MemoryStream[(Timestamp, String)]
+    // file sink, not memory: only fault-tolerant sinks support
+    // checkpoint recovery — which is the property under test
+    def startQuery() = EventStream.rateAnomaly(mem.toDF().toDF("ts", "event_type"))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def hourEvs(h: Int, n: Int): Seq[(Timestamp, String)] =
+      (0 until n).map(i => (ts(h * 60 + 5 + i), "a"))
+    // run 1: build the 12-hour warm-up ring, then STOP mid-stream
+    val q1 = startQuery()
+    try {
+      mem.addData((0 until 12).flatMap(h => hourEvs(h, 1 + h % 2)): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // run 2: same checkpoint — the spike must be scored against the ring
+    // built BEFORE the restart (a state loss would leave <12 samples and
+    // emit nothing)
+    val q2 = startQuery()
+    try {
+      mem.addData(hourEvs(12, 5) ++ hourEvs(13, 1): _*)
+      q2.processAllAvailable()
+      mem.addData(hourEvs(17, 1): _*)
+      q2.processAllAvailable()
+      mem.addData(hourEvs(19, 1): _*)
+      q2.processAllAvailable()
+      val scored = spark.read.parquet(outDir)
+        .select("hour_us", "cnt", "is_anomaly")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(scored.exists(r => r._1 == specEpochUs + 12L * 3600L * 1000000L
+          && r._2 == 5L && r._3),
+        s"hour-12 spike must score against the pre-restart ring: ${scored.mkString(", ")}")
+    } finally q2.stop()
+  }
+
   test("rateAnomaly: out-of-order events within the watermark never undercount an hour") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
