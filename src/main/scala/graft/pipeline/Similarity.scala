@@ -1067,11 +1067,10 @@ object Similarity {
     */
   private def ivfPqLayoutPath(s: SparkSession, dir: String): String = {
     // Collision-proof key: an md5 of the FULL source path (ADVICE r5 —
-    // dir.hashCode is 31 bits, and two dirs that collide would silently
-    // serve each other's index; _SUCCESS can't tell them apart).
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = s"${graft.Scratch.dir}/graft-layout-${s.sparkContext.applicationId}/ivfpq_$dirKey"
+    // a String hashCode is 31 bits, and two dirs that collide would silently
+    // serve each other's index; _SUCCESS can't tell them apart). The
+    // shared spelling lives in Scratch.pathKey (Layout uses it too).
+    val path = s"${graft.Scratch.dir}/graft-layout-${s.sparkContext.applicationId}/ivfpq_${graft.Scratch.pathKey(dir)}"
     this.synchronized {
       if (!new java.io.File(path + "/_SUCCESS").isFile) {
         val e = vecs(s, dir)

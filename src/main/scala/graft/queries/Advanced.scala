@@ -28,8 +28,14 @@ object Advanced {
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("pn"),
             sum(col("l_extendedprice").cast(DecimalType(30, 2))).as("psum"))
+        // coalesce: on an EMPTY fact table the cube still emits its
+        // grand-total row, and sum(pn) over zero pre-aggregate rows is
+        // NULL where the direct cube's (and the oracle's) count(*) is 0
+        // — the count monoid's identity must survive the re-aggregation
+        // (ADVICE r6; sums stay NULL-on-empty in both engines)
         pre.cube(col("l_returnflag"), col("l_linestatus"))
-          .agg(sum(col("pn")).as("n"), sum(col("psum")).cast("double").as("revenue"))
+          .agg(coalesce(sum(col("pn")), lit(0L)).as("n"),
+            sum(col("psum")).cast("double").as("revenue"))
       },
       Some("""
         SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -380,8 +380,11 @@ object Relational {
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("pn"),
             sum(col("l_quantity").cast(DecimalType(30, 2))).as("pqty"))
+        // coalesce: empty-input grand-total row must report n = 0, not
+        // NULL — q21's rule (ADVICE r6), same monoid argument
         pre.rollup(col("l_returnflag"), col("l_linestatus"))
-          .agg(sum(col("pn")).as("n"), sum(col("pqty")).cast("double").as("qty"))
+          .agg(coalesce(sum(col("pn")), lit(0L)).as("n"),
+            sum(col("pqty")).cast("double").as("qty"))
       },
       Some("""
         SELECT l_returnflag, l_linestatus, count(*) AS n,

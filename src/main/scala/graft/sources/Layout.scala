@@ -47,7 +47,7 @@ object Layout {
     */
   private def bucketed(
       s: SparkSession, dir: String, table: String, key: String): DataFrame = {
-    val name = f"graft_bkt_${table}_${dir.hashCode & 0x7fffffff}%08x"
+    val name = s"graft_bkt_${table}_${Scratch.pathKey(dir)}"
     this.synchronized {
       if (!s.catalog.tableExists(name)) {
         t(s, dir, table)
@@ -68,7 +68,7 @@ object Layout {
     * to microseconds by the loader, so the copy round-trips exactly).
     */
   private def partitionedEvents(s: SparkSession, dir: String): DataFrame = {
-    val path = f"${layoutRoot(s)}/graft_part_events_${dir.hashCode & 0x7fffffff}%08x"
+    val path = s"${layoutRoot(s)}/graft_part_events_${Scratch.pathKey(dir)}"
     this.synchronized {
       if (!new java.io.File(path, "_SUCCESS").isFile) {
         t(s, dir, "events").write
@@ -223,6 +223,12 @@ object Layout {
   private final case class ZLayout(
       df: DataFrame, ckMin: Long, ckSpan: Long, dayMin: Long, daySpan: Long)
 
+  // Keyed by (applicationId, dir) — the SAME lifetime as the layout path
+  // the dims describe. Keying on dir alone outlives the layout: if the
+  // corpus at a dir is regenerated inside a long-lived JVM, a later
+  // application would rebuild its (per-applicationId) layout with the
+  // STALE grid geometry and diverge from the oracle's recomputed grid
+  // (ADVICE r6).
   private val zDims = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long, Long)]
 
   private def zorderedOrders(s: SparkSession, dir: String): ZLayout = {
@@ -231,7 +237,8 @@ object Layout {
       // reads the same instant DuckDB's epoch_us sees (q25 precedent)
       .withColumn("day_no",
         expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
-    val (ckMin, ckSpan, dayMin, daySpan) = zDims.computeIfAbsent(dir, { _ =>
+    val zKey = s"${s.sparkContext.applicationId}|$dir"
+    val (ckMin, ckSpan, dayMin, daySpan) = zDims.computeIfAbsent(zKey, { _ =>
       val r = graft.BoundedCollect.rows(
         withDay.agg(
           min("o_custkey"), max("o_custkey"), min("day_no"), max("day_no")),
@@ -239,7 +246,7 @@ object Layout {
       (r.getLong(0), r.getLong(1) - r.getLong(0) + 1,
         r.getLong(2), r.getLong(3) - r.getLong(2) + 1)
     })
-    val path = f"${layoutRoot(s)}/graft_zorder_orders_${dir.hashCode & 0x7fffffff}%08x"
+    val path = s"${layoutRoot(s)}/graft_zorder_orders_${Scratch.pathKey(dir)}"
     this.synchronized {
       if (!new java.io.File(path, "_SUCCESS").isFile) {
         withDay

@@ -204,7 +204,14 @@ object StreamTwins {
         EventStream.dedupStream(
           t(s, dir, "events")
             .select(col("ts"), col("user_id"), col("event_type"), col("value")))
-          .select(col("user_id"), col("event_type"), col("value")),
+          // value + 0.0: the fingerprint canonicalizes -0.0 to +0.0, so
+          // if a (user, type) ever carries BOTH signed zeros, WHICH
+          // physical row survives is execution-order noise — projecting
+          // the canonicalized value makes the emitted row deterministic
+          // and matches the oracle's DISTINCT representative (check_
+          // oracle's canon() renders -0.0 and 0.0 differently; ADVICE r6)
+          .select(col("user_id"), col("event_type"),
+            (col("value") + lit(0.0)).as("value")),
       Some("""
         SELECT DISTINCT user_id, event_type, value FROM events"""),
     ),
