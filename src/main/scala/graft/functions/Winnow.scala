@@ -163,6 +163,23 @@ object GraftFunctions {
         ByteHist(exprs.head, dim)
       }),
     (
+      FunctionIdentifier("raster_gen"),
+      new ExpressionInfo(classOf[RasterGen].getName, "raster_gen"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3, "raster_gen(id, w, h)")
+        RasterGen(exprs.head, exprs(1), exprs(2))
+      }),
+    (
+      FunctionIdentifier("resize_nn"),
+      new ExpressionInfo(classOf[ResizeNn].getName, "resize_nn"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 5, "resize_nn(payload, w, h, ow, oh)")
+        val ow = literalInt(exprs(3), "resize_nn", "ow")
+        val oh = literalInt(exprs(4), "resize_nn", "oh")
+        require(ow > 0 && oh > 0, s"resize_nn: output dims must be positive, got ${ow}x$oh")
+        ResizeNn(exprs.head, exprs(1), exprs(2), ow, oh)
+      }),
+    (
       FunctionIdentifier("byte_simhash"),
       new ExpressionInfo(classOf[ByteSimhash].getName, "byte_simhash"),
       { exprs: Seq[Expression] =>

@@ -38,6 +38,29 @@ object Multimodal {
         col("n_chars").as("raw_size"),
         col("lang").as("tag")).as("meta"))
 
+  /** m4's thumbnail spec: every raster resizes to [[ThumbW]]×[[ThumbH]]. */
+  val ThumbW = 8
+  val ThumbH = 8
+
+  /** documents → synthetic RASTER blobs `(id, modality, w, h, payload)`:
+    * per-id w×h grayscale rasters from the seeded `raster_gen` kernel
+    * (dims 8..32 per side, derived from the id so every size mixes in
+    * the corpus). The m4 source: a real 2-D resize needs pixels with
+    * row/column structure, which the text-byte stand-in
+    * [[blobs]] cannot provide.
+    */
+  def rasterBlobs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "documents").select(
+      col("doc_id").as("id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+      (pmod(col("doc_id"), lit(25)) + 8).cast("int").as("w"),
+      (pmod(col("doc_id") * 7, lit(25)) + 8).cast("int").as("h"))
+      .withColumn("payload",
+        call_function("raster_gen", col("id"), col("w"), col("h")))
+  }
+
   /** STUB decode: payload bytes → fixed-shape L1-normalized byte-class
     * histogram. A real deployment swaps ONLY this function for a codec
     * call (same signature: Iterator of rows in, Iterator of rows out).
@@ -267,39 +290,51 @@ object Multimodal {
         FROM f GROUP BY 1"""),
     ),
 
-    // ---- m4: stubbed resize — every-Scale-th-byte nearest-neighbor
-    //      downsample of the raw payload, as pure column algebra: the
-    //      byte stride runs in hex space (regexp keeps the first byte
-    //      of every Scale-byte group; trailing partial groups via the
-    //      optional captures), then folds back to binary. A real codec
-    //      (true resampling) replaces the stride at the same
-    //      signature/schema — the Spark-side plumbing (binary in,
-    //      binary out, before/after metadata, content hash the oracle
-    //      checks) is the part under test. ----
+    // ---- m4: REAL nearest-neighbor 2-D resize — every synthetic w×h
+    //      raster ([[rasterBlobs]]) downsampled to the ThumbW×ThumbH
+    //      thumbnail by the codegen'd `resize_nn` kernel: output pixel
+    //      (oy, ox) reads source pixel (⌊oy·h/oh⌋, ⌊ox·w/ow⌋). The
+    //      oracle regenerates the source rasters from the same seeded
+    //      formula, replays the index map in SQL, and hash-checks the
+    //      thumbnail content (md5 of the 64 resized bytes) plus corner
+    //      pixels — so the 2-D resampling semantics, not just the
+    //      plumbing, are gated (scripts/proto_m4_oracle.py is the
+    //      independent Python twin). Shuffle-free map-side projection;
+    //      per-row state is the 64-byte thumbnail whatever the input. ----
     Q(
       "m4_resize",
       (s, dir) => {
-        val rhx = regexp_replace(
-          lower(hex(col("payload"))), "(..)(..)?(..)?(..)?", "$1")
-        blobs(s, dir)
-          .select(col("id"), col("modality"),
+        val rb = rasterBlobs(s, dir)
+        rb.select(col("id"), col("modality"), col("w"), col("h"),
             octet_length(col("payload")).as("orig_bytes"),
-            rhx.as("rhx"))
-          .select(col("id"), col("modality"), col("orig_bytes"),
-            octet_length(unhex(col("rhx"))).as("resized_bytes"),
-            md5(col("rhx")).as("resized_md5"))
+            lower(hex(call_function("resize_nn",
+              col("payload"), col("w"), col("h"), lit(ThumbW), lit(ThumbH)))).as("rhx"))
+          .select(col("id"), col("modality"), col("w"), col("h"), col("orig_bytes"),
+            (length(col("rhx")).cast("int") / 2).cast("int").as("resized_bytes"),
+            md5(col("rhx")).as("resized_md5"),
+            conv(substring(col("rhx"), 1, 2), 16, 10).cast("int").as("p_first"),
+            conv(substring(col("rhx"), ThumbW * ThumbH * 2 - 1, 2), 16, 10)
+              .cast("int").as("p_last"))
       },
-      Some("""
+      Some(s"""
         WITH b AS (
           SELECT doc_id AS id,
                  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
-                 octet_length(encode(text)) AS orig_bytes,
-                 regexp_replace(lower(hex(encode(text))), '(..)(..)?(..)?(..)?', '\1', 'g') AS rhx
-          FROM documents)
-        SELECT id, modality, orig_bytes,
-               CAST(length(rhx) // 2 AS INT) AS resized_bytes,
-               md5(rhx) AS resized_md5
-        FROM b"""),
+                 CAST(doc_id % 25 + 8 AS INT) AS w,
+                 CAST((doc_id * 7) % 25 + 8 AS INT) AS h
+          FROM documents),
+        px AS (
+          SELECT id, modality, w, h, oy, ox,
+                 (id * 31 + ((oy * h) // $ThumbH) * 7 + ((ox * w) // $ThumbW) * 13) % 256 AS pix
+          FROM b,
+               (SELECT unnest(generate_series(0, ${ThumbH - 1})) AS oy),
+               (SELECT unnest(generate_series(0, ${ThumbW - 1})) AS ox))
+        SELECT id, modality, w, h, w * h AS orig_bytes,
+               CAST(count(*) AS INT) AS resized_bytes,
+               md5(string_agg(printf('%02x', pix), '' ORDER BY oy, ox)) AS resized_md5,
+               CAST(max(CASE WHEN oy = 0 AND ox = 0 THEN pix END) AS INT) AS p_first,
+               CAST(max(CASE WHEN oy = ${ThumbH - 1} AND ox = ${ThumbW - 1} THEN pix END) AS INT) AS p_last
+        FROM px GROUP BY 1, 2, 3, 4"""),
     ),
 
     // ---- m5: perceptual-hash-style media fingerprint — the 32-bit

@@ -162,26 +162,65 @@ class MultimodalSpec extends SparkSpec {
     assert(bad == 0)
   }
 
-  test("m4 resize: keeps every 4th byte — ceil(n/4) bytes, stride-0 content") {
-    import spark.implicits._
+  test("resize_nn kernel: hand-computed NN map, identity resize, loud malformed-geometry failure") {
+    import graft.functions.RasterKernel
+    // 4x2 source, row-major:   10 20 30 40
+    //                          50 60 70 80
+    // downscale to 2x2: sx = {0*4/2, 1*4/2} = {0, 2}; sy = {0, 1}
+    val src = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)
+    assert(RasterKernel.resizeNn(src, 4, 2, 2, 2).toSeq == Seq[Byte](10, 30, 50, 70))
+    // non-trivial DOWNSCALE with uneven ratios: 5x3 -> 2x2
+    // sx = {0, 2}; sy = {0*3/2, 1*3/2} = {0, 1}
+    val s53 = (0 until 15).map(i => (i * 11).toByte).toArray
+    assert(RasterKernel.resizeNn(s53, 5, 3, 2, 2).toSeq ==
+      Seq(s53(0), s53(2), s53(5), s53(7)))
+    // identity resize returns the source bytes unchanged
+    assert(RasterKernel.resizeNn(src, 4, 2, 4, 2).toSeq == src.toSeq)
+    // UPSCALE replicates nearest pixels (1x1 -> 3x3)
+    assert(RasterKernel.resizeNn(Array[Byte](42), 1, 1, 3, 3).toSeq ==
+      Seq.fill(9)(42.toByte))
+    // payload shorter than the declared raster fails loudly
+    val e = intercept[IllegalArgumentException](RasterKernel.resizeNn(src, 4, 3, 2, 2))
+    assert(e.getMessage.contains("shorter"))
+  }
+
+  test("raster_gen kernel: seeded formula, deterministic, 2-D structure") {
+    import graft.functions.RasterKernel
+    val r = RasterKernel.gen(17L, 6, 4)
+    assert(r.length == 24)
+    for (y <- 0 until 4; x <- 0 until 6)
+      assert((r(y * 6 + x) & 0xff) == ((17 * 31 + y * 7 + x * 13) % 256),
+        s"pixel ($y,$x)")
+    assert(RasterKernel.gen(17L, 6, 4).toSeq == r.toSeq, "seeded => deterministic")
+    // rows and columns both vary — the 2-D structure a 1-D stride lacks
+    assert(r(0) != r(1) && r(0) != r(6))
+  }
+
+  test("m4 resize: true 8x8 NN thumbnail of the synthetic rasters, oracle-shaped output") {
     import graft.SparkEntry
+    import graft.functions.RasterKernel
     val out = SparkEntry.queries("m4_resize")(spark, dir).collect()
-    val blobs = Multimodal.blobs(spark, dir)
-      .select(col("id"), col("payload")).collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(out.nonEmpty)
     out.foreach { r =>
       val id = r.getLong(r.fieldIndex("id"))
-      val orig = blobs(id)
-      assert(r.getInt(r.fieldIndex("orig_bytes")) == orig.length)
-      assert(r.getInt(r.fieldIndex("resized_bytes")) == (orig.length + 3) / 4,
-        s"doc $id: resize must keep ceil(n/4) bytes")
-      // content check: md5 of the hex of bytes 0, 4, 8, ...
-      val strided = orig.zipWithIndex.collect { case (b, i) if i % 4 == 0 => b }
-      val hex = strided.map(b => f"${b & 0xff}%02x").mkString
+      val w = r.getInt(r.fieldIndex("w"))
+      val h = r.getInt(r.fieldIndex("h"))
+      assert(w == (id % 25 + 8) && h == (id * 7 % 25 + 8))
+      assert(r.getInt(r.fieldIndex("orig_bytes")) == w * h)
+      assert(r.getInt(r.fieldIndex("resized_bytes")) ==
+        Multimodal.ThumbW * Multimodal.ThumbH)
+      // recompute the thumbnail through the kernels driver-side
+      val thumb = RasterKernel.resizeNn(RasterKernel.gen(id, w, h),
+        w, h, Multimodal.ThumbW, Multimodal.ThumbH)
+      val hex = thumb.map(b => f"${b & 0xff}%02x").mkString
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(hex.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      assert(r.getString(r.fieldIndex("resized_md5")) == md,
-        s"doc $id: resized content must be the stride-0 bytes")
+      assert(r.getString(r.fieldIndex("resized_md5")) == md, s"doc $id thumbnail content")
+      assert(r.getInt(r.fieldIndex("p_first")) == (thumb(0) & 0xff))
+      assert(r.getInt(r.fieldIndex("p_last")) == (thumb(63) & 0xff))
+      // a non-trivial downscale must actually drop source pixels
+      if (w > Multimodal.ThumbW && h > Multimodal.ThumbH)
+        assert(w * h > thumb.length)
     }
   }
 
