@@ -116,6 +116,10 @@ object RasterKernel {
   def resizeNn(in: Array[Byte], w: Int, h: Int, ow: Int, oh: Int): Array[Byte] = {
     require(w > 0 && h > 0 && ow > 0 && oh > 0,
       s"resize_nn: dims must be positive, got ${w}x$h -> ${ow}x$oh")
+    // long arithmetic: ow*oh can overflow Int, and an unchecked wrap
+    // dies as Negative/IndexOutOfBounds with no dims — gen's cap twin
+    require(ow.toLong * oh <= MaxPixels,
+      s"resize_nn: ${ow}x$oh output exceeds $MaxPixels px")
     require(in.length >= w.toLong * h,
       s"resize_nn: payload ${in.length} B shorter than ${w}x$h raster")
     val out = new Array[Byte](ow * oh)

@@ -212,8 +212,13 @@ object StreamTwins {
           // oracle's canon() renders -0.0 and 0.0 differently; ADVICE r6)
           .select(col("user_id"), col("event_type"),
             (col("value") + lit(0.0)).as("value")),
+      // value + 0.0 on the ORACLE side too: DuckDB's DISTINCT keeps the
+      // first-seen physical zero (verified: returns -0.0 when it scans
+      // first), and check_oracle's canon() renders the two zeros
+      // differently — the canonicalization must be two-sided or the fix
+      // just moves the flake to the oracle
       Some("""
-        SELECT DISTINCT user_id, event_type, value FROM events"""),
+        SELECT DISTINCT user_id, event_type, value + 0.0 AS value FROM events"""),
     ),
   )
 }

@@ -46,11 +46,14 @@ class IncrementalAnnSpec extends SparkSpec {
     val frozen = Similarity.annAssignFrozen(spark, dir, col("vec_id") >= b)
       .collect().map(key).toSet
     assert(out.map(key).toSet == frozen)
-    // packed code must carry all 16 nibbles' worth of structure: at
-    // least one row uses the sign-bit nibble range across the corpus
-    // (cid >= 8 at sub 15 makes code negative — the packing parity the
-    // oracle replays in two's complement)
+    // packed codes must vary AND at least one must land in the sign-bit
+    // nibble range (cid >= 8 at sub 15 -> negative code) so the
+    // oracle's two's-complement packing branch is exercised every run,
+    // not only when a corpus happens to produce one (measured: 20/50
+    // delta codes negative at sf0.001)
     assert(out.map(_.getLong(2)).distinct.length > 1, "codes must vary")
+    assert(out.exists(_.getLong(2) < 0),
+      "no negative packed code — the signed top-nibble packing parity is untested")
   }
 
   test("boundary and K derive from the base corpus at both gate SFs") {
