@@ -882,21 +882,13 @@ object Similarity {
       (1 to PqLloydIters).foldLeft(pqSeeds(pqSlices(s, dir)))(
         (c, _) => pqLloydStep(pqSlices(s, dir), c)).localCheckpoint())
 
-  /** The PQ index proper: `(vec_id, code)` — all [[PqSubs]] 4-bit codes
-    * PACKED into one BIGINT (16 × log2(16) = 64 bits exactly, subspace j
-    * at bits [4j, 4j+4)), the ONLY corpus-sized artifact the query path
-    * scans: 8 B/vector, the 64× cut vs the 512 B fp64 row the scaladoc
-    * claims. Packing is physical, not cosmetic — a (vec_id, sub, cid)
-    * row-per-subspace table spends ~3 longs × 16 rows ≈ 384 B/vector,
-    * worse than the fp64 corpus it was meant to shrink. Packing uses
-    * bit_or (not sum — OR can't carry across nibbles if an upstream bug
-    * ever duplicates a subspace row), and the materialization ASSERTS
-    * exactly [[PqSubs]] rows per vec_id so a malformed assignment fails
-    * loudly here instead of silently corrupting every s6/s7/s8 result.
-    */
   /** Pack a `(vec_id, sub, cid)` assignment into the 8-byte code rows —
     * the ONE packing spelling (s6's corpus codes and s10's delta codes;
     * a drifted copy would silently split the serving artifacts).
+    * Packing uses bit_or (not sum — OR can't carry across nibbles if an
+    * upstream bug ever duplicates a subspace row), and ASSERTS exactly
+    * [[PqSubs]] rows per vec_id so a malformed assignment fails loudly
+    * here instead of silently corrupting every s6/s7/s8/s10 result.
     */
   private def packCodes(assign: DataFrame): DataFrame =
     assign
@@ -911,6 +903,15 @@ object Similarity {
             s"'packCodes: expected $PqSubs subspace rows per vec_id, got ' || n_sub)")
           .isNull, col("code")).as("code"))
 
+  /** The PQ index proper: `(vec_id, code)` — all [[PqSubs]] 4-bit codes
+    * PACKED into one BIGINT (16 × log2(16) = 64 bits exactly, subspace j
+    * at bits [4j, 4j+4)), the ONLY corpus-sized artifact the query path
+    * scans: 8 B/vector, the 64× cut vs the 512 B fp64 row the scaladoc
+    * claims. Packing is physical, not cosmetic — a (vec_id, sub, cid)
+    * row-per-subspace table spends ~3 longs × 16 rows ≈ 384 B/vector,
+    * worse than the fp64 corpus it was meant to shrink. The packing
+    * spelling and its per-vector row-count assert live in [[packCodes]].
+    */
   private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
     Materialized.getOrBuild(s, s"s6.codes|$dir")(
       packCodes(pqAssign(pqSlices(s, dir), pqCodebook(s, dir)))
@@ -1212,16 +1213,10 @@ object Similarity {
     * cell-size skew, retrain when a threshold trips), deliberately not
     * folded in here — the maintenance operator must stay deterministic.
     */
-  def annDeltaIndex(s: SparkSession, dir: String): DataFrame = {
-    val b = s10Boundary(s, dir)
-    val k = s10K(s, dir)
-    val delta = vecs(s, dir).filter(col("vec_id") >= b)
-    val asg = ivfAssign(delta, s10Centroids(s, dir), k)
-      .select(col("vec_id"), col("cid"))
-    val codes = packCodes(
-      pqAssign(pqSlices(s, dir).filter(col("vec_id") >= b), s10Codebook(s, dir)))
-    asg.join(codes, "vec_id").select(col("vec_id"), col("cid"), col("code"))
-  }
+  def annDeltaIndex(s: SparkSession, dir: String): DataFrame =
+    // ONE pipeline spelling for delta / base / full (annAssignFrozen) —
+    // the cell and the merge-identity spec must exercise the same code
+    annAssignFrozen(s, dir, col("vec_id") >= s10Boundary(s, dir))
 
   /** Full-pass twin over the SAME frozen artifacts, restricted by an
     * optional id predicate — exposed for the spec that pins the merge

@@ -28,14 +28,20 @@ object Advanced {
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("pn"),
             sum(col("l_extendedprice").cast(DecimalType(30, 2))).as("psum"))
-        // coalesce: on an EMPTY fact table the cube still emits its
-        // grand-total row, and sum(pn) over zero pre-aggregate rows is
-        // NULL where the direct cube's (and the oracle's) count(*) is 0
-        // — the count monoid's identity must survive the re-aggregation
-        // (ADVICE r6; sums stay NULL-on-empty in both engines)
+        // Empty-input semantics, MEASURED (ADVICE r6 suggested a
+        // coalesce here; its premise was wrong): Spark 4 cube/rollup
+        // over an EMPTY input emits ZERO rows — including no
+        // grand-total row — in both the SQL and Dataset spellings, so
+        // the two-phase rewrite already equals the direct one
+        // (AdviceR6Spec pins that equality and the zero-row shape).
+        // DuckDB follows the other standard reading and emits a lone
+        // grand-total row with count 0; that engine divergence exists
+        // for DIRECT cubes too and only on empty corpora, which the
+        // gate never ships — documented here rather than papered over
+        // with a synthetic-row union that would complicate every
+        // non-degenerate plan.
         pre.cube(col("l_returnflag"), col("l_linestatus"))
-          .agg(coalesce(sum(col("pn")), lit(0L)).as("n"),
-            sum(col("psum")).cast("double").as("revenue"))
+          .agg(sum(col("pn")).as("n"), sum(col("psum")).cast("double").as("revenue"))
       },
       Some("""
         SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -380,11 +380,12 @@ object Relational {
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("pn"),
             sum(col("l_quantity").cast(DecimalType(30, 2))).as("pqty"))
-        // coalesce: empty-input grand-total row must report n = 0, not
-        // NULL — q21's rule (ADVICE r6), same monoid argument
+        // empty input emits ZERO rows in Spark (no grand-total row), so
+        // two-phase == direct with no special-casing — see q21's
+        // measured note on the ADVICE-r6 premise and the DuckDB
+        // divergence (AdviceR6Spec pins the equality)
         pre.rollup(col("l_returnflag"), col("l_linestatus"))
-          .agg(coalesce(sum(col("pn")), lit(0L)).as("n"),
-            sum(col("pqty")).cast("double").as("qty"))
+          .agg(sum(col("pn")).as("n"), sum(col("pqty")).cast("double").as("qty"))
       },
       Some("""
         SELECT l_returnflag, l_linestatus, count(*) AS n,

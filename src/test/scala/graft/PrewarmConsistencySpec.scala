@@ -18,7 +18,10 @@ class PrewarmConsistencySpec extends SparkSpec {
     "d2_ngram_jaccard", "d5_lsh_verified", "s2_knn_lsh",
     "s3_cosine_neardup", "s4_knn_ivf", "s5_knn_sq8",
     "s6_knn_pq", "s8_ann_layout", "t6_bigram_lm", "m6_media_neardup",
-    "d10_semantic_clusters")
+    "d10_semantic_clusters",
+    // round 7: s10's frozen artifacts (s10.cent|dir, s10.cb|dir) joined
+    // the prewarm set
+    "s10_ann_delta")
 
   private def release(): Unit = {
     graft.pipeline.Materialized.releaseMatching(_.endsWith(s"|$dir"))

@@ -62,10 +62,15 @@ class AdviceR6Spec extends SparkSpec {
       s"cube two-phase=$twoPhaseCube direct=$directCube")
     assert(twoPhaseRollup.toSet == directRollup.toSet,
       s"rollup two-phase=$twoPhaseRollup direct=$directRollup")
-    // whatever the row shape, no NULL may appear where the count monoid's
-    // identity (0) belongs
-    assert(!twoPhaseCube.exists(r => r.isNullAt(2)), s"NULL count in $twoPhaseCube")
-    assert(!twoPhaseRollup.exists(r => r.isNullAt(2)), s"NULL count in $twoPhaseRollup")
+    // Pin the MEASURED Spark-4 semantics the equality rests on: cube/
+    // rollup over empty input emit ZERO rows (no grand-total row) —
+    // the ADVICE-r6 coalesce premise was the opposite and is rebutted
+    // in the q21 source comment. If a Spark upgrade ever starts
+    // emitting the SQL-standard grand-total row (DuckDB's reading),
+    // this fires and the q21/q17 empty-input story must be revisited.
+    assert(directCube.isEmpty && directRollup.isEmpty,
+      s"Spark cube/rollup empty-input semantics changed: " +
+        s"cube=$directCube rollup=$directRollup")
   }
 
   test("e13 emits the canonicalized (+0.0) value whichever signed-zero row survives") {
