@@ -1031,11 +1031,12 @@ object Similarity {
     sq8Corpus(s, dir)
     pqCodes(s, dir)
     ivfPqLayoutPath(s, dir)
-    // s10's frozen artifacts are the lake-resident state its cell
-    // appends against — building them out-of-cell is the same billing
-    // contract as s4's assignment table
+    // s10/s11's frozen artifacts are the lake-resident state those
+    // cells append to / monitor — building them out-of-cell is the
+    // same billing contract as s4's assignment table
     s10Centroids(s, dir)
     s10Codebook(s, dir)
+    s10BaseAssigned(s, dir)
     ()
   }
 
@@ -1232,17 +1233,104 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("code"))
   }
 
+  /** s11 drift thresholds: a frozen cell is flagged HOT when the
+    * delta's share of it exceeds [[DriftFactor]]× its base share plus
+    * [[DriftFloorPpm]] (the floor keeps near-empty cells from flagging
+    * on one or two arrivals). Shares are parts-per-million INTEGERS
+    * (count·10⁶ div total), so the flag is a pure function of exact
+    * cross-engine-identical arithmetic — no float thresholds to split
+    * the oracle hash.
+    */
+  val DriftFactor = 2L
+  val DriftFloorPpm = 10000L // 1% of the delta
+
+  /** Materialized base-corpus assignment against the frozen centroids —
+    * the content the lake's s8-style layout already persists for the
+    * base; s11 reads it rather than re-assigning 90% of the corpus per
+    * invocation (same billing contract as [[ivfAssigned]]).
+    */
+  private def s10BaseAssigned(s: SparkSession, dir: String): DataFrame = {
+    val b = s10Boundary(s, dir)
+    val k = s10K(s, dir)
+    Materialized.getOrBuild(s, s"s10.baseasg|$dir")(
+      ivfAssign(vecs(s, dir).filter(col("vec_id") < b), s10Centroids(s, dir), k)
+        .select(col("vec_id"), col("cid"))
+        .localCheckpoint())
+  }
+
+  /** s11 kernel: index-drift monitor — the retrain-policy SIGNAL s10's
+    * scaladoc deliberately keeps out of the maintenance operator. Per
+    * frozen cell: how much of the base landed there vs how much of the
+    * arriving delta does, both as integer ppm shares, plus the HOT flag
+    * ([[DriftFactor]]/[[DriftFloorPpm]] rule). A shifting distribution
+    * piles new vectors onto a few stale cells — exactly the probe-cost
+    * skew that degrades IVF — and this report is what a deployment
+    * alerts on to trigger re-training. Scale shape: two count
+    * aggregates (the base side read from the materialized assignment,
+    * the delta side |delta|·2√K assignment work), a K-row join, and two
+    * broadcast scalar totals — nothing corpus-sized moves.
+    */
+  def annDriftReport(s: SparkSession, dir: String): DataFrame = {
+    val b = s10Boundary(s, dir)
+    val k = s10K(s, dir)
+    val baseC = s10BaseAssigned(s, dir)
+      .groupBy("cid").agg(count(lit(1)).as("n_base"))
+    val deltaC = ivfAssign(vecs(s, dir).filter(col("vec_id") >= b), s10Centroids(s, dir), k)
+      .groupBy("cid").agg(count(lit(1)).as("n_delta"))
+    // 1-row scalar totals, broadcast (the sanctioned scalar-join shape)
+    val tot = baseC.agg(sum(col("n_base")).as("tb"))
+      .crossJoin(deltaC.agg(sum(col("n_delta")).as("td")))
+    s10Centroids(s, dir).select(col("cid"))
+      .join(baseC, Seq("cid"), "left_outer")
+      .join(deltaC, Seq("cid"), "left_outer")
+      .na.fill(0L, Seq("n_base", "n_delta"))
+      .crossJoin(broadcast(tot))
+      .withColumn("base_ppm", expr("n_base * 1000000L div tb"))
+      .withColumn("delta_ppm", expr("n_delta * 1000000L div td"))
+      .withColumn("is_hot",
+        (col("delta_ppm") > lit(DriftFactor) * col("base_ppm") + lit(DriftFloorPpm))
+          .cast("int"))
+      .select(col("cid"), col("n_base"), col("n_delta"),
+        col("base_ppm"), col("delta_ppm"), col("is_hot"))
+  }
+
+  /** DuckDB twin of s11: the shared IVF chain's base assignment
+    * (`asg{LloydIters}`) and delta assignment (`dasg`) counted per
+    * frozen cell, integer ppm shares, same hot rule.
+    */
+  private def s11OracleSql: String = s"""
+        WITH $s10IvfCtesSql,
+        bc AS (SELECT cid, count(*) AS n_base FROM asg$LloydIters GROUP BY 1),
+        dc AS (SELECT cid, count(*) AS n_delta FROM dasg GROUP BY 1),
+        tot AS (SELECT (SELECT count(*) FROM asg$LloydIters) AS tb,
+                       (SELECT count(*) FROM dasg) AS td),
+        rep AS (
+          SELECT c.cid,
+                 coalesce(bc.n_base, 0) AS n_base,
+                 coalesce(dc.n_delta, 0) AS n_delta,
+                 coalesce(bc.n_base, 0) * 1000000 // tb AS base_ppm,
+                 coalesce(dc.n_delta, 0) * 1000000 // td AS delta_ppm
+          FROM cent$LloydIters c
+          LEFT JOIN bc USING (cid) LEFT JOIN dc USING (cid), tot)
+        SELECT cid, n_base, n_delta, base_ppm, delta_ppm,
+               CAST(delta_ppm > $DriftFactor * base_ppm + $DriftFloorPpm AS INT) AS is_hot
+        FROM rep"""
+
   /** DuckDB twin of s10: train on base (`e` = ids below the boundary —
     * [[lloydCtesSql]] / [[pqCtesSql]] parameterize cleanly because they
     * only reference `e` / `pqslices`), then assign the delta `d`
     * through the frozen cent/pcb tables (dscent/dcmap/dvsup/dasg mirror
     * the two-level rule; dpasg/dcodes the codeword pick + packing).
     */
-  private def s10OracleSql: String = {
+  /** The IVF half of the s10/s11 oracle chain: base/delta split (eb, e,
+    * d), frozen base-trained Lloyd centroids, and the delta's two-level
+    * assignment `dasg` (the base assignment `asg{LloydIters}` falls out
+    * of [[lloydCtesSql]] itself). Shared verbatim by the s10 index
+    * oracle and the s11 drift oracle so the two gates can't drift.
+    */
+  private def s10IvfCtesSql: String = {
     val cN = s"cent$LloydIters"
-    val dl2 = "round(list_dot_product(sl.sv, sl.sv) - 2 * list_dot_product(sl.sv, cb.cv) + list_dot_product(cb.cv, cb.cv), 6)"
-    s"""
-        WITH eb AS (
+    s"""eb AS (
           SELECT ((max(vec_id) + 1) * 9) // 10 AS b FROM embeddings),
         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
               WHERE vec_id < (SELECT b FROM eb)),
@@ -1280,7 +1368,13 @@ object Similarity {
                    row_number() OVER (PARTITION BY vs.vec_id
                      ORDER BY ${cosSql("cv", "v")} DESC, cid ASC) AS arn
             FROM dvsup vs JOIN dcmap cm ON vs.scid = cm.scid)
-          WHERE arn = 1),
+          WHERE arn = 1)"""
+  }
+
+  private def s10OracleSql: String = {
+    val dl2 = "round(list_dot_product(sl.sv, sl.sv) - 2 * list_dot_product(sl.sv, cb.cv) + list_dot_product(cb.cv, cb.cv), 6)"
+    s"""
+        WITH $s10IvfCtesSql,
         nv AS (
           SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
           FROM e),
@@ -1652,6 +1746,17 @@ object Similarity {
       "s10_ann_delta",
       (s, dir) => annDeltaIndex(s, dir),
       Some(s10OracleSql),
+    ),
+
+    // ---- s11: index-drift monitor — per frozen cell, base vs delta
+    //      ppm shares + the integer-exact HOT flag; the retrain-policy
+    //      signal that closes s10's maintenance loop (drift detection
+    //      stays a SEPARATE deterministic operator; re-training is a
+    //      deployment decision made on this report). ----
+    Q(
+      "s11_ann_drift",
+      (s, dir) => annDriftReport(s, dir),
+      Some(s11OracleSql),
     ),
 
     // ---- s9: metadata-filtered vector search (see [[knnFiltered]]) —

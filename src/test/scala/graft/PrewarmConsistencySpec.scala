@@ -19,9 +19,9 @@ class PrewarmConsistencySpec extends SparkSpec {
     "s3_cosine_neardup", "s4_knn_ivf", "s5_knn_sq8",
     "s6_knn_pq", "s8_ann_layout", "t6_bigram_lm", "m6_media_neardup",
     "d10_semantic_clusters",
-    // round 7: s10's frozen artifacts (s10.cent|dir, s10.cb|dir) joined
-    // the prewarm set
-    "s10_ann_delta")
+    // round 7: s10/s11's frozen artifacts (s10.cent|dir, s10.cb|dir,
+    // s10.baseasg|dir) joined the prewarm set
+    "s10_ann_delta", "s11_ann_drift")
 
   private def release(): Unit = {
     graft.pipeline.Materialized.releaseMatching(_.endsWith(s"|$dir"))
