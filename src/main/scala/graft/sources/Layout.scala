@@ -80,6 +80,57 @@ object Layout {
     s.read.parquet(path)
   }
 
+  /** Ingest fragments the q39 fixture writes per partition — the
+    * small-files debris a streaming/micro-batch ingest leaves behind
+    * (every micro-batch commits one file per partition it touched).
+    */
+  private val FragmentCount = 16
+
+  /** Fragmented twin of `events`: event_type-partitioned with each
+    * partition split across ~[[FragmentCount]] small files — the
+    * BEFORE state of the compaction story. Memoized like the other
+    * layout rewrites.
+    */
+  private[graft] def fragmentedEventsPath(s: SparkSession, dir: String): String = {
+    val path = s"${layoutRoot(s)}/graft_frag_events_${Scratch.pathKey(dir)}"
+    this.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").isFile) {
+        t(s, dir, "events")
+          .repartition(FragmentCount, pmod(col("event_id"), lit(FragmentCount)))
+          .write.partitionBy("event_type").mode("overwrite").parquet(path)
+      }
+    }
+    path
+  }
+
+  /** Compaction rewrite (the lakehouse OPTIMIZE/maintenance operator):
+    * read the fragmented layout, ONE shuffle keyed on the partition
+    * column, rewrite — hash partitioning sends every row of a type to
+    * one task, so each partition directory lands as exactly one file.
+    * At 100 TB the policy generalizes to bin-packing: key the reshard
+    * on (event_type, floor(running_bytes / target)) so each partition
+    * gets ceil(bytes/target) output files instead of one unbounded
+    * file; the single-key spelling is that policy at gate scale, where
+    * every partition fits one target file. What compaction buys at
+    * scale: footer/listing overhead per query drops from
+    * O(micro-batches) to O(1) per partition, and scan tasks stop being
+    * per-fragment-sized (the Tables.t scaladoc's split-parallelism
+    * constraint works the other way around here — thousands of tiny
+    * row groups each cost a footer read and a task).
+    */
+  private[graft] def compactedEvents(s: SparkSession, dir: String): DataFrame = {
+    val src = fragmentedEventsPath(s, dir)
+    val path = s"${layoutRoot(s)}/graft_compact_events_${Scratch.pathKey(dir)}"
+    this.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").isFile) {
+        s.read.parquet(src)
+          .repartition(col("event_type"))
+          .write.partitionBy("event_type").mode("overwrite").parquet(path)
+      }
+    }
+    s.read.parquet(path)
+  }
+
   def all: Seq[Q] = Seq(
     // ---- q33: fact-fact join over co-bucketed tables — zero Exchange
     //      below the join (PlanSpec-asserted). The `merge` hint keeps the
@@ -121,6 +172,34 @@ object Layout {
         SELECT epoch_us(date_trunc('day', ts)) AS day_us, count(*) AS n,
                CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         FROM events WHERE event_type = 'purchase'
+        GROUP BY 1"""),
+    ),
+
+    // ---- q39: small-files COMPACTION — the maintenance rewrite that
+    //      keeps a streamed-into layout queryable. The gate reads the
+    //      compacted table and proves content integrity against the
+    //      ORIGINAL events via the oracle: per partition, row count,
+    //      decimal-exact value sum, and an order-insensitive XOR of
+    //      per-row identity hashes (a lost or duplicated fragment can't
+    //      cancel out). File-count physics (many fragments -> exactly
+    //      one file per partition) is pinned in CompactionSpec — an
+    //      on-disk property the SQL oracle can't see. ----
+    Q(
+      "q39_compaction",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        compactedEvents(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            graft.Agg.dsum(col("value")).as("sum_value"),
+            expr("bit_xor(md5_long(CAST(event_id AS STRING)))").as("id_xor"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+               bit_xor(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)) AS id_xor
+        FROM events
         GROUP BY 1"""),
     ),
 
