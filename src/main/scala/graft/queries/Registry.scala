@@ -17,5 +17,6 @@ object Registry {
       graft.pipeline.Curation.all ++
       graft.multimodal.Multimodal.all ++
       graft.sources.Layout.all ++
+      graft.sources.Ingest.all ++
       graft.streaming.StreamTwins.all
 }

@@ -1,0 +1,117 @@
+package graft.sources
+
+import graft.{Q, Scratch, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingest-format sources: the paths data takes INTO the lake.
+  *
+  * JSONL is the de-facto interchange format for LLM training corpora
+  * (one JSON document per line, shipped by every crawl/annotation
+  * vendor), and the two properties that matter at 100 TB are exercised
+  * here with the plumbing the gate can check:
+  *
+  *  - **Schema-first reads.** The JSONL scan gets an EXPLICIT schema —
+  *    never inference, which at scale is a full extra pass over the
+  *    input before the real one, and which silently widens types when a
+  *    vendor ships one odd line.
+  *  - **Corrupt lines are data, not exceptions.** Real feeds carry
+  *    truncated/garbled lines; PERMISSIVE mode parks them in the
+  *    `_corrupt_record` column so the pipeline can COUNT and quarantine
+  *    them instead of dying mid-job (FAILFAST) or silently losing them
+  *    (DROPMALFORMED). The fixture injects a known set of corrupt lines
+  *    and IngestSpec pins that exactly those are quarantined.
+  *
+  * The fixture round-trips `documents` through Spark's own JSONL writer
+  * plus injected garbage, so the oracle (DuckDB over the ORIGINAL
+  * parquet) checks the whole write→corrupt→read→repair chain
+  * end-to-end: any loss or duplication in the round trip breaks the
+  * per-lang counts/sums.
+  */
+object Ingest {
+  import Tables.t
+
+  /** Injected corrupt lines per fixture — truncated JSON, bare text,
+    * and valid JSON with a type-mismatched field (the subtlest class:
+    * PERMISSIVE still parks the row in quarantine rather than letting
+    * a half-parsed row pollute the counts).
+    */
+  private[graft] val CorruptLines = Seq(
+    """{"doc_id": 999999999, "text": "truncat""",
+    """not json at all""",
+    """{"doc_id": "not-a-number", "lang": "en"}""",
+  )
+
+  /** The explicit read schema: documents' columns plus the PERMISSIVE
+    * corrupt-record column.
+    */
+  private[graft] val DocJsonSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+    StructField("_corrupt_record", StringType)))
+
+  private def layoutRoot(s: SparkSession): String =
+    s"${Scratch.dir}/ingest-${s.sparkContext.applicationId}"
+
+  /** JSONL twin of `documents` with [[CorruptLines]] appended as an
+    * extra text file in the same directory (the vendor-shipped bad
+    * shard). Memoized per (application, corpus) like Layout's rewrites.
+    */
+  private[graft] def jsonlDocsPath(s: SparkSession, dir: String): String = {
+    val path = s"${layoutRoot(s)}/graft_jsonl_docs_${Scratch.pathKey(dir)}"
+    this.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").isFile) {
+        t(s, dir, "documents").write.mode("overwrite").json(path)
+        val bad = new java.io.File(path, "part-corrupt.json")
+        java.nio.file.Files.writeString(bad.toPath,
+          CorruptLines.mkString("", "\n", "\n"))
+      }
+    }
+    path
+  }
+
+  /** Schema-first PERMISSIVE JSONL read: good rows parse into columns,
+    * corrupt lines land whole in `_corrupt_record` with every data
+    * column null.
+    */
+  private[graft] def readJsonlDocs(s: SparkSession, dir: String): DataFrame =
+    s.read
+      .schema(DocJsonSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(jsonlDocsPath(s, dir))
+
+  def all: Seq[Q] = Seq(
+    // ---- q40: JSONL ingest — write→corrupt→read→quarantine, gated
+    //      against the ORIGINAL parquet: per-lang counts and exact
+    //      sums must survive the round trip (a lost/duplicated line
+    //      shifts a count; a mangled field shifts a sum). The corrupt
+    //      lines are filtered into quarantine — their count contract
+    //      lives in IngestSpec (the oracle reads the original table,
+    //      which never saw them). ----
+    Q(
+      "q40_jsonl_ingest",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        readJsonlDocs(s, dir)
+          .filter(col("_corrupt_record").isNull)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            // content check beyond counts: order-insensitive XOR of
+            // per-doc identity hashes (q39's rule)
+            expr("bit_xor(md5_long(CAST(doc_id AS STRING)))").as("id_xor"))
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)) AS id_xor
+        FROM documents
+        GROUP BY 1"""),
+    ),
+  )
+}

@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import graft.sources.Ingest
+import org.apache.spark.sql.functions._
+
+/** q40 JSONL ingest: the quarantine and round-trip contracts the SQL
+  * oracle can't see (it reads the original parquet, which never saw
+  * the injected corruption).
+  */
+class IngestSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("PERMISSIVE read quarantines exactly the injected corrupt lines") {
+    // Spark disallows queries whose referenced columns are ONLY the
+    // corrupt-record column on a raw JSON scan — cache the parsed
+    // result first (the documented pattern, and what a real quarantine
+    // job does anyway before splitting good/bad outputs)
+    val df = Ingest.readJsonlDocs(spark, dir).cache()
+    try {
+    df.count()
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").collect().map(_.getString(0)).sorted
+    assert(bad.toSeq == Ingest.CorruptLines.sorted,
+      s"quarantine must hold exactly the injected lines, got ${bad.mkString("|")}")
+    // the type-mismatch line must NOT leak into the good rows as a
+    // half-parsed record (doc_id null, lang 'en' would shift counts)
+    val good = df.filter(col("_corrupt_record").isNull)
+    assert(good.filter(col("doc_id").isNull).count() == 0)
+    assert(good.count() ==
+      graft.Tables.t(spark, dir, "documents").count())
+    } finally df.unpersist(blocking = true)
+  }
+
+  test("JSONL round trip preserves every field bit-for-bit") {
+    val orig = graft.Tables.t(spark, dir, "documents")
+    val back = Ingest.readJsonlDocs(spark, dir)
+      .filter(col("_corrupt_record").isNull)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(back.except(orig).count() == 0)
+    assert(orig.except(back).count() == 0)
+  }
+
+  test("q40 equals the same aggregate computed directly on the parquet table") {
+    graft.functions.GraftFunctions.register(spark)
+    val viaJsonl = SparkEntry.queries("q40_jsonl_ingest")(spark, dir)
+      .collect().map(_.toString).toSet
+    val direct = graft.Tables.t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        expr("bit_xor(md5_long(CAST(doc_id AS STRING)))").as("id_xor"))
+      .collect().map(_.toString).toSet
+    assert(viaJsonl == direct)
+  }
+}
