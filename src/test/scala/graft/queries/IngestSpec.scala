@@ -41,6 +41,40 @@ class IngestSpec extends SparkSpec {
     assert(orig.except(back).count() == 0)
   }
 
+  test("streaming ingest twin: file-source stream over the JSONL dir matches batch, quarantine included") {
+    // the live shape of q40: a readStream over the landing directory
+    // with the SAME schema-first PERMISSIVE contract — new vendor
+    // shards stream in as they arrive, corrupt lines still quarantine
+    val path = Ingest.jsonlDocsPath(spark, dir)
+    val stream = spark.readStream
+      .schema(Ingest.DocJsonSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+    assert(stream.isStreaming)
+    val agg = stream
+      .groupBy(col("_corrupt_record").isNotNull.as("quarantined"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    val query = agg.writeStream.format("memory").queryName("jsonl_ingest")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("jsonl_ingest").collect()
+        .map(r => (r.getBoolean(0), Option(r.getString(1)).getOrElse("")) ->
+          (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      val batch = Ingest.readJsonlDocs(spark, dir)
+        .groupBy(col("_corrupt_record").isNotNull.as("quarantined"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .collect()
+        .map(r => (r.getBoolean(0), Option(r.getString(1)).getOrElse("")) ->
+          (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed ingest diverges from batch: $streamed vs $batch")
+      // corrupt lines are present as their own quarantine cell
+      assert(streamed.keys.exists(_._1), "quarantine cell must appear in the stream")
+    } finally query.stop()
+  }
+
   test("q40 equals the same aggregate computed directly on the parquet table") {
     graft.functions.GraftFunctions.register(spark)
     val viaJsonl = SparkEntry.queries("q40_jsonl_ingest")(spark, dir)
