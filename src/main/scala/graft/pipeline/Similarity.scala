@@ -1158,11 +1158,19 @@ object Similarity {
     * an incremental append must not silently re-derive geometry, or the
     * "maintained" index is a rebuild in disguise.
     */
+  /** |base| — one memoized scalar count (index metadata, like
+    * [[corpusCount]]); `#s10base` keeps the cache key disjoint from
+    * real corpus dirs.
+    */
+  private def s10BaseCount(s: SparkSession, dir: String): Long = {
+    val b = s10Boundary(s, dir)
+    corpusCountCache.getOrElseUpdate((s, s"$dir#s10base"),
+      vecs(s, dir).filter(col("vec_id") < b).count())
+  }
+
   private def s10K(s: SparkSession, dir: String): Int = {
     val b = s10Boundary(s, dir)
-    val n = corpusCountCache.getOrElseUpdate((s, s"$dir#s10base"),
-      vecs(s, dir).filter(col("vec_id") < b).count())
-    val k = numCentroids(n)
+    val k = numCentroids(s10BaseCount(s, dir))
     require(b >= CentroidLo + k,
       s"s10: delta boundary $b does not cover the seed range [$CentroidLo, ${CentroidLo + k})")
     k
@@ -1267,8 +1275,9 @@ object Similarity {
     * skew that degrades IVF — and this report is what a deployment
     * alerts on to trigger re-training. Scale shape: two count
     * aggregates (the base side read from the materialized assignment,
-    * the delta side |delta|·2√K assignment work), a K-row join, and two
-    * broadcast scalar totals — nothing corpus-sized moves.
+    * the delta side |delta|·2√K assignment work — ONCE: the totals are
+    * driver-side metadata scalars, not a second aggregate over each
+    * branch) and a K-row join — nothing corpus-sized moves.
     */
   def annDriftReport(s: SparkSession, dir: String): DataFrame = {
     val b = s10Boundary(s, dir)
@@ -1277,16 +1286,23 @@ object Similarity {
       .groupBy("cid").agg(count(lit(1)).as("n_base"))
     val deltaC = ivfAssign(vecs(s, dir).filter(col("vec_id") >= b), s10Centroids(s, dir), k)
       .groupBy("cid").agg(count(lit(1)).as("n_delta"))
-    // 1-row scalar totals, broadcast (the sanctioned scalar-join shape)
-    val tot = baseC.agg(sum(col("n_base")).as("tb"))
-      .crossJoin(deltaC.agg(sum(col("n_delta")).as("td")))
+    // Totals as DRIVER-SIDE literals, not a second aggregate over each
+    // branch: every vector lands in exactly one cell, so tb/td ARE the
+    // memoized base/corpus scalar counts — and the aggregate spelling
+    // would embed the |delta|·2√K assignment subtree TWICE (custom-
+    // expression subtrees get no exchange reuse; round-7 review).
+    val tb = s10BaseCount(s, dir)
+    val td = corpusCount(s, dir) - tb
+    require(td > 0, s"s10/s11: empty delta (boundary $b)")
+    // the count tables are K-row index metadata (K ≈ √n_base — a few MB
+    // even at 10¹² vectors): broadcast explicitly, the checkpointed
+    // base scan carries no stats for the planner to see that itself
     s10Centroids(s, dir).select(col("cid"))
-      .join(baseC, Seq("cid"), "left_outer")
-      .join(deltaC, Seq("cid"), "left_outer")
+      .join(broadcast(baseC), Seq("cid"), "left_outer")
+      .join(broadcast(deltaC), Seq("cid"), "left_outer")
       .na.fill(0L, Seq("n_base", "n_delta"))
-      .crossJoin(broadcast(tot))
-      .withColumn("base_ppm", expr("n_base * 1000000L div tb"))
-      .withColumn("delta_ppm", expr("n_delta * 1000000L div td"))
+      .withColumn("base_ppm", expr(s"n_base * 1000000L div ${tb}L"))
+      .withColumn("delta_ppm", expr(s"n_delta * 1000000L div ${td}L"))
       .withColumn("is_hot",
         (col("delta_ppm") > lit(DriftFactor) * col("base_ppm") + lit(DriftFloorPpm))
           .cast("int"))

@@ -63,12 +63,20 @@ object Ingest {
     */
   private[graft] def jsonlDocsPath(s: SparkSession, dir: String): String = {
     val path = s"${layoutRoot(s)}/graft_jsonl_docs_${Scratch.pathKey(dir)}"
+    // Own DONE marker, written LAST: Spark's json writer commits
+    // _SUCCESS before the corrupt shard is appended, so a failure
+    // between the two steps would otherwise leave a fixture that
+    // passes the memo check with an empty quarantine — q40 would then
+    // hash-match while silently no longer exercising the corruption
+    // path the operator exists to demonstrate (round-7 review).
+    val done = new java.io.File(path, "_GRAFT_READY")
     this.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").isFile) {
+      if (!done.isFile) {
         t(s, dir, "documents").write.mode("overwrite").json(path)
         val bad = new java.io.File(path, "part-corrupt.json")
         java.nio.file.Files.writeString(bad.toPath,
           CorruptLines.mkString("", "\n", "\n"))
+        java.nio.file.Files.writeString(done.toPath, "")
       }
     }
     path
@@ -104,12 +112,14 @@ object Ingest {
             count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("sum_chars"),
             // content check beyond counts: order-insensitive XOR of
-            // per-doc identity hashes (q39's rule)
-            expr("bit_xor(md5_long(CAST(doc_id AS STRING)))").as("id_xor"))
+            // per-doc identity hashes (q39's rule; ONE portable-hash
+            // spelling via Portable)
+            bit_xor(graft.pipeline.Portable.md5Long(col("doc_id").cast("string")))
+              .as("id_xor"))
       },
-      Some("""
+      Some(s"""
         SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-               bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)) AS id_xor
+               bit_xor(${graft.pipeline.Portable.md5LongSql("CAST(doc_id AS VARCHAR)")}) AS id_xor
         FROM documents
         GROUP BY 1"""),
     ),

@@ -193,12 +193,13 @@ object Layout {
           .agg(
             count(lit(1)).as("n"),
             graft.Agg.dsum(col("value")).as("sum_value"),
-            expr("bit_xor(md5_long(CAST(event_id AS STRING)))").as("id_xor"))
+            bit_xor(graft.pipeline.Portable.md5Long(col("event_id").cast("string")))
+              .as("id_xor"))
       },
-      Some("""
+      Some(s"""
         SELECT event_type, count(*) AS n,
                CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
-               bit_xor(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)) AS id_xor
+               bit_xor(${graft.pipeline.Portable.md5LongSql("CAST(event_id AS VARCHAR)")}) AS id_xor
         FROM events
         GROUP BY 1"""),
     ),

@@ -315,6 +315,40 @@ class PlanSpec extends SparkSpec {
       s"survivor pick must partial-aggregate map-side:\n$p")
   }
 
+  test("s11: drift joins stay broadcast/index-sized; base side reads the checkpointed assignment") {
+    val p = executedPlan("s11_ann_drift")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the drift report:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"K-row drift joins must broadcast, not sort-merge:\n${p.take(3000)}")
+    // the base-corpus assignment must come from the materialized
+    // (localCheckpoint'd) artifact, not a re-run of the frozen-assign
+    // pipeline over 90% of the corpus
+    assert(p.contains("Scan ExistingRDD"),
+      s"base side must read the checkpointed assignment:\n${p.take(3000)}")
+  }
+
+  test("q39: compaction gate aggregate partial-combines over the compacted layout") {
+    val p = plan("q39_compaction")
+    // InMemoryFileIndex truncates long paths in plan strings — match
+    // the distinctive prefix of the compacted dir name
+    assert(p.contains("graft_com"),
+      s"gate must read the COMPACTED layout, not the source table:\n${p.take(2500)}")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"per-partition counts must map-side combine:\n${p.take(2500)}")
+  }
+
+  test("q40: JSONL scan is schema-first with pruned read schema") {
+    val p = plan("q40_jsonl_ingest")
+    assert(p.contains("FileScan json"), s"expected a json file scan:\n${p.take(2500)}")
+    // the gate touches doc_id/lang/n_chars/_corrupt_record only — text
+    // and source must be pruned out of the ReadSchema (at 100 TB `text`
+    // IS the table's byte volume)
+    val rs = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(rs.contains("doc_id") && rs.contains("_corrupt_record"), s"read schema: $rs")
+    assert(!rs.contains("text") && !rs.contains("source"),
+      s"unused wide columns must be pruned from the JSONL read: $rs")
+  }
+
   test("entry flagship returns rows (the driver's smoke check)") {
     assert(SparkEntry.entry(spark).count() > 0, "entry must return rows at sf0.001")
   }
