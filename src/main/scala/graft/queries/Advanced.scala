@@ -521,10 +521,76 @@ object Advanced {
                CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_total
         FROM orders GROUP BY 1"""),
     ),
+
+    // ---- q41: CDC UPSERT (copy-on-write MERGE) — the refresh every
+    //      lake-resident dataset runs when a changes feed arrives:
+    //      updated rows REPLACE their lake twins on the key, new rows
+    //      append. The feed here is deterministic (every 20th key
+    //      re-priced +100, every 31st key re-keyed past max as an
+    //      insert), so the DuckDB oracle replays the merge itself — a
+    //      wrong anti-join (dup keys, lost updates, phantom lake rows)
+    //      splits the count AND the per-status sums AND the XOR of key
+    //      hashes. Spelling: changes ∪ (lake ⟵anti changes-keys), the
+    //      CoW shape — the key set of the delta is broadcast (a day's
+    //      changes vs the lake), so the 100 TB side never shuffles for
+    //      the merge; the window-over-union spelling would sort the
+    //      whole lake by key instead. ----
+    Q(
+      "q41_cdc_upsert",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        cdcMerged(s, dir).groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            graft.Agg.dsum(col("price")).as("sum_price"),
+            bit_xor(graft.pipeline.Portable.md5Long(col("k").cast("string")))
+              .as("key_xor"))
+      },
+      Some(s"""
+        WITH mk AS (SELECT max(o_orderkey) AS mx FROM orders),
+        lake AS (
+          SELECT o_orderkey AS k, o_orderstatus, o_totalprice AS price
+          FROM orders),
+        changes AS (
+          SELECT k, o_orderstatus, price + 100.0 AS price
+          FROM lake WHERE k % 20 = 0
+          UNION ALL
+          SELECT k + mx + 1, o_orderstatus, price FROM lake, mk WHERE k % 31 = 0),
+        merged AS (
+          SELECT * FROM changes
+          UNION ALL
+          SELECT * FROM lake WHERE k NOT IN (SELECT k FROM changes))
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS sum_price,
+               bit_xor(${graft.pipeline.Portable.md5LongSql("CAST(k AS VARCHAR)")}) AS key_xor
+        FROM merged GROUP BY 1"""),
+    ),
   )
 
   /** q38's lake/delta boundary: the last ~7 months of the orders range
     * are the "delta" at every testdata SF (dates span 1995..2001-08).
     */
   private val IncAggCutoff = "2001-01-01 00:00:00"
+
+  /** q41's merged table `(k, o_orderstatus, price)` — the CoW upsert:
+    * changes (every 20th key re-priced +100; every 31st key re-keyed
+    * past the max as an insert) replace/append against the lake via a
+    * broadcast anti-join on the delta's key set. Exposed for
+    * UpsertSpec's row-level contracts; the Q aggregates it.
+    */
+  private[graft] def cdcMerged(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val lake = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus"),
+        col("o_totalprice").as("price"))
+    // one scalar max — index metadata, q37's BoundedCollect shape
+    val mx = graft.BoundedCollect.rows(
+      lake.agg(max(col("k"))), 1, "q41 max key")(0).getLong(0)
+    val updates = lake.filter(pmod(col("k"), lit(20)) === 0)
+      .withColumn("price", col("price") + lit(100.0))
+    val inserts = lake.filter(pmod(col("k"), lit(31)) === 0)
+      .withColumn("k", col("k") + lit(mx + 1))
+    val changes = updates.unionByName(inserts)
+    changes.unionByName(
+      lake.join(broadcast(changes.select(col("k"))), Seq("k"), "left_anti"))
+  }
 }

@@ -93,6 +93,29 @@ object Ingest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(jsonlDocsPath(s, dir))
 
+  /** Schema-EVOLVED parquet fixture: two shards of `documents` under
+    * one directory — the even-keyed half written WITHOUT the `source`
+    * column (the old writer's schema), the odd half with the full
+    * current schema. The lake reality q42 exercises: shards written
+    * across a schema change must stay readable as one table.
+    */
+  private[graft] def evolvedDocsPath(s: SparkSession, dir: String): String = {
+    val path = s"${layoutRoot(s)}/graft_evolved_docs_${Scratch.pathKey(dir)}"
+    val done = new java.io.File(path, "_GRAFT_READY")
+    this.synchronized {
+      if (!done.isFile) {
+        val docs = t(s, dir, "documents")
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .drop("source") // the pre-evolution writer
+          .write.mode("overwrite").parquet(s"$path/shard=v1")
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .write.mode("overwrite").parquet(s"$path/shard=v2")
+        java.nio.file.Files.writeString(done.toPath, "")
+      }
+    }
+    path
+  }
+
   def all: Seq[Q] = Seq(
     // ---- q40: JSONL ingest — write→corrupt→read→quarantine, gated
     //      against the ORIGINAL parquet: per-lang counts and exact
@@ -119,6 +142,36 @@ object Ingest {
       },
       Some(s"""
         SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(${graft.pipeline.Portable.md5LongSql("CAST(doc_id AS VARCHAR)")}) AS id_xor
+        FROM documents
+        GROUP BY 1"""),
+    ),
+
+    // ---- q42: SCHEMA-EVOLUTION read — one logical table spanning a
+    //      writer schema change (an old shard lacking `source`), read
+    //      with mergeSchema so the union schema resolves and the
+    //      missing column is NULL exactly on the old shard's rows. The
+    //      oracle replays the shard rule over the original table, so a
+    //      read that mis-assigns nulls (or drops either shard) splits
+    //      counts, sums, AND the per-group key hashes. At 100 TB
+    //      mergeSchema's footer-merge cost is why evolved tables
+    //      eventually want a metastore schema — documented trade-off,
+    //      but the READ path must work first and this gate pins it. ----
+    Q(
+      "q42_schema_evolution",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        s.read.option("mergeSchema", "true")
+          .parquet(evolvedDocsPath(s, dir))
+          .groupBy(coalesce(col("source"), lit("<pre-evolution>")).as("src"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            bit_xor(graft.pipeline.Portable.md5Long(col("doc_id").cast("string")))
+              .as("id_xor"))
+      },
+      Some(s"""
+        SELECT CASE WHEN doc_id % 2 = 0 THEN '<pre-evolution>' ELSE source END AS src,
+               count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                bit_xor(${graft.pipeline.Portable.md5LongSql("CAST(doc_id AS VARCHAR)")}) AS id_xor
         FROM documents
         GROUP BY 1"""),

@@ -75,6 +75,22 @@ class IngestSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("q42 schema evolution: merged read nulls `source` exactly on the pre-evolution shard") {
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(Ingest.evolvedDocsPath(spark, dir))
+    // the union schema resolves with `source` present
+    assert(df.columns.contains("source"))
+    val rows = df.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, src) =>
+      if (id % 2 == 0) assert(src.isEmpty, s"old-shard doc $id must read NULL source")
+      else assert(src.nonEmpty, s"new-shard doc $id must keep its source")
+    }
+    // both shards present: the read covers the whole table
+    assert(rows.length == graft.Tables.t(spark, dir, "documents").count())
+  }
+
   test("q40 equals the same aggregate computed directly on the parquet table") {
     graft.functions.GraftFunctions.register(spark)
     val viaJsonl = SparkEntry.queries("q40_jsonl_ingest")(spark, dir)
