@@ -77,6 +77,26 @@ object Scratch {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Build-once memo for MULTI-STEP fixture writes: runs `build` unless
+    * the path's own done marker exists, writing the marker LAST. The
+    * point is commit ordering — Spark's `_SUCCESS` lands after the
+    * FIRST write step, so a failure between steps would otherwise
+    * memoize a half-built fixture that silently passes every later
+    * check (single-step Spark writes can keep relying on `_SUCCESS`).
+    * Returns the path.
+    */
+  def buildOnce(path: String)(build: => Unit): String = {
+    val done = new java.io.File(path, "_GRAFT_READY")
+    this.synchronized {
+      if (!done.isFile) {
+        build
+        java.nio.file.Files.createDirectories(done.toPath.getParent)
+        java.nio.file.Files.writeString(done.toPath, "")
+      }
+    }
+    path
+  }
+
   def dir: String = {
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite) {

@@ -1257,7 +1257,7 @@ object Similarity {
     * base; s11 reads it rather than re-assigning 90% of the corpus per
     * invocation (same billing contract as [[ivfAssigned]]).
     */
-  private def s10BaseAssigned(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def s10BaseAssigned(s: SparkSession, dir: String): DataFrame = {
     val b = s10Boundary(s, dir)
     val k = s10K(s, dir)
     Materialized.getOrBuild(s, s"s10.baseasg|$dir")(

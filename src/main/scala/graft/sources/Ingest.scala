@@ -61,26 +61,19 @@ object Ingest {
     * extra text file in the same directory (the vendor-shipped bad
     * shard). Memoized per (application, corpus) like Layout's rewrites.
     */
-  private[graft] def jsonlDocsPath(s: SparkSession, dir: String): String = {
-    val path = s"${layoutRoot(s)}/graft_jsonl_docs_${Scratch.pathKey(dir)}"
-    // Own DONE marker, written LAST: Spark's json writer commits
-    // _SUCCESS before the corrupt shard is appended, so a failure
-    // between the two steps would otherwise leave a fixture that
-    // passes the memo check with an empty quarantine — q40 would then
+  private[graft] def jsonlDocsPath(s: SparkSession, dir: String): String =
+    // buildOnce, not _SUCCESS: the json writer commits _SUCCESS before
+    // the corrupt shard lands, and a failure between the two steps
+    // would memoize a fixture with an EMPTY quarantine — q40 would
     // hash-match while silently no longer exercising the corruption
     // path the operator exists to demonstrate (round-7 review).
-    val done = new java.io.File(path, "_GRAFT_READY")
-    this.synchronized {
-      if (!done.isFile) {
-        t(s, dir, "documents").write.mode("overwrite").json(path)
-        val bad = new java.io.File(path, "part-corrupt.json")
-        java.nio.file.Files.writeString(bad.toPath,
-          CorruptLines.mkString("", "\n", "\n"))
-        java.nio.file.Files.writeString(done.toPath, "")
-      }
+    Scratch.buildOnce(s"${layoutRoot(s)}/graft_jsonl_docs_${Scratch.pathKey(dir)}") {
+      val path = s"${layoutRoot(s)}/graft_jsonl_docs_${Scratch.pathKey(dir)}"
+      t(s, dir, "documents").write.mode("overwrite").json(path)
+      java.nio.file.Files.writeString(
+        new java.io.File(path, "part-corrupt.json").toPath,
+        CorruptLines.mkString("", "\n", "\n"))
     }
-    path
-  }
 
   /** Schema-first PERMISSIVE JSONL read: good rows parse into columns,
     * corrupt lines land whole in `_corrupt_record` with every data
@@ -99,22 +92,16 @@ object Ingest {
     * current schema. The lake reality q42 exercises: shards written
     * across a schema change must stay readable as one table.
     */
-  private[graft] def evolvedDocsPath(s: SparkSession, dir: String): String = {
-    val path = s"${layoutRoot(s)}/graft_evolved_docs_${Scratch.pathKey(dir)}"
-    val done = new java.io.File(path, "_GRAFT_READY")
-    this.synchronized {
-      if (!done.isFile) {
-        val docs = t(s, dir, "documents")
-        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
-          .drop("source") // the pre-evolution writer
-          .write.mode("overwrite").parquet(s"$path/shard=v1")
-        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
-          .write.mode("overwrite").parquet(s"$path/shard=v2")
-        java.nio.file.Files.writeString(done.toPath, "")
-      }
+  private[graft] def evolvedDocsPath(s: SparkSession, dir: String): String =
+    Scratch.buildOnce(s"${layoutRoot(s)}/graft_evolved_docs_${Scratch.pathKey(dir)}") {
+      val path = s"${layoutRoot(s)}/graft_evolved_docs_${Scratch.pathKey(dir)}"
+      val docs = t(s, dir, "documents")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .drop("source") // the pre-evolution writer
+        .write.mode("overwrite").parquet(s"$path/shard=v1")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .write.mode("overwrite").parquet(s"$path/shard=v2")
     }
-    path
-  }
 
   def all: Seq[Q] = Seq(
     // ---- q40: JSONL ingest — write→corrupt→read→quarantine, gated
@@ -161,9 +148,14 @@ object Ingest {
       "q42_schema_evolution",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
+        // label by the SHARD (the partition column the fixture layout
+        // carries), not by source-is-null: a genuinely NULL source on a
+        // post-evolution row must stay a NULL group in BOTH engines,
+        // not get folded into the pre-evolution label (round-7 review)
         s.read.option("mergeSchema", "true")
           .parquet(evolvedDocsPath(s, dir))
-          .groupBy(coalesce(col("source"), lit("<pre-evolution>")).as("src"))
+          .groupBy(when(col("shard") === "v1", lit("<pre-evolution>"))
+            .otherwise(col("source")).as("src"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("sum_chars"),
             bit_xor(graft.pipeline.Portable.md5Long(col("doc_id").cast("string")))

@@ -322,9 +322,24 @@ class PlanSpec extends SparkSpec {
       s"K-row drift joins must broadcast, not sort-merge:\n${p.take(3000)}")
     // the base-corpus assignment must come from the materialized
     // (localCheckpoint'd) artifact, not a re-run of the frozen-assign
-    // pipeline over 90% of the corpus
-    assert(p.contains("Scan ExistingRDD"),
-      s"base side must read the checkpointed assignment:\n${p.take(3000)}")
+    // pipeline over 90% of the corpus. A plan-string scan is VACUOUS
+    // here (the centroid table is also checkpointed, so 'Scan
+    // ExistingRDD' always appears) — pin the helper's own analyzed
+    // plan instead: a LogicalRDD leaf IS the checkpoint.
+    val baseLeafs = graft.pipeline.Similarity.s10BaseAssigned(spark, dir)
+      .queryExecution.analyzed.collectLeaves()
+    assert(baseLeafs.forall(_.getClass.getSimpleName == "LogicalRDD"),
+      s"base assignment must be served from the checkpointed artifact, got " +
+        baseLeafs.map(_.getClass.getSimpleName).mkString(","))
+  }
+
+  test("q42: merged evolved read prunes the wide text column") {
+    val p = plan("q42_schema_evolution")
+    val rs = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(rs.contains("doc_id") && rs.contains("n_chars") && rs.contains("source"),
+      s"read schema: $rs")
+    assert(!rs.contains("text"),
+      s"text (the table's byte volume) must be pruned from the evolved read: $rs")
   }
 
   test("q39: compaction gate aggregate partial-combines over the compacted layout") {
