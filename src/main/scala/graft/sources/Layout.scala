@@ -103,20 +103,27 @@ object Layout {
     path
   }
 
+  /** Bin-packing target: output files carry at most this many rows, so
+    * a partition compacts to exactly ⌈n/target⌉ files — the knob that
+    * keeps compacted files scan-task-sized instead of unbounded. 1024
+    * rows makes the multi-file regime REAL at the gate SFs (sf0.01:
+    * ~2k rows/type → 2 files; sf0.1 → 20) while tiny corpora still
+    * compact to one. A byte-budget target is the production spelling;
+    * rows are its deterministic stand-in on fixed-width gate rows.
+    */
+  private[graft] val TargetRowsPerFile = 1024
+
   /** Compaction rewrite (the lakehouse OPTIMIZE/maintenance operator):
     * read the fragmented layout, ONE shuffle keyed on the partition
-    * column, rewrite — hash partitioning sends every row of a type to
-    * one task, so each partition directory lands as exactly one file.
-    * At 100 TB the policy generalizes to bin-packing: key the reshard
-    * on (event_type, floor(running_bytes / target)) so each partition
-    * gets ceil(bytes/target) output files instead of one unbounded
-    * file; the single-key spelling is that policy at gate scale, where
-    * every partition fits one target file. What compaction buys at
-    * scale: footer/listing overhead per query drops from
-    * O(micro-batches) to O(1) per partition, and scan tasks stop being
-    * per-fragment-sized (the Tables.t scaladoc's split-parallelism
-    * constraint works the other way around here — thousands of tiny
-    * row groups each cost a footer read and a task).
+    * column (every row of a type lands in one task), rewrite with
+    * `maxRecordsPerFile` — Spark's built-in bin-packing — so each
+    * partition directory compacts to exactly ⌈n/[[TargetRowsPerFile]]⌉
+    * files instead of either fragment debris OR one unbounded file.
+    * What compaction buys at scale: footer/listing overhead per query
+    * drops from O(micro-batches) to O(⌈n/target⌉) per partition, and
+    * scan tasks stop being per-fragment-sized (the Tables.t scaladoc's
+    * split-parallelism constraint works the other way around here —
+    * thousands of tiny row groups each cost a footer read and a task).
     */
   private[graft] def compactedEvents(s: SparkSession, dir: String): DataFrame = {
     val src = fragmentedEventsPath(s, dir)
@@ -125,7 +132,9 @@ object Layout {
       if (!new java.io.File(path, "_SUCCESS").isFile) {
         s.read.parquet(src)
           .repartition(col("event_type"))
-          .write.partitionBy("event_type").mode("overwrite").parquet(path)
+          .write
+          .option("maxRecordsPerFile", TargetRowsPerFile)
+          .partitionBy("event_type").mode("overwrite").parquet(path)
       }
     }
     s.read.parquet(path)

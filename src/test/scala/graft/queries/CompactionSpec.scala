@@ -20,23 +20,44 @@ class CompactionSpec extends SparkSpec {
       .toMap
   }
 
-  test("fixture is fragmented; compaction rewrites each partition as ONE file") {
-    val fragPath = Layout.fragmentedEventsPath(spark, dir)
-    val frag = parquetFilesPerPartition(fragPath)
-    assert(frag.nonEmpty)
-    assert(frag.values.forall(_ > 1),
-      s"fixture must have the small-files problem, got $frag")
-
-    val compacted = Layout.compactedEvents(spark, dir)
-    assert(compacted.count() > 0)
+  private def compactedFiles(d: String): (Map[String, Int], Map[String, Int], Map[String, Long]) = {
+    val frag = parquetFilesPerPartition(Layout.fragmentedEventsPath(spark, d))
+    val compacted = Layout.compactedEvents(spark, d)
     // the compacted root is the input's sibling rewrite; recover it
     // from the scan's file listing rather than duplicating path logic
     val compactRoot = compacted.inputFiles.head
       .replaceFirst("/event_type=.*$", "").replaceFirst("^file:", "")
-    val comp = parquetFilesPerPartition(compactRoot)
+    val rowsPerType = compacted.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (frag, parquetFilesPerPartition(compactRoot), rowsPerType)
+  }
+
+  test("fixture is fragmented; compaction bin-packs each partition to ceil(n/target) files") {
+    val (frag, comp, rows) = compactedFiles(dir)
+    assert(frag.nonEmpty)
+    assert(frag.values.forall(_ > 1),
+      s"fixture must have the small-files problem, got $frag")
     assert(comp.keySet == frag.keySet, "compaction must preserve the partition set")
-    assert(comp.values.forall(_ == 1),
-      s"each partition must compact to exactly one file, got $comp")
+    comp.foreach { case (part, nFiles) =>
+      val n = rows(part.stripPrefix("event_type="))
+      val expect = ((n + Layout.TargetRowsPerFile - 1) / Layout.TargetRowsPerFile).toInt
+      assert(nFiles == expect, s"$part: $n rows must pack to $expect files, got $nFiles")
+      assert(nFiles < frag(part), s"$part must end with fewer files than the debris")
+    }
+    // at sf0.001 every type fits one target file — the single-file regime
+    assert(comp.values.forall(_ == 1), s"tiny corpus should compact to 1 file/partition: $comp")
+  }
+
+  test("bin-packing regime: a partition larger than the target splits into multiple bounded files") {
+    // sf0.01: ~2k rows/type -> exactly 2 files of <= target rows each
+    val (_, comp, rows) = compactedFiles("/root/testdata/sf0.01")
+    assert(comp.values.forall(_ > 1),
+      s"sf0.01 partitions exceed one target file and must split: $comp")
+    comp.foreach { case (part, nFiles) =>
+      val n = rows(part.stripPrefix("event_type="))
+      val expect = ((n + Layout.TargetRowsPerFile - 1) / Layout.TargetRowsPerFile).toInt
+      assert(nFiles == expect, s"$part: $n rows must pack to $expect files, got $nFiles")
+    }
   }
 
   test("compaction preserves content exactly: ids, rows, and values") {
