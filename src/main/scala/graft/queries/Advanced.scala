@@ -522,18 +522,20 @@ object Advanced {
         FROM orders GROUP BY 1"""),
     ),
 
-    // ---- q41: CDC UPSERT (copy-on-write MERGE) — the refresh every
+    // ---- q41: CDC MERGE (copy-on-write) — the refresh every
     //      lake-resident dataset runs when a changes feed arrives:
-    //      updated rows REPLACE their lake twins on the key, new rows
-    //      append. The feed here is deterministic (every 20th key
-    //      re-priced +100, every 31st key re-keyed past max as an
-    //      insert), so the DuckDB oracle replays the merge itself — a
-    //      wrong anti-join (dup keys, lost updates, phantom lake rows)
-    //      splits the count AND the per-status sums AND the XOR of key
-    //      hashes. Spelling: changes ∪ (lake ⟵anti changes-keys), the
-    //      CoW shape — the key set of the delta is broadcast (a day's
-    //      changes vs the lake), so the 100 TB side never shuffles for
-    //      the merge; the window-over-union spelling would sort the
+    //      updates REPLACE their lake twins on the key, tombstones
+    //      DELETE them (winning over a same-key update — the
+    //      precedence every CDC consumer must define), inserts append.
+    //      The feed is deterministic (every 20th key re-priced, every
+    //      47th tombstoned, every 31st re-keyed past max), so the
+    //      DuckDB oracle replays the merge itself — a wrong anti-join
+    //      (dup keys, lost updates, surviving tombstones, phantom lake
+    //      rows) splits the count AND the per-status sums AND the XOR
+    //      of key hashes. Spelling: survivors ∪ (lake ⟵anti
+    //      touched-keys), the CoW shape — the touched-key set is
+    //      broadcast (a day's changes vs the lake), so the 100 TB side
+    //      never shuffles; a window-over-union spelling would sort the
     //      whole lake by key instead. ----
     Q(
       "q41_cdc_upsert",
@@ -550,15 +552,13 @@ object Advanced {
         lake AS (
           SELECT o_orderkey AS k, o_orderstatus, o_totalprice AS price
           FROM orders),
-        changes AS (
-          SELECT k, o_orderstatus, price + 100.0 AS price
-          FROM lake WHERE k % 20 = 0
-          UNION ALL
-          SELECT k + mx + 1, o_orderstatus, price FROM lake, mk WHERE k % 31 = 0),
         merged AS (
-          SELECT * FROM changes
+          SELECT k, o_orderstatus, price + 100.0 AS price
+          FROM lake WHERE k % 20 = 0 AND k % 47 <> 0
           UNION ALL
-          SELECT * FROM lake WHERE k NOT IN (SELECT k FROM changes))
+          SELECT k + mx + 1, o_orderstatus, price FROM lake, mk WHERE k % 31 = 0
+          UNION ALL
+          SELECT * FROM lake WHERE k % 20 <> 0 AND k % 47 <> 0)
         SELECT o_orderstatus, count(*) AS n,
                CAST(sum(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS sum_price,
                bit_xor(${graft.pipeline.Portable.md5LongSql("CAST(k AS VARCHAR)")}) AS key_xor
@@ -571,11 +571,16 @@ object Advanced {
     */
   private val IncAggCutoff = "2001-01-01 00:00:00"
 
-  /** q41's merged table `(k, o_orderstatus, price)` — the CoW upsert:
-    * changes (every 20th key re-priced +100; every 31st key re-keyed
-    * past the max as an insert) replace/append against the lake via a
-    * broadcast anti-join on the delta's key set. Exposed for
-    * UpsertSpec's row-level contracts; the Q aggregates it.
+  /** q41's merged table `(k, o_orderstatus, price)` — the full CoW
+    * MERGE: a deterministic changes feed of UPDATES (every 20th key
+    * re-priced +100), DELETES (every 47th key tombstoned; delete WINS
+    * over update on keys matching both rules — the precedence every
+    * CDC consumer must define), and INSERTS (every 31st key re-keyed
+    * past the max). Surviving changes replace/append against the lake
+    * via ONE broadcast anti-join on the full touched-key set (updates ∪
+    * tombstones — a day's changes vs the lake, so the 100 TB side never
+    * shuffles). Exposed for UpsertSpec's row-level contracts; the Q
+    * aggregates it.
     */
   private[graft] def cdcMerged(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
@@ -585,12 +590,16 @@ object Advanced {
     // one scalar max — index metadata, q37's BoundedCollect shape
     val mx = graft.BoundedCollect.rows(
       lake.agg(max(col("k"))), 1, "q41 max key")(0).getLong(0)
-    val updates = lake.filter(pmod(col("k"), lit(20)) === 0)
+    // delete precedence: a key carrying both an update and a tombstone
+    // in one feed must come out DELETED, not re-priced
+    val updates = lake
+      .filter(pmod(col("k"), lit(20)) === 0 && pmod(col("k"), lit(47)) =!= 0)
       .withColumn("price", col("price") + lit(100.0))
+    val tombstones = lake.filter(pmod(col("k"), lit(47)) === 0).select(col("k"))
     val inserts = lake.filter(pmod(col("k"), lit(31)) === 0)
       .withColumn("k", col("k") + lit(mx + 1))
-    val changes = updates.unionByName(inserts)
-    changes.unionByName(
-      lake.join(broadcast(changes.select(col("k"))), Seq("k"), "left_anti"))
+    val touched = updates.select(col("k")).unionByName(tombstones)
+    updates.unionByName(inserts).unionByName(
+      lake.join(broadcast(touched), Seq("k"), "left_anti"))
   }
 }

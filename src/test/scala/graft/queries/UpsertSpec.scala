@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 class UpsertSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
-  test("merge semantics: replace on key, append inserts, keep the rest, no dup keys") {
+  test("merge semantics: replace, delete (winning over update), append, keep the rest, no dup keys") {
     val lake = graft.Tables.t(spark, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
     val merged = Advanced.cdcMerged(spark, dir).cache()
@@ -23,8 +23,14 @@ class UpsertSpec extends SparkSpec {
       // keys unique
       assert(mergedRows.map(_._1).distinct.length == mergedRows.length)
       val mergedMap = mergedRows.toMap
-      // updates replaced: every 20th key carries price + 100
-      val updated = lakeMap.keys.filter(_ % 20 == 0)
+      // tombstoned keys are GONE — including key 0, which matches both
+      // the update (0 % 20) and delete (0 % 47) rules: delete must win
+      val deleted = lakeMap.keys.filter(_ % 47 == 0)
+      assert(deleted.nonEmpty)
+      deleted.foreach(k => assert(!mergedMap.contains(k), s"tombstoned key $k survived"))
+      assert(deleted.exists(_ % 20 == 0), "fixture must exercise the delete-beats-update overlap")
+      // updates replaced: every 20th non-tombstoned key carries price + 100
+      val updated = lakeMap.keys.filter(k => k % 20 == 0 && k % 47 != 0)
       assert(updated.nonEmpty)
       updated.foreach(k => assert(mergedMap(k) == lakeMap(k) + 100.0, s"key $k"))
       // inserts appended past the max key, same price as their template
@@ -32,9 +38,9 @@ class UpsertSpec extends SparkSpec {
       assert(inserted.nonEmpty)
       inserted.foreach(k => assert(mergedMap(k + mx + 1) == lakeMap(k), s"insert $k"))
       // everything else untouched
-      lakeMap.keys.filterNot(_ % 20 == 0)
+      lakeMap.keys.filterNot(k => k % 20 == 0 || k % 47 == 0)
         .foreach(k => assert(mergedMap(k) == lakeMap(k), s"key $k must survive"))
-      assert(mergedMap.size == lakeMap.size + inserted.size)
+      assert(mergedMap.size == lakeMap.size - deleted.size + inserted.size)
     } finally merged.unpersist(blocking = true)
   }
 
