@@ -576,7 +576,10 @@ object Advanced {
     * re-priced +100), DELETES (every 47th key tombstoned; delete WINS
     * over update on keys matching both rules — the precedence every
     * CDC consumer must define), and INSERTS (every 31st key re-keyed
-    * past the max). Surviving changes replace/append against the lake
+    * past the max — deliberately including tombstoned templates: an
+    * insert is a NEW row under a NEW key, so delete precedence governs
+    * existing keys only; both engines and the spec encode that choice).
+    * Surviving changes replace/append against the lake
     * via ONE broadcast anti-join on the full touched-key set (updates ∪
     * tombstones — a day's changes vs the lake, so the 100 TB side never
     * shuffles). Exposed for UpsertSpec's row-level contracts; the Q
@@ -598,7 +601,11 @@ object Advanced {
     val tombstones = lake.filter(pmod(col("k"), lit(47)) === 0).select(col("k"))
     val inserts = lake.filter(pmod(col("k"), lit(31)) === 0)
       .withColumn("k", col("k") + lit(mx + 1))
-    val touched = updates.select(col("k")).unionByName(tombstones)
+    // one filtered scan for the touched-key set (the union-of-two-scans
+    // spelling reads the lake twice under the broadcast)
+    val touched = lake
+      .filter(pmod(col("k"), lit(20)) === 0 || pmod(col("k"), lit(47)) === 0)
+      .select(col("k"))
     updates.unionByName(inserts).unionByName(
       lake.join(broadcast(touched), Seq("k"), "left_anti"))
   }
