@@ -522,6 +522,79 @@ object Advanced {
         FROM orders GROUP BY 1"""),
     ),
 
+    // ---- q43: TIME TRAVEL over a merge-on-read change log — the
+    //      other canonical lake layout. q41 (copy-on-write) rewrites
+    //      the survivor set per merge; here the lake stays FROZEN and
+    //      each batch appends a day-scale log of upserts/tombstones
+    //      (Kafka-compacted-topic semantics: full-row images, latest
+    //      action per key wins). Reading "as of version v" resolves
+    //      each touched key's final action ≤ v with one map-side-
+    //      combinable max_by argmax over the LOG (q25's trick — the
+    //      log is day-scale × versions, never lake-scale), then
+    //      broadcast-anti-joins the lake: untouched rows stream
+    //      through, upserts append their row image, tombstones vanish.
+    //      At 100 TB: write amplification is zero (append-only log),
+    //      an as-of read costs one lake scan + a broadcast, and EVERY
+    //      historical version stays readable from the same two tables
+    //      — the query gates v=0,1,2 in one union (real readers pick
+    //      one v; each as-of is independently one scan). Contracts
+    //      pinned: batch-2-wins on twice-updated keys, tombstones
+    //      delete across batches, a later upsert RESURRECTS a
+    //      tombstoned key, batch-1 inserts survive batch 2. ----
+    Q(
+      "q43_time_travel",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        (0 to 2).map(v => asOfState(s, dir, v)).reduce(_ unionByName _)
+          .groupBy(col("v"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            graft.Agg.dsum(col("price")).as("sum_price"),
+            bit_xor(graft.pipeline.Portable.md5Long(col("k").cast("string")))
+              .as("key_xor"))
+      },
+      Some(s"""
+        WITH mk AS (SELECT max(o_orderkey) AS mx FROM orders),
+        base AS (
+          SELECT o_orderkey AS k, o_orderstatus, o_totalprice AS price
+          FROM orders),
+        logs AS (
+          SELECT 1 AS b, k, o_orderstatus, price, 'D' AS act
+          FROM base WHERE k % 47 = 0
+          UNION ALL
+          SELECT 1, k, o_orderstatus, price + 100.0, 'U'
+          FROM base WHERE k % 20 = 0 AND k % 47 <> 0
+          UNION ALL
+          SELECT 1, k + mx + 1, o_orderstatus, price, 'U'
+          FROM base, mk WHERE k % 31 = 0
+          UNION ALL
+          SELECT 2, k, o_orderstatus, price, 'D'
+          FROM base WHERE k % 59 = 0
+          UNION ALL
+          SELECT 2, k, o_orderstatus, price + 7.0, 'U'
+          FROM base WHERE k % 13 = 0 AND k % 59 <> 0),
+        vs AS (SELECT * FROM (VALUES (1), (2)) AS t(v)),
+        resolved AS (
+          SELECT vs.v, l.k,
+                 max_by(l.act, l.b) AS act,
+                 max_by(l.o_orderstatus, l.b) AS o_orderstatus,
+                 max_by(l.price, l.b) AS price
+          FROM logs l JOIN vs ON l.b <= vs.v
+          GROUP BY 1, 2),
+        states AS (
+          SELECT 0 AS v, k, o_orderstatus, price FROM base
+          UNION ALL
+          SELECT vs.v, b.k, b.o_orderstatus, b.price
+          FROM base b CROSS JOIN vs
+          WHERE NOT EXISTS (
+            SELECT 1 FROM resolved r WHERE r.v = vs.v AND r.k = b.k)
+          UNION ALL
+          SELECT v, k, o_orderstatus, price FROM resolved WHERE act = 'U')
+        SELECT v, o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS sum_price,
+               bit_xor(${graft.pipeline.Portable.md5LongSql("CAST(k AS VARCHAR)")}) AS key_xor
+        FROM states GROUP BY 1, 2"""),
+    ),
+
     // ---- q41: CDC MERGE (copy-on-write) — the refresh every
     //      lake-resident dataset runs when a changes feed arrives:
     //      updates REPLACE their lake twins on the key, tombstones
@@ -585,11 +658,19 @@ object Advanced {
     * shuffles). Exposed for UpsertSpec's row-level contracts; the Q
     * aggregates it.
     */
-  private[graft] def cdcMerged(
-      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val lake = t(s, dir, "orders")
+  /** The CDC family's lake view of orders: `(k, o_orderstatus, price)`.
+    * Shared by q41 (copy-on-write merge) and q43 (merge-on-read log +
+    * time travel) so both layouts demonstrably serve the same table.
+    */
+  private[graft] def cdcLake(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_orderstatus"),
         col("o_totalprice").as("price"))
+
+  private[graft] def cdcMerged(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val lake = cdcLake(s, dir)
     // one scalar max — index metadata, q37's BoundedCollect shape
     val mx = graft.BoundedCollect.rows(
       lake.agg(max(col("k"))), 1, "q41 max key")(0).getLong(0)
@@ -608,5 +689,66 @@ object Advanced {
       .select(col("k"))
     updates.unionByName(inserts).unionByName(
       lake.join(broadcast(touched), Seq("k"), "left_anti"))
+  }
+
+  /** q43's append-only change log `(b, k, o_orderstatus, price, act)` —
+    * two deterministic batches of full-row-image upserts (`act = 'U'`)
+    * and tombstones (`'D'`), at most one action per (batch, key) by
+    * construction (the max_by resolution needs no intra-batch
+    * tie-break). Batch 1 is exactly q41's feed re-expressed in log
+    * form (delete %47, update %20 at +100, insert %31 past the max
+    * key); batch 2 tombstones %59 and upserts %13 at +7 — row IMAGES,
+    * so a key updated in both batches ends at base+7, not base+107,
+    * and a batch-2 upsert of a batch-1-tombstoned key resurrects it.
+    * Session-materialized once per corpus: the log is the day-scale
+    * side of every as-of read and three version reads must not
+    * re-derive it from the lake each time.
+    */
+  private[graft] def cdcLogs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.pipeline.Materialized.getOrBuild(s, s"q43.logs|$dir") {
+      val base = cdcLake(s, dir)
+      val mx = graft.BoundedCollect.rows(
+        base.agg(max(col("k"))), 1, "q43 max key")(0).getLong(0)
+      def entry(b: Int, df: org.apache.spark.sql.DataFrame, act: String) =
+        df.select(lit(b).as("b"), col("k"), col("o_orderstatus"), col("price"),
+          lit(act).as("act"))
+      entry(1, base.filter(pmod(col("k"), lit(47)) === 0), "D")
+        .unionByName(entry(1,
+          base.filter(pmod(col("k"), lit(20)) === 0 && pmod(col("k"), lit(47)) =!= 0)
+            .withColumn("price", col("price") + lit(100.0)), "U"))
+        .unionByName(entry(1,
+          base.filter(pmod(col("k"), lit(31)) === 0)
+            .withColumn("k", col("k") + lit(mx + 1)), "U"))
+        .unionByName(entry(2, base.filter(pmod(col("k"), lit(59)) === 0), "D"))
+        .unionByName(entry(2,
+          base.filter(pmod(col("k"), lit(13)) === 0 && pmod(col("k"), lit(59)) =!= 0)
+            .withColumn("price", col("price") + lit(7.0)), "U"))
+    }
+
+  /** Merge-on-read "as of version v": resolve each touched key's final
+    * action ≤ v with one max_by argmax over the LOG (map-side
+    * combinable, log-sized input), then one broadcast anti-join against
+    * the frozen lake plus the upserts' row images. v = 0 is the lake
+    * itself — no log consulted, no join in the plan. Exposed for
+    * TimeTravelSpec's row-level contracts (v=1 must equal q41's
+    * copy-on-write merge exactly).
+    */
+  private[graft] def asOfState(
+      s: org.apache.spark.sql.SparkSession, dir: String, v: Int): org.apache.spark.sql.DataFrame = {
+    val base = cdcLake(s, dir)
+    val state =
+      if (v == 0) base
+      else {
+        val resolved = cdcLogs(s, dir).filter(col("b") <= v)
+          .groupBy(col("k"))
+          .agg(max_by(
+            struct(col("act"), col("o_orderstatus"), col("price")), col("b")).as("r"))
+        base.join(broadcast(resolved.select(col("k"))), Seq("k"), "left_anti")
+          .unionByName(resolved.filter(col("r.act") === "U")
+            .select(col("k"), col("r.o_orderstatus").as("o_orderstatus"),
+              col("r.price").as("price")))
+      }
+    state.withColumn("v", lit(v))
   }
 }
