@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -77,7 +77,7 @@ object Dedup {
     * Session-materialized per corpus dir: d8 reads it twice (dup agg +
     * semi-join probe) and d9's probe adds no further corpus pass.
     */
-  private def spanIndex(s: SparkSession, dir: String): DataFrame = {
+  private[pipeline] def spanIndex(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // md5_long used below
     Materialized.getOrBuild(s, s"d8.pos|$dir")(
       docsSharded(s, dir)
@@ -764,7 +764,74 @@ object Dedup {
           .agg(countDistinct("i").as("n_spans"),
             countDistinct("eval_id").as("n_eval_docs"))
       },
-      Some(s"""
+      Some(decontamOracleSql),
+    ),
+
+    // ---- d11: BLOOM-prefiltered decontamination — d9's scale escape
+    //      hatch for the regime where the eval span set is too big to
+    //      broadcast as a raw hash table (tens of millions of K-grams
+    //      once every benchmark + paraphrase variant is loaded: GBs as
+    //      a join build side) but its BLOOM filter still fits anywhere
+    //      (BloomBits/8 bytes — 128 KB here, low MBs in production at
+    //      ~10-16 bits/key). Three stages, none corpus-shuffling until
+    //      the survivor set: (1) the bloom builds DISTRIBUTED — each
+    //      eval span sets BloomK double-hashed bits (Kirsch-
+    //      Mitzenmacher: g_i = h1 + i*h2 mod m), a word-indexed bit_or
+    //      aggregate packs them, and ONE row assembles the dense
+    //      word array; (2) that row scalar-broadcasts onto the corpus
+    //      span table and the membership test runs map-side in pure
+    //      builtin expressions (element_at + shifts — whole-stage
+    //      codegen, no UDF); (3) only the survivors — true hits plus a
+    //      bounded false-positive trickle — pay a join, and that join
+    //      is deliberately NOT broadcast (shuffle_hash hint): in this
+    //      regime the eval set never fits as a hash table, so the
+    //      demonstrated plan is the plan that scales. Blooms have no
+    //      false negatives, so survivors ⊇ true matches and the exact
+    //      verify restores d9's result EXACTLY — same oracle, pinned
+    //      equal row-for-row by BloomDecontamSpec. ----
+    Q(
+      "d11_bloom_decontam",
+      (s, dir) => {
+        val evalSpans = evalSpanSet(s, dir)
+        bloomCandidates(s, dir)
+          .join(evalSpans.hint("shuffle_hash"), Seq("h"))
+          .groupBy("doc_id")
+          .agg(countDistinct("i").as("n_spans"),
+            countDistinct("eval_id").as("n_eval_docs"))
+      },
+      Some(decontamOracleSql),
+    ),
+  )
+
+  /** d9/d11's eval side: distinct `(h, eval_id)` spans of the stand-in
+    * eval set. */
+  private def evalSpanSet(s: SparkSession, dir: String): DataFrame =
+    spanIndex(s, dir).filter(col("doc_id") % EvalModulus === 0)
+      .select(col("h"), col("doc_id").as("eval_id"))
+      .distinct()
+
+  /** d11's bloom-surviving training spans `(doc_id, i, h)` — the corpus
+    * span table scalar-joined with the 1-row bloom (q37's broadcast
+    * shape) and filtered map-side. Exposed for BloomDecontamSpec's
+    * selectivity and plan pins; the Q exact-verifies this set.
+    */
+  private[pipeline] def bloomCandidates(s: SparkSession, dir: String): DataFrame = {
+    val pos = spanIndex(s, dir)
+    val bloom = bloomOf(evalSpanSet(s, dir).select("h"))
+    pos.filter(col("doc_id") % EvalModulus =!= 0)
+      .crossJoin(broadcast(bloom))
+      .withColumn("h1", col("h").bitwiseAND(lit(0xFFFFFFFFL)))
+      .withColumn("h2", expr("shiftrightunsigned(h, 30) | 1"))
+      .filter(bloomHit)
+      .select("doc_id", "i", "h")
+  }
+
+  /** d9/d11's shared DuckDB twin: the exact (bloom-free) decontamination
+    * join. d11's bloom is an optimization with no false negatives whose
+    * survivors are exactly verified, so BOTH operators must hash-match
+    * this same replay.
+    */
+  private def decontamOracleSql: String = s"""
         WITH $spanPosCtes,
         ev AS (SELECT DISTINCT h, doc_id AS eval_id FROM pos
                WHERE doc_id % $EvalModulus = 0)
@@ -772,7 +839,46 @@ object Dedup {
                CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
         FROM pos JOIN ev USING (h)
         WHERE doc_id % $EvalModulus <> 0
-        GROUP BY doc_id"""),
-    ),
-  )
+        GROUP BY doc_id"""
+
+  /** Bloom geometry: an ABSOLUTE capacity constant, like ShingleDfCap —
+    * 2^20 bits (128 KB) × 4 probes ≈ 0.4% false positives at 75 k eval
+    * spans (sf0.1's eval share). Production sizes m at ~10-16 bits per
+    * eval key — still MBs where the raw key set is GBs; the false-
+    * positive rate only moves the size of the exactly-verified survivor
+    * trickle, never correctness.
+    */
+  val BloomBits = 1 << 20
+  val BloomK = 4
+
+  /** Distributed Bloom build over a single `h` column: explode each
+    * key's BloomK bit positions, bit_or them into 64-bit words, and
+    * assemble the dense `bloom: array<bigint>` (BloomBits/64 entries,
+    * absent words zero-filled) in ONE output row — an aggregate all the
+    * way down, no driver-side bitmask.
+    */
+  private def bloomOf(keys: DataFrame): DataFrame = {
+    val w = (BloomBits / 64).toLong
+    keys
+      .withColumn("h1", col("h").bitwiseAND(lit(0xFFFFFFFFL)))
+      .withColumn("h2", expr("shiftrightunsigned(h, 30) | 1"))
+      .select(explode(array((0 until BloomK).map(i =>
+        (col("h1") + lit(i.toLong) * col("h2")) % lit(BloomBits.toLong)): _*)).as("p"))
+      .groupBy(expr("p div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))").as("word"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as("wm"))
+      .select(transform(sequence(lit(1L), lit(w)), i =>
+        coalesce(element_at(col("wm"), i - 1), lit(0L))).as("bloom"))
+  }
+
+  /** The map-side membership test against the scalar-joined `bloom`
+    * array, given precomputed `h1`/`h2`: all BloomK double-hashed bits
+    * set. Pure builtin expressions — stays inside whole-stage codegen.
+    */
+  private def bloomHit: Column =
+    (0 until BloomK).map { i =>
+      expr(s"""(shiftrightunsigned(
+        element_at(bloom, CAST(((h1 + $i * h2) % $BloomBits) div 64 AS INT) + 1),
+        CAST(((h1 + $i * h2) % $BloomBits) % 64 AS INT)) & 1) = 1""")
+    }.reduce(_ && _)
 }

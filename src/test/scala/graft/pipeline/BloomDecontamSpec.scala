@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** d11 bloom-prefiltered decontamination: the optimization contracts —
+  * no false negatives (d11's final rows equal d9's exactly), real
+  * selectivity (the bloom rejects the overwhelming share of clean
+  * training spans map-side), and the scale plan shape (a 1-row
+  * broadcast carries the bloom; the exact-verify join is a shuffled
+  * hash join, NOT a broadcast — d11 models the regime where the raw
+  * eval set is too big to broadcast).
+  */
+class BloomDecontamSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(name: String) =
+    SparkEntry.queries(name)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("d11 equals d9 row-for-row: the bloom admits no false negatives") {
+    assert(rows("d11_bloom_decontam") == rows("d9_decontam"),
+      "bloom-prefiltered decontamination must reproduce the exact join")
+  }
+
+  test("the prefilter is selective: candidates are a small fraction of training spans") {
+    val candidates = Dedup.bloomCandidates(spark, dir).count()
+    val total = Dedup.spanIndex(spark, dir)
+      .filter(col("doc_id") % Dedup.EvalModulus =!= 0).count()
+    assert(candidates < total / 5,
+      s"bloom passed $candidates of $total training spans — not selective " +
+        "(either the bloom is saturated or the probe is broken)")
+    // and it is not trivially empty either: true matches must survive
+    assert(candidates > 0)
+  }
+
+  test("plan shape: 1-row broadcast bloom; exact verify joins WITHOUT a broadcast") {
+    val df = SparkEntry.queries("d11_bloom_decontam")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected the scalar bloom broadcast:\n${p.take(2500)}")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the exact-verify join must be the non-broadcast spelling " +
+        s"(the raw eval set does not fit as a hash table in d11's regime):\n${p.take(2500)}")
+  }
+}
