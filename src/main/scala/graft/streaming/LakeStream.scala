@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Streaming side of the CDC lake family (q41/q43/q44): continuous
+  * change-log compaction. A stream of full-row-image change records
+  * (upserts and tombstones, batch-stamped) is compacted to each key's
+  * LATEST action — the state a merge-on-read reader resolves per query
+  * (q43's max_by argmax), maintained incrementally instead.
+  *
+  * Scale shape: one shuffle on the key; state per key is ONE row (the
+  * latest action), so total state is bounded by the touched-key set —
+  * days of changes, never the lake. The lake itself is untouched by the
+  * stream: merging compacted state with the frozen base remains the
+  * reader's broadcast anti-join (q43/q44's batch spelling).
+  */
+object LakeStream {
+
+  /** A change record: batch stamp, key, row image, action ('U' | 'D'). */
+  case class Chg(b: Int, k: Long, o_orderstatus: String, price: Double, act: String)
+
+  /** A key's compacted state: its latest action so far. */
+  case class KeyAct(k: Long, b: Int, o_orderstatus: String, price: Double, act: String)
+
+  /** Latest-action-per-key compaction (Kafka compacted-topic semantics).
+    * Streaming: mapGroupsWithState (Update mode) re-emits a key's row
+    * whenever a newer action arrives; state never times out because a
+    * key's latest action stays meaningful forever (a real deployment
+    * snapshots + truncates on checkpoint compaction). Batch (the twin
+    * gate): state starts empty and each key sees its full log, so the
+    * emission is exactly q43's max_by argmax. Ties on the batch stamp
+    * keep the FIRST maximum — the already-held state — so at-least-once
+    * redelivery of a batch is idempotent.
+    */
+  def cdcCompact(changes: Dataset[Chg]): Dataset[KeyAct] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.k)
+      .mapGroupsWithState[KeyAct, KeyAct](GroupStateTimeout.NoTimeout) {
+        (k, it, state) =>
+          val latest = (state.getOption.iterator ++
+            it.map(c => KeyAct(k, c.b, c.o_orderstatus, c.price, c.act)))
+            .maxBy(_.b)
+          state.update(latest)
+          latest
+      }
+  }
+}

@@ -220,5 +220,71 @@ object StreamTwins {
       Some("""
         SELECT DISTINCT user_id, event_type, value + 0.0 AS value FROM events"""),
     ),
+
+    // ---- q44: batch run of cdcCompact + the reader's merge — the
+    //      lake family's twin: CONTINUOUS CDC ingestion (streamed
+    //      change-log compaction to latest-action-per-key state) must
+    //      land on exactly the state the batch merge-on-read computes.
+    //      In batch, mapGroupsWithState sees each key's full log with
+    //      empty state, so the emission is q43's max_by argmax; merging
+    //      with the frozen lake through the same broadcast anti-join
+    //      must therefore equal q43's "as of latest" read — the oracle
+    //      is q43's replay restricted to v = 2. Scale shape: one
+    //      shuffle of the day-scale log on key; state is one row per
+    //      touched key; the lake never shuffles. ----
+    Q(
+      "q44_cdc_stream",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val resolved = LakeStream.cdcCompact(
+          graft.queries.Advanced.cdcLogs(s, dir)
+            .select(col("b"), col("k"), col("o_orderstatus"), col("price"), col("act"))
+            .as[LakeStream.Chg]).toDF()
+        val lake = graft.queries.Advanced.cdcLake(s, dir)
+        lake.join(broadcast(resolved.select(col("k"))), Seq("k"), "left_anti")
+          .unionByName(resolved.filter(col("act") === "U")
+            .select(col("k"), col("o_orderstatus"), col("price")))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            graft.Agg.dsum(col("price")).as("sum_price"),
+            bit_xor(graft.pipeline.Portable.md5Long(col("k").cast("string")))
+              .as("key_xor"))
+      },
+      Some(s"""
+        WITH mk AS (SELECT max(o_orderkey) AS mx FROM orders),
+        base AS (
+          SELECT o_orderkey AS k, o_orderstatus, o_totalprice AS price
+          FROM orders),
+        logs AS (
+          SELECT 1 AS b, k, o_orderstatus, price, 'D' AS act
+          FROM base WHERE k % 47 = 0
+          UNION ALL
+          SELECT 1, k, o_orderstatus, price + 100.0, 'U'
+          FROM base WHERE k % 20 = 0 AND k % 47 <> 0
+          UNION ALL
+          SELECT 1, k + mx + 1, o_orderstatus, price, 'U'
+          FROM base, mk WHERE k % 31 = 0
+          UNION ALL
+          SELECT 2, k, o_orderstatus, price, 'D'
+          FROM base WHERE k % 59 = 0
+          UNION ALL
+          SELECT 2, k, o_orderstatus, price + 7.0, 'U'
+          FROM base WHERE k % 13 = 0 AND k % 59 <> 0),
+        resolved AS (
+          SELECT k, max_by(act, b) AS act,
+                 max_by(o_orderstatus, b) AS o_orderstatus,
+                 max_by(price, b) AS price
+          FROM logs GROUP BY 1),
+        merged AS (
+          SELECT b.k, b.o_orderstatus, b.price FROM base b
+          WHERE NOT EXISTS (SELECT 1 FROM resolved r WHERE r.k = b.k)
+          UNION ALL
+          SELECT k, o_orderstatus, price FROM resolved WHERE act = 'U')
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS sum_price,
+               bit_xor(${graft.pipeline.Portable.md5LongSql("CAST(k AS VARCHAR)")}) AS key_xor
+        FROM merged GROUP BY 1"""),
+    ),
   )
 }

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import LakeStream.{Chg, KeyAct}
+
+/** q44's streaming-only properties: incremental compaction emits a
+  * key's row again only when a NEWER action arrives, redelivered
+  * batches are idempotent (state wins ties), and the batch twin's
+  * merged state equals q43's as-of-latest time-travel read row-for-row
+  * — continuous ingestion and batch merge-on-read land on one state.
+  */
+class LakeStreamSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed compaction: latest action per key, updates re-emit, state wins b-ties") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Chg]
+    val query = LakeStream.cdcCompact(mem.toDS())
+      .writeStream.format("memory").queryName("compacted")
+      .outputMode("update").start()
+    try {
+      // batch 1: upsert k=1, tombstone k=2, upsert k=3
+      mem.addData(
+        Chg(1, 1L, "O", 10.0, "U"),
+        Chg(1, 2L, "O", 20.0, "D"),
+        Chg(1, 3L, "F", 30.0, "U"))
+      query.processAllAvailable()
+      val after1 = spark.table("compacted").as[KeyAct].collect()
+      assert(after1.map(a => a.k -> a.act).toSet == Set(1L -> "U", 2L -> "D", 3L -> "U"))
+      // batch 2: delete k=1, resurrect k=2; k=3 untouched → NOT re-emitted
+      mem.addData(
+        Chg(2, 1L, "O", 10.0, "D"),
+        Chg(2, 2L, "P", 21.0, "U"))
+      query.processAllAvailable()
+      val all = spark.table("compacted").as[KeyAct].collect()
+      assert(all.length == 5, s"k=3 must not re-emit without a newer action: ${all.toSeq}")
+      val latest = all.groupBy(_.k).view.mapValues(_.maxBy(_.b)).toMap
+      assert(latest(1L).act == "D")
+      assert(latest(2L) == KeyAct(2L, 2, "P", 21.0, "U"), "b2 image must resurrect k=2")
+      assert(latest(3L) == KeyAct(3L, 1, "F", 30.0, "U"))
+      // redelivery of batch 2 (at-least-once): same stamp, same state —
+      // whatever re-emits must not CHANGE any key's resolved action
+      mem.addData(Chg(2, 1L, "X", 99.0, "D"), Chg(2, 2L, "X", 99.0, "U"))
+      query.processAllAvailable()
+      val after3 = spark.table("compacted").as[KeyAct].collect()
+        .groupBy(_.k).view.mapValues(_.maxBy(_.b)).toMap
+      assert(after3(1L).act == "D" && after3(2L) == KeyAct(2L, 2, "P", 21.0, "U"),
+        "redelivered batch stamps must not displace held state (first-max tie rule)")
+    } finally query.stop()
+  }
+
+  test("batch twin: compacted state merged with the lake equals q43's as-of-latest read") {
+    import spark.implicits._
+    val resolved = LakeStream.cdcCompact(
+      graft.queries.Advanced.cdcLogs(spark, dir)
+        .select(col("b"), col("k"), col("o_orderstatus"), col("price"), col("act"))
+        .as[Chg]).toDF()
+    val lake = graft.queries.Advanced.cdcLake(spark, dir)
+    val merged = lake.join(broadcast(resolved.select(col("k"))), Seq("k"), "left_anti")
+      .unionByName(resolved.filter(col("act") === "U")
+        .select(col("k"), col("o_orderstatus"), col("price")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "o_orderstatus", "price").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows(merged) ==
+      rows(graft.queries.Advanced.asOfState(spark, dir, 2).drop("v")),
+      "streamed compaction + reader merge must equal the batch time-travel read")
+  }
+}
