@@ -754,12 +754,8 @@ object Dedup {
     Q(
       "d9_decontam",
       (s, dir) => {
-        val pos = spanIndex(s, dir)
-        val evalSpans = pos.filter(col("doc_id") % EvalModulus === 0)
-          .select(col("h"), col("doc_id").as("eval_id"))
-          .distinct()
-        pos.filter(col("doc_id") % EvalModulus =!= 0)
-          .join(broadcast(evalSpans), Seq("h"))
+        spanIndex(s, dir).filter(col("doc_id") % EvalModulus =!= 0)
+          .join(broadcast(evalSpanSet(s, dir)), Seq("h"))
           .groupBy("doc_id")
           .agg(countDistinct("i").as("n_spans"),
             countDistinct("eval_id").as("n_eval_docs"))

@@ -553,25 +553,7 @@ object Advanced {
               .as("key_xor"))
       },
       Some(s"""
-        WITH mk AS (SELECT max(o_orderkey) AS mx FROM orders),
-        base AS (
-          SELECT o_orderkey AS k, o_orderstatus, o_totalprice AS price
-          FROM orders),
-        logs AS (
-          SELECT 1 AS b, k, o_orderstatus, price, 'D' AS act
-          FROM base WHERE k % 47 = 0
-          UNION ALL
-          SELECT 1, k, o_orderstatus, price + 100.0, 'U'
-          FROM base WHERE k % 20 = 0 AND k % 47 <> 0
-          UNION ALL
-          SELECT 1, k + mx + 1, o_orderstatus, price, 'U'
-          FROM base, mk WHERE k % 31 = 0
-          UNION ALL
-          SELECT 2, k, o_orderstatus, price, 'D'
-          FROM base WHERE k % 59 = 0
-          UNION ALL
-          SELECT 2, k, o_orderstatus, price + 7.0, 'U'
-          FROM base WHERE k % 13 = 0 AND k % 59 <> 0),
+        WITH $cdcLogCtesSql,
         vs AS (SELECT * FROM (VALUES (1), (2)) AS t(v)),
         resolved AS (
           SELECT vs.v, l.k,
@@ -644,6 +626,42 @@ object Advanced {
     */
   private val IncAggCutoff = "2001-01-01 00:00:00"
 
+  /** q43/q44's shared DuckDB replay prefix: the `mk`/`base`/`logs`
+    * CTEs mirroring [[cdcLake]] + [[cdcLogs]]. One definition, so any
+    * edit to the feed's moduli or price deltas lands in every
+    * consumer's oracle at once (q43 resolves it per version, q44 at
+    * the latest version only).
+    */
+  private[graft] def cdcLogCtesSql: String = s"""mk AS (SELECT max(o_orderkey) AS mx FROM orders),
+        base AS (
+          SELECT o_orderkey AS k, o_orderstatus, o_totalprice AS price
+          FROM orders),
+        logs AS (
+          SELECT 1 AS b, k, o_orderstatus, price, 'D' AS act
+          FROM base WHERE k % 47 = 0
+          UNION ALL
+          SELECT 1, k, o_orderstatus, price + 100.0, 'U'
+          FROM base WHERE k % 20 = 0 AND k % 47 <> 0
+          UNION ALL
+          SELECT 1, k + mx + 1, o_orderstatus, price, 'U'
+          FROM base, mk WHERE k % 31 = 0
+          UNION ALL
+          SELECT 2, k, o_orderstatus, price, 'D'
+          FROM base WHERE k % 59 = 0
+          UNION ALL
+          SELECT 2, k, o_orderstatus, price + 7.0, 'U'
+          FROM base WHERE k % 13 = 0 AND k % 59 <> 0)"""
+
+  /** The CDC family's lake view of orders: `(k, o_orderstatus, price)`.
+    * Shared by q41 (copy-on-write merge) and q43 (merge-on-read log +
+    * time travel) so both layouts demonstrably serve the same table.
+    */
+  private[graft] def cdcLake(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus"),
+        col("o_totalprice").as("price"))
+
   /** q41's merged table `(k, o_orderstatus, price)` — the full CoW
     * MERGE: a deterministic changes feed of UPDATES (every 20th key
     * re-priced +100), DELETES (every 47th key tombstoned; delete WINS
@@ -658,16 +676,6 @@ object Advanced {
     * shuffles). Exposed for UpsertSpec's row-level contracts; the Q
     * aggregates it.
     */
-  /** The CDC family's lake view of orders: `(k, o_orderstatus, price)`.
-    * Shared by q41 (copy-on-write merge) and q43 (merge-on-read log +
-    * time travel) so both layouts demonstrably serve the same table.
-    */
-  private[graft] def cdcLake(
-      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    t(s, dir, "orders")
-      .select(col("o_orderkey").as("k"), col("o_orderstatus"),
-        col("o_totalprice").as("price"))
-
   private[graft] def cdcMerged(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val lake = cdcLake(s, dir)

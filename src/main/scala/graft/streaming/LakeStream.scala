@@ -24,14 +24,18 @@ object LakeStream {
   case class KeyAct(k: Long, b: Int, o_orderstatus: String, price: Double, act: String)
 
   /** Latest-action-per-key compaction (Kafka compacted-topic semantics).
-    * Streaming: mapGroupsWithState (Update mode) re-emits a key's row
-    * whenever a newer action arrives; state never times out because a
-    * key's latest action stays meaningful forever (a real deployment
-    * snapshots + truncates on checkpoint compaction). Batch (the twin
-    * gate): state starts empty and each key sees its full log, so the
-    * emission is exactly q43's max_by argmax. Ties on the batch stamp
-    * keep the FIRST maximum — the already-held state — so at-least-once
-    * redelivery of a batch is idempotent.
+    * Streaming: mapGroupsWithState (Update mode) emits a key's resolved
+    * row on EVERY arrival for that key — a newer action emits the new
+    * image; a stale or redelivered record re-emits the unchanged held
+    * row (duplicate emissions, never displaced state), so downstream
+    * consumers must upsert by key, not count emissions. State never
+    * times out because a key's latest action stays meaningful forever
+    * (a real deployment snapshots + truncates on checkpoint
+    * compaction). Batch (the twin gate): state starts empty and each
+    * key sees its full log, so the emission is exactly q43's max_by
+    * argmax. Ties on the batch stamp keep the FIRST maximum — the
+    * already-held state — so at-least-once redelivery of a batch is
+    * idempotent on the resolved state.
     */
   def cdcCompact(changes: Dataset[Chg]): Dataset[KeyAct] = {
     import changes.sparkSession.implicits._

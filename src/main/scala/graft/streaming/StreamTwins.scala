@@ -252,25 +252,7 @@ object StreamTwins {
               .as("key_xor"))
       },
       Some(s"""
-        WITH mk AS (SELECT max(o_orderkey) AS mx FROM orders),
-        base AS (
-          SELECT o_orderkey AS k, o_orderstatus, o_totalprice AS price
-          FROM orders),
-        logs AS (
-          SELECT 1 AS b, k, o_orderstatus, price, 'D' AS act
-          FROM base WHERE k % 47 = 0
-          UNION ALL
-          SELECT 1, k, o_orderstatus, price + 100.0, 'U'
-          FROM base WHERE k % 20 = 0 AND k % 47 <> 0
-          UNION ALL
-          SELECT 1, k + mx + 1, o_orderstatus, price, 'U'
-          FROM base, mk WHERE k % 31 = 0
-          UNION ALL
-          SELECT 2, k, o_orderstatus, price, 'D'
-          FROM base WHERE k % 59 = 0
-          UNION ALL
-          SELECT 2, k, o_orderstatus, price + 7.0, 'U'
-          FROM base WHERE k % 13 = 0 AND k % 59 <> 0),
+        WITH ${graft.queries.Advanced.cdcLogCtesSql},
         resolved AS (
           SELECT k, max_by(act, b) AS act,
                  max_by(o_orderstatus, b) AS o_orderstatus,

@@ -38,7 +38,10 @@ class BloomDecontamSpec extends SparkSpec {
     val df = SparkEntry.queries("d11_bloom_decontam")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+    // the 1-row bloom cross join can only plan as a broadcast nested
+    // loop — pinning that exact spelling (a bare BroadcastExchange
+    // disjunct would match ANY broadcast in the plan)
+    assert(p.contains("BroadcastNestedLoopJoin"),
       s"expected the scalar bloom broadcast:\n${p.take(2500)}")
     assert(p.contains("ShuffledHashJoin"),
       s"the exact-verify join must be the non-broadcast spelling " +

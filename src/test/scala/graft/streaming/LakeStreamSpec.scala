@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 import LakeStream.{Chg, KeyAct}
 
 /** q44's streaming-only properties: incremental compaction emits a
-  * key's row again only when a NEWER action arrives, redelivered
-  * batches are idempotent (state wins ties), and the batch twin's
+  * key's resolved row on every arrival for that key (untouched keys
+  * stay silent; redelivered records re-emit the unchanged held row —
+  * state wins ties, so redelivery is idempotent on the resolved
+  * state), and the batch twin's
   * merged state equals q43's as-of-latest time-travel read row-for-row
   * — continuous ingestion and batch merge-on-read land on one state.
   */
