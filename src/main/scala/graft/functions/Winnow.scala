@@ -180,6 +180,27 @@ object GraftFunctions {
         ResizeNn(exprs.head, exprs(1), exprs(2), ow, oh)
       }),
     (
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 4, "bloom_contains(h, mask, k, m)")
+        // the mask literal is swallowed HERE, at analysis time: the
+        // built expression holds a plain long[] constructor field, so
+        // the 16k-entry array never appears as a plan-tree literal
+        // (which would print in full into every plan string)
+        require(exprs(1).foldable, s"bloom_contains: mask must be a literal array, got ${exprs(1)}")
+        val mask = exprs(1).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toLongArray()
+          case other => throw new IllegalArgumentException(
+            s"bloom_contains: mask must be array<bigint>, got $other")
+        }
+        val k = literalInt(exprs(2), "bloom_contains", "k")
+        val m = literalInt(exprs(3), "bloom_contains", "m")
+        require(k > 0 && m > 0 && (m & (m - 1)) == 0 && mask.length == m / 64,
+          s"bloom_contains: need power-of-two m with mask.length == m/64, got k=$k m=$m len=${mask.length}")
+        BloomContains(exprs.head, mask, k, m)
+      }),
+    (
       FunctionIdentifier("byte_simhash"),
       new ExpressionInfo(classOf[ByteSimhash].getName, "byte_simhash"),
       { exprs: Seq[Expression] =>

@@ -773,11 +773,13 @@ object Dedup {
     //      the survivor set: (1) the bloom builds DISTRIBUTED — each
     //      eval span sets BloomK double-hashed bits (Kirsch-
     //      Mitzenmacher: g_i = h1 + i*h2 mod m), a word-indexed bit_or
-    //      aggregate packs them, and ONE row assembles the dense
-    //      word array; (2) that row scalar-broadcasts onto the corpus
-    //      span table and the membership test runs map-side in pure
-    //      builtin expressions (element_at + shifts — whole-stage
-    //      codegen, no UDF); (3) only the survivors — true hits plus a
+    //      aggregate packs them, and the constant-bounded word set
+    //      assembles into the dense bitmask via BoundedCollect (the
+    //      mechanism Spark's own runtime bloom filters use); (2) the
+    //      bitmask ships as ONE literal and the membership test runs
+    //      map-side in pure builtin expressions (element_at + shifts —
+    //      whole-stage codegen, no UDF, no join in the probe stage);
+    //      (3) only the survivors — true hits plus a
     //      bounded false-positive trickle — pay a join, and that join
     //      is deliberately NOT broadcast (shuffle_hash hint): in this
     //      regime the eval set never fits as a hash table, so the
@@ -807,18 +809,17 @@ object Dedup {
       .distinct()
 
   /** d11's bloom-surviving training spans `(doc_id, i, h)` — the corpus
-    * span table scalar-joined with the 1-row bloom (q37's broadcast
-    * shape) and filtered map-side. Exposed for BloomDecontamSpec's
-    * selectivity and plan pins; the Q exact-verifies this set.
+    * span table filtered map-side against the literal bitmask (no join
+    * in the probe stage; see [[bloomOf]] for why not a scalar join).
+    * Exposed for BloomDecontamSpec's selectivity and plan pins; the Q
+    * exact-verifies this set.
     */
   private[pipeline] def bloomCandidates(s: SparkSession, dir: String): DataFrame = {
-    val pos = spanIndex(s, dir)
+    graft.functions.GraftFunctions.register(s)
     val bloom = bloomOf(evalSpanSet(s, dir).select("h"))
-    pos.filter(col("doc_id") % EvalModulus =!= 0)
-      .crossJoin(broadcast(bloom))
-      .withColumn("h1", col("h").bitwiseAND(lit(0xFFFFFFFFL)))
-      .withColumn("h2", expr("shiftrightunsigned(h, 30) | 1"))
-      .filter(bloomHit)
+    spanIndex(s, dir).filter(col("doc_id") % EvalModulus =!= 0)
+      .filter(call_function("bloom_contains", col("h"), typedLit(bloom),
+        lit(BloomK), lit(BloomBits)))
       .select("doc_id", "i", "h")
   }
 
@@ -848,33 +849,31 @@ object Dedup {
   val BloomK = 4
 
   /** Distributed Bloom build over a single `h` column: explode each
-    * key's BloomK bit positions, bit_or them into 64-bit words, and
-    * assemble the dense `bloom: array<bigint>` (BloomBits/64 entries,
-    * absent words zero-filled) in ONE output row — an aggregate all the
-    * way down, no driver-side bitmask.
+    * key's BloomK bit positions, bit_or them into 64-bit words across
+    * the cluster, then pull the CONSTANT-bounded word set (≤
+    * BloomBits/64 rows = 128 KB, corpus-size-independent — exactly
+    * BoundedCollect's contract) and assemble the dense bitmask
+    * driver-side. This is the same mechanism Spark's own runtime bloom
+    * filters use (aggregate → driver → re-ship as a literal): the
+    * first spelling tried — keeping the array as a 1-row DataFrame and
+    * scalar-joining it — measured 14 s at sf0.1 because every probe
+    * row materialized a COPY of the 16 KB array through the join
+    * output; as a literal the bitmask is one shared object referenced
+    * from codegen, and the probe stage carries no join at all.
     */
-  private def bloomOf(keys: DataFrame): DataFrame = {
-    val w = (BloomBits / 64).toLong
-    keys
+  private def bloomOf(keys: DataFrame): Array[Long] = {
+    val nWords = BloomBits / 64
+    val words = keys
       .withColumn("h1", col("h").bitwiseAND(lit(0xFFFFFFFFL)))
       .withColumn("h2", expr("shiftrightunsigned(h, 30) | 1"))
       .select(explode(array((0 until BloomK).map(i =>
         (col("h1") + lit(i.toLong) * col("h2")) % lit(BloomBits.toLong)): _*)).as("p"))
       .groupBy(expr("p div 64").as("w"))
       .agg(expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))").as("word"))
-      .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as("wm"))
-      .select(transform(sequence(lit(1L), lit(w)), i =>
-        coalesce(element_at(col("wm"), i - 1), lit(0L))).as("bloom"))
+    val arr = new Array[Long](nWords)
+    graft.BoundedCollect.rows(words, nWords, "d11 bloom bitmask")
+      .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
   }
 
-  /** The map-side membership test against the scalar-joined `bloom`
-    * array, given precomputed `h1`/`h2`: all BloomK double-hashed bits
-    * set. Pure builtin expressions — stays inside whole-stage codegen.
-    */
-  private def bloomHit: Column =
-    (0 until BloomK).map { i =>
-      expr(s"""(shiftrightunsigned(
-        element_at(bloom, CAST(((h1 + $i * h2) % $BloomBits) div 64 AS INT) + 1),
-        CAST(((h1 + $i * h2) % $BloomBits) % 64 AS INT)) & 1) = 1""")
-    }.reduce(_ && _)
 }

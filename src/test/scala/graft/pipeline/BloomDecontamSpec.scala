@@ -34,15 +34,25 @@ class BloomDecontamSpec extends SparkSpec {
     assert(candidates > 0)
   }
 
-  test("plan shape: 1-row broadcast bloom; exact verify joins WITHOUT a broadcast") {
+  test("plan shape: joinless literal-bitmask probe; exact verify joins WITHOUT a broadcast") {
+    // the probe stage is a pure map-side filter — no join of any kind
+    // (the scalar-join spelling measured 14 s at sf0.1: every probe row
+    // materialized a copy of the 16 KB array through the join output)
+    val cand = Dedup.bloomCandidates(spark, dir)
+    cand.collect()
+    val cp = cand.queryExecution.executedPlan.toString
+    assert(!cp.contains("Join"),
+      s"the bloom probe must be a joinless map-side filter:\n${cp.take(2500)}")
+    // executedPlan.toString renders whole-stage-codegen'd nodes with a
+    // "*(n)" stage prefix; the probe filter must carry one
+    assert(cp.contains("*(1) Filter"),
+      s"the membership test must stay inside codegen:\n${cp.take(2500)}")
+    assert(cp.contains("bloom_contains(h"),
+      s"the probe must be the compact bloom_contains expression " +
+        s"(not an element_at chain dumping the mask into the plan):\n${cp.take(2500)}")
     val df = SparkEntry.queries("d11_bloom_decontam")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // the 1-row bloom cross join can only plan as a broadcast nested
-    // loop — pinning that exact spelling (a bare BroadcastExchange
-    // disjunct would match ANY broadcast in the plan)
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"expected the scalar bloom broadcast:\n${p.take(2500)}")
     assert(p.contains("ShuffledHashJoin"),
       s"the exact-verify join must be the non-broadcast spelling " +
         s"(the raw eval set does not fit as a hash table in d11's regime):\n${p.take(2500)}")
