@@ -25,6 +25,20 @@ case class BloomContains(child: Expression, mask: Array[Long], k: Int, mBits: In
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_contains"
 
+  // Array fields compare by REFERENCE under case-class equality, which
+  // would make structurally identical predicates never equal — breaking
+  // ExpressionSet dedup / CSE / reuse rules that match on expression
+  // equality. Compare the mask by content.
+  override def equals(other: Any): Boolean = other match {
+    case BloomContains(c, m, kk, mb) =>
+      c == child && kk == k && mb == mBits && java.util.Arrays.equals(m, mask)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, java.lang.Integer.valueOf(k),
+      java.lang.Integer.valueOf(mBits),
+      java.lang.Integer.valueOf(java.util.Arrays.hashCode(mask)))
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

@@ -189,15 +189,19 @@ object GraftFunctions {
         // the 16k-entry array never appears as a plan-tree literal
         // (which would print in full into every plan string)
         require(exprs(1).foldable, s"bloom_contains: mask must be a literal array, got ${exprs(1)}")
-        val mask = exprs(1).eval() match {
-          case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toLongArray()
-          case other => throw new IllegalArgumentException(
-            s"bloom_contains: mask must be array<bigint>, got $other")
-        }
+        // type-check BEFORE eval: a wrongly-typed array (array<int>)
+        // would otherwise die in toLongArray with a bare ClassCastException
+        require(exprs(1).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, _) => true
+          case _ => false
+        }, s"bloom_contains: mask must be array<bigint>, got ${exprs(1).dataType}")
+        val mask = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
         val k = literalInt(exprs(2), "bloom_contains", "k")
         val m = literalInt(exprs(3), "bloom_contains", "m")
-        require(k > 0 && m > 0 && (m & (m - 1)) == 0 && mask.length == m / 64,
-          s"bloom_contains: need power-of-two m with mask.length == m/64, got k=$k m=$m len=${mask.length}")
+        require(k > 0 && m >= 64 && (m & (m - 1)) == 0 && mask.length == m / 64,
+          s"bloom_contains: need power-of-two m >= 64 with mask.length == m/64, got k=$k m=$m len=${mask.length}")
         BloomContains(exprs.head, mask, k, m)
       }),
     (

@@ -776,9 +776,10 @@ object Dedup {
     //      aggregate packs them, and the constant-bounded word set
     //      assembles into the dense bitmask via BoundedCollect (the
     //      mechanism Spark's own runtime bloom filters use); (2) the
-    //      bitmask ships as ONE literal and the membership test runs
-    //      map-side in pure builtin expressions (element_at + shifts —
-    //      whole-stage codegen, no UDF, no join in the probe stage);
+    //      bitmask rides inside the bloom_contains codegen expression
+    //      (an addReferenceObj field — one shared array object) and
+    //      the membership test runs as a joinless map-side filter in
+    //      whole-stage codegen;
     //      (3) only the survivors — true hits plus a
     //      bounded false-positive trickle — pay a join, and that join
     //      is deliberately NOT broadcast (shuffle_hash hint): in this
@@ -857,7 +858,7 @@ object Dedup {
     * filters use (aggregate → driver → re-ship as a literal): the
     * first spelling tried — keeping the array as a 1-row DataFrame and
     * scalar-joining it — measured 14 s at sf0.1 because every probe
-    * row materialized a COPY of the 16 KB array through the join
+    * row materialized a COPY of the 128 KB array through the join
     * output; as a literal the bitmask is one shared object referenced
     * from codegen, and the probe stage carries no join at all.
     */

@@ -37,7 +37,7 @@ class BloomDecontamSpec extends SparkSpec {
   test("plan shape: joinless literal-bitmask probe; exact verify joins WITHOUT a broadcast") {
     // the probe stage is a pure map-side filter — no join of any kind
     // (the scalar-join spelling measured 14 s at sf0.1: every probe row
-    // materialized a copy of the 16 KB array through the join output)
+    // materialized a copy of the 128 KB array through the join output)
     val cand = Dedup.bloomCandidates(spark, dir)
     cand.collect()
     val cp = cand.queryExecution.executedPlan.toString
