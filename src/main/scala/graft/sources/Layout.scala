@@ -267,7 +267,74 @@ object Layout {
         WHERE xb BETWEEN ${ZQueryXCells.head} AND ${ZQueryXCells.last}
           AND yb BETWEEN ${ZQueryYCells.head} AND ${ZQueryYCells.last}"""),
     ),
+
+    // ---- q45: LINEARLY CLUSTERED layout + zone-map pruning — the
+    //      single-column workhorse beside q37's 2-D z-order: `orders`
+    //      range-repartitioned AND sorted on o_orderdate, so each
+    //      output file owns a DISJOINT date range and its parquet
+    //      row-group stats (the zone map every columnar format keeps
+    //      for free) discriminate perfectly. A narrow date-range scan
+    //      then pushes its predicates into the reader (PushedFilters)
+    //      and the stats skip every non-intersecting row group — at
+    //      100 TB a week-of-data query reads ~|week|/|history| of the
+    //      table instead of all of it, with NO partition directories,
+    //      no metastore, no bucket count to choose: sort order IS the
+    //      index. The unsorted original cannot skip anything (its one
+    //      row group spans the full date range) — ClusterSpec measures
+    //      exactly that contrast via scan-emitted row counts, plus the
+    //      disjoint-file-range contract that makes skipping work. ----
+    Q(
+      "q45_cluster_prune",
+      (s, dir) =>
+        clusteredOrders(s, dir)
+          .filter(col("o_date") >= lit(ClusterQueryLo).cast("date")
+            && col("o_date") < lit(ClusterQueryHi).cast("date"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            graft.Agg.dsum(col("o_totalprice")).as("sum_price")),
+      Some(s"""
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '$ClusterQueryLo 00:00:00'
+          AND o_orderdate < TIMESTAMP '$ClusterQueryHi 00:00:00'
+        GROUP BY 1"""),
+    ),
   )
+
+  /** q45's clustering geometry and gate window: enough files that the
+    * multi-file skipping regime is real at every gate SF, and a
+    * ~3-month slice of the ~6.5-year order history (≈4% of rows) so
+    * pruning has something to prove. Day-level bounds, so the DATE
+    * clustering key and the oracle's timestamp predicate agree exactly.
+    */
+  private val ClusterFileCount = 16
+  private val ClusterQueryLo = "1998-03-01"
+  private val ClusterQueryHi = "1998-06-01"
+
+  /** Memoized date-clustered twin of `orders`: a derived DATE
+    * clustering key (`o_date = o_orderdate`'s day — parquet INT32,
+    * whose row-group stats Spark's reader provably prunes on; the raw
+    * TIMESTAMP_NTZ column's stats it does not, measured in
+    * ClusterSpec's history), range-repartitioned so each output file
+    * owns a disjoint date range (sampled boundaries) and sorted within
+    * files so every row group's min/max is tight. This is the
+    * write-side half of zone-map skipping; the read side is plain
+    * parquet pushdown. Exposed for ClusterSpec's on-disk contracts.
+    */
+  private[graft] def clusteredOrders(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${layoutRoot(s)}/graft_clust_orders_${Scratch.pathKey(dir)}"
+    this.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").isFile) {
+        t(s, dir, "orders")
+          .withColumn("o_date", to_date(col("o_orderdate")))
+          .repartitionByRange(ClusterFileCount, col("o_date"))
+          .sortWithinPartitions(col("o_date"))
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+    s.read.parquet(path)
+  }
 
   /** Z-grid resolution: 16 cells per dimension, 256 Morton buckets. */
   private val ZBits = 4
