@@ -36,6 +36,25 @@ object Layout {
   private def layoutRoot(s: SparkSession): String =
     s"${Scratch.dir}/layout-${s.sparkContext.applicationId}"
 
+  /** Memoized parquet layout rewrite: build once per (applicationId,
+    * corpus dir) behind the `_SUCCESS` marker, serialized on this
+    * object so concurrent callers never double-write. Every path-based
+    * layout twin routes through HERE — the locking/marker convention
+    * has one home instead of a copy per layout (the copies were
+    * drifting; `bucketed` stays separate only because it memoizes via
+    * the session catalog, not a path probe). Reentrant: a build lambda
+    * may itself resolve another memoized layout (q39's compaction
+    * reads the fragmented twin).
+    */
+  private def memoLayout(s: SparkSession, name: String, dir: String)(
+      write: String => Unit): String = {
+    val path = s"${layoutRoot(s)}/${name}_${Scratch.pathKey(dir)}"
+    this.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").isFile) write(path)
+    }
+    path
+  }
+
   /** Memoized bucketed+sorted twin of a base table, registered in the
     * session catalog as an external parquet table. The pre-write
     * `repartition(n, key)` uses the SAME hash family as the bucket spec,
@@ -67,18 +86,13 @@ object Layout {
   /** Memoized event_type-partitioned twin of `events` (ts pre-truncated
     * to microseconds by the loader, so the copy round-trips exactly).
     */
-  private def partitionedEvents(s: SparkSession, dir: String): DataFrame = {
-    val path = s"${layoutRoot(s)}/graft_part_events_${Scratch.pathKey(dir)}"
-    this.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").isFile) {
-        t(s, dir, "events").write
-          .partitionBy("event_type")
-          .mode("overwrite")
-          .parquet(path)
-      }
-    }
-    s.read.parquet(path)
-  }
+  private def partitionedEvents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(memoLayout(s, "graft_part_events", dir) { path =>
+      t(s, dir, "events").write
+        .partitionBy("event_type")
+        .mode("overwrite")
+        .parquet(path)
+    })
 
   /** Ingest fragments the q39 fixture writes per partition — the
     * small-files debris a streaming/micro-batch ingest leaves behind
@@ -91,17 +105,12 @@ object Layout {
     * BEFORE state of the compaction story. Memoized like the other
     * layout rewrites.
     */
-  private[graft] def fragmentedEventsPath(s: SparkSession, dir: String): String = {
-    val path = s"${layoutRoot(s)}/graft_frag_events_${Scratch.pathKey(dir)}"
-    this.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").isFile) {
-        t(s, dir, "events")
-          .repartition(FragmentCount, pmod(col("event_id"), lit(FragmentCount)))
-          .write.partitionBy("event_type").mode("overwrite").parquet(path)
-      }
+  private[graft] def fragmentedEventsPath(s: SparkSession, dir: String): String =
+    memoLayout(s, "graft_frag_events", dir) { path =>
+      t(s, dir, "events")
+        .repartition(FragmentCount, pmod(col("event_id"), lit(FragmentCount)))
+        .write.partitionBy("event_type").mode("overwrite").parquet(path)
     }
-    path
-  }
 
   /** Bin-packing target: output files carry at most this many rows, so
     * a partition compacts to exactly ⌈n/target⌉ files — the knob that
@@ -127,17 +136,13 @@ object Layout {
     */
   private[graft] def compactedEvents(s: SparkSession, dir: String): DataFrame = {
     val src = fragmentedEventsPath(s, dir)
-    val path = s"${layoutRoot(s)}/graft_compact_events_${Scratch.pathKey(dir)}"
-    this.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").isFile) {
-        s.read.parquet(src)
-          .repartition(col("event_type"))
-          .write
-          .option("maxRecordsPerFile", TargetRowsPerFile)
-          .partitionBy("event_type").mode("overwrite").parquet(path)
-      }
-    }
-    s.read.parquet(path)
+    s.read.parquet(memoLayout(s, "graft_compact_events", dir) { path =>
+      s.read.parquet(src)
+        .repartition(col("event_type"))
+        .write
+        .option("maxRecordsPerFile", TargetRowsPerFile)
+        .partitionBy("event_type").mode("overwrite").parquet(path)
+    })
   }
 
   def all: Seq[Q] = Seq(
@@ -270,7 +275,9 @@ object Layout {
 
     // ---- q45: LINEARLY CLUSTERED layout + zone-map pruning — the
     //      single-column workhorse beside q37's 2-D z-order: `orders`
-    //      range-repartitioned AND sorted on o_orderdate, so each
+    //      range-repartitioned AND sorted on the derived DATE key
+    //      `o_date` (NOT the raw TIMESTAMP_NTZ column — its pushed
+    //      filters don't prune row groups; see clusteredOrders), so each
     //      output file owns a DISJOINT date range and its parquet
     //      row-group stats (the zone map every columnar format keeps
     //      for free) discriminate perfectly. A narrow date-range scan
@@ -322,19 +329,14 @@ object Layout {
     * write-side half of zone-map skipping; the read side is plain
     * parquet pushdown. Exposed for ClusterSpec's on-disk contracts.
     */
-  private[graft] def clusteredOrders(s: SparkSession, dir: String): DataFrame = {
-    val path = s"${layoutRoot(s)}/graft_clust_orders_${Scratch.pathKey(dir)}"
-    this.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").isFile) {
-        t(s, dir, "orders")
-          .withColumn("o_date", to_date(col("o_orderdate")))
-          .repartitionByRange(ClusterFileCount, col("o_date"))
-          .sortWithinPartitions(col("o_date"))
-          .write.mode("overwrite").parquet(path)
-      }
-    }
-    s.read.parquet(path)
-  }
+  private[graft] def clusteredOrders(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(memoLayout(s, "graft_clust_orders", dir) { path =>
+      t(s, dir, "orders")
+        .withColumn("o_date", to_date(col("o_orderdate")))
+        .repartitionByRange(ClusterFileCount, col("o_date"))
+        .sortWithinPartitions(col("o_date"))
+        .write.mode("overwrite").parquet(path)
+    })
 
   /** Z-grid resolution: 16 cells per dimension, 256 Morton buckets. */
   private val ZBits = 4
@@ -402,21 +404,18 @@ object Layout {
       (r.getLong(0), r.getLong(1) - r.getLong(0) + 1,
         r.getLong(2), r.getLong(3) - r.getLong(2) + 1)
     })
-    val path = s"${layoutRoot(s)}/graft_zorder_orders_${Scratch.pathKey(dir)}"
-    this.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").isFile) {
-        withDay
-          .withColumn("zbucket",
-            zInterleaveCol(
-              zCellExpr("o_custkey", ckMin, ckSpan),
-              zCellExpr("day_no", dayMin, daySpan)).cast("int"))
-          .select("o_orderkey", "o_custkey", "day_no", "o_totalprice", "zbucket")
-          // one shuffle on the bucket so each partition dir is one file,
-          // not one fragment per input task — the write-side compaction a
-          // clustered layout needs anyway
-          .repartition(col("zbucket"))
-          .write.partitionBy("zbucket").mode("overwrite").parquet(path)
-      }
+    val path = memoLayout(s, "graft_zorder_orders", dir) { p =>
+      withDay
+        .withColumn("zbucket",
+          zInterleaveCol(
+            zCellExpr("o_custkey", ckMin, ckSpan),
+            zCellExpr("day_no", dayMin, daySpan)).cast("int"))
+        .select("o_orderkey", "o_custkey", "day_no", "o_totalprice", "zbucket")
+        // one shuffle on the bucket so each partition dir is one file,
+        // not one fragment per input task — the write-side compaction a
+        // clustered layout needs anyway
+        .repartition(col("zbucket"))
+        .write.partitionBy("zbucket").mode("overwrite").parquet(p)
     }
     ZLayout(s.read.parquet(path), ckMin, ckSpan, dayMin, daySpan)
   }

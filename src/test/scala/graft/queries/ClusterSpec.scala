@@ -26,21 +26,28 @@ class ClusterSpec extends SparkSpec {
     df.filter(col("o_date") >= lit(lo).cast("date")
       && col("o_date") < lit(hi).cast("date"))
 
-  /** Rows emitted by the parquet scan itself (post row-group pruning,
-    * pre residual filter). AQE off so the executed plan is a plain
-    * tree the scan node can be collected from.
+  /** (scan-emitted rows, result rows) of one execution: rows emitted by
+    * the parquet scan itself (post row-group pruning, pre residual
+    * filter) and the rows surviving the full filter — one run, so both
+    * numbers describe the SAME execution. AQE off so the executed plan
+    * is a plain tree the scan node can be collected from; the prior
+    * setting is restored, not assumed (shared test session).
     */
-  private def scanEmittedRows(df: => org.apache.spark.sql.DataFrame): Long = {
+  private def scanVsResultRows(df: => org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val prior = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", false)
     try {
       val d = df
-      d.collect()
+      val n = d.collect().length.toLong
       val scans = d.queryExecution.executedPlan.collect {
         case f: FileSourceScanExec => f.metrics("numOutputRows").value
       }
       assert(scans.nonEmpty, s"no FileSourceScan in:\n${d.queryExecution.executedPlan}")
-      scans.sum
-    } finally spark.conf.set("spark.sql.adaptive.enabled", true)
+      (scans.sum, n)
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   test("clustered files own disjoint o_date ranges and cover the table") {
@@ -67,21 +74,27 @@ class ClusterSpec extends SparkSpec {
 
   test("zone maps skip: clustered scan emits a fraction of the full table") {
     val total = graft.Tables.t(spark, dir, "orders").count()
-    val clustered = scanEmittedRows(
+    val (scanned, matching) = scanVsResultRows(
       rangeFilter(graft.sources.Layout.clusteredOrders(spark, dir)))
-    val matching = rangeFilter(graft.sources.Layout.clusteredOrders(spark, dir)).count()
     // the clustered scan emits only the intersecting row groups: at
     // least the true matches, at most a fraction of the history
     assert(matching > 0, "gate window must be non-empty at this SF")
-    assert(clustered >= matching && clustered < total / 2,
-      s"clustered scan emitted $clustered of $total rows " +
+    assert(scanned >= matching && scanned < total / 2,
+      s"clustered scan emitted $scanned of $total rows " +
         s"($matching truly match $lo..$hi) — zone-map pruning did not engage")
   }
 
   test("q45's predicates reach the parquet reader (PushedFilters)") {
     val df = rangeFilter(graft.sources.Layout.clusteredOrders(spark, dir))
-    val plan = df.queryExecution.sparkPlan.toString
-    assert(plan.contains("GreaterThanOrEqual(o_date") && plan.contains("LessThan(o_date"),
-      s"date bounds must push into the scan:\n${plan.take(2000)}")
+    // read the scan's metadata map, not the rendered plan string — the
+    // string truncates metadata entries at spark.sql.maxMetadataStringLength
+    // (default 100 chars), one filter away from a false failure here
+    val pushed = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f.metadata("PushedFilters")
+    }
+    assert(pushed.nonEmpty, "no FileSourceScan in the plan")
+    assert(pushed.exists(p =>
+      p.contains("GreaterThanOrEqual(o_date") && p.contains("LessThan(o_date")),
+      s"date bounds must push into the scan: $pushed")
   }
 }
