@@ -196,8 +196,15 @@ object GraftFunctions {
             org.apache.spark.sql.types.LongType, _) => true
           case _ => false
         }, s"bloom_contains: mask must be array<bigint>, got ${exprs(1).dataType}")
-        val mask = exprs(1).eval()
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+        val maskData = exprs(1).eval()
+        require(maskData != null, "bloom_contains: mask must not be NULL")
+        val arr = maskData.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        // toLongArray on UnsafeArrayData copies raw bytes IGNORING the
+        // null bitmap — a null element would silently become a zeroed
+        // word and produce false negatives; reject it loudly instead
+        require((0 until arr.numElements()).forall(!arr.isNullAt(_)),
+          "bloom_contains: mask must not contain NULL elements")
+        val mask = arr.toLongArray()
         val k = literalInt(exprs(2), "bloom_contains", "k")
         val m = literalInt(exprs(3), "bloom_contains", "m")
         require(k > 0 && m >= 64 && (m & (m - 1)) == 0 && mask.length == m / 64,

@@ -154,6 +154,7 @@ object Dedup {
   private[graft] def releaseIndex(s: SparkSession, dir: String): Unit = {
     indexCache.remove((s, dir)).foreach(_.unpersist(false))
     docCountCache.remove((s, dir))
+    bloomCache.remove((s, dir))
   }
 
   /** Memoized documents row count per (session, dir) — the scalar d4b's
@@ -815,9 +816,21 @@ object Dedup {
     * Exposed for BloomDecontamSpec's selectivity and plan pins; the Q
     * exact-verifies this set.
     */
+  /** Session-memoized d11 bitmask: the build is a distributed
+    * aggregate plus a 128 KB BoundedCollect, and one gate run invokes
+    * it several times (the Q, the spec's equality and selectivity
+    * probes) against the same corpus. Keyed and swept like
+    * [[Materialized]]; NOT change-detecting — released with the
+    * shingle index on fixture teardown ([[releaseIndex]]).
+    */
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Long]]
+
   private[pipeline] def bloomCandidates(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val bloom = bloomOf(evalSpanSet(s, dir).select("h"))
+    bloomCache.keys.filter(_._1.sparkContext.isStopped).foreach(bloomCache.remove)
+    val bloom = bloomCache.getOrElseUpdate((s, dir),
+      bloomOf(evalSpanSet(s, dir).select("h")))
     spanIndex(s, dir).filter(col("doc_id") % EvalModulus =!= 0)
       .filter(call_function("bloom_contains", col("h"), typedLit(bloom),
         lit(BloomK), lit(BloomBits)))

@@ -752,11 +752,25 @@ object Advanced {
           .groupBy(col("k"))
           .agg(max_by(
             struct(col("act"), col("o_orderstatus"), col("price")), col("b")).as("r"))
-        base.join(broadcast(resolved.select(col("k"))), Seq("k"), "left_anti")
-          .unionByName(resolved.filter(col("r.act") === "U")
-            .select(col("k"), col("r.o_orderstatus").as("o_orderstatus"),
-              col("r.price").as("price")))
+          .select(col("k"), col("r.act").as("act"),
+            col("r.o_orderstatus").as("o_orderstatus"), col("r.price").as("price"))
+        mergeResolved(base, resolved)
       }
     state.withColumn("v", lit(v))
   }
+
+  /** The reader's merge of a frozen lake with a RESOLVED action set
+    * `(k, act, o_orderstatus, price)` — one action per key: untouched
+    * rows anti-join through on the broadcast key set, upserts append
+    * their row images, tombstones vanish. ONE definition shared by
+    * q43's as-of reads and q44's streamed-compaction twin (and their
+    * specs) — the merge convention must not be able to drift between
+    * the batch and streaming spellings.
+    */
+  private[graft] def mergeResolved(
+      lake: org.apache.spark.sql.DataFrame,
+      resolved: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lake.join(broadcast(resolved.select(col("k"))), Seq("k"), "left_anti")
+      .unionByName(resolved.filter(col("act") === "U")
+        .select(col("k"), col("o_orderstatus"), col("price")))
 }

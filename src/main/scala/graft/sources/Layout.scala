@@ -315,9 +315,9 @@ object Layout {
     * pruning has something to prove. Day-level bounds, so the DATE
     * clustering key and the oracle's timestamp predicate agree exactly.
     */
-  private val ClusterFileCount = 16
-  private val ClusterQueryLo = "1998-03-01"
-  private val ClusterQueryHi = "1998-06-01"
+  private[graft] val ClusterFileCount = 16
+  private[graft] val ClusterQueryLo = "1998-03-01"
+  private[graft] val ClusterQueryHi = "1998-06-01"
 
   /** Memoized date-clustered twin of `orders`: a derived DATE
     * clustering key (`o_date = o_orderdate`'s day — parquet INT32,

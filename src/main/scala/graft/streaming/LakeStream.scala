@@ -36,6 +36,15 @@ object LakeStream {
     * argmax. Ties on the batch stamp keep the FIRST maximum — the
     * already-held state — so at-least-once redelivery of a batch is
     * idempotent on the resolved state.
+    *
+    * Input precondition (the CDC feed contract, same as q43's log):
+    * at most ONE action per (batch stamp, key), and a redelivered
+    * record is bit-identical to the original. Under that contract
+    * resolution is deterministic for any arrival order, including
+    * same-trigger duplicates (identical images tie-break to an
+    * identical result). Two DIFFERENT images under one (b, k) violate
+    * the feed contract and resolve by arrival order — garbage in,
+    * arbitrary-but-single garbage out.
     */
   def cdcCompact(changes: Dataset[Chg]): Dataset[KeyAct] = {
     import changes.sparkSession.implicits._

@@ -241,10 +241,8 @@ object StreamTwins {
           graft.queries.Advanced.cdcLogs(s, dir)
             .select(col("b"), col("k"), col("o_orderstatus"), col("price"), col("act"))
             .as[LakeStream.Chg]).toDF()
-        val lake = graft.queries.Advanced.cdcLake(s, dir)
-        lake.join(broadcast(resolved.select(col("k"))), Seq("k"), "left_anti")
-          .unionByName(resolved.filter(col("act") === "U")
-            .select(col("k"), col("o_orderstatus"), col("price")))
+        graft.queries.Advanced
+          .mergeResolved(graft.queries.Advanced.cdcLake(s, dir), resolved)
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"),
             graft.Agg.dsum(col("price")).as("sum_price"),

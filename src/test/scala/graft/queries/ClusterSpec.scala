@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   */
 class ClusterSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
-  private val lo = "1998-03-01"
-  private val hi = "1998-06-01"
+  // the query's OWN gate window — retuning it in Layout retunes the pins
+  private val lo = graft.sources.Layout.ClusterQueryLo
+  private val hi = graft.sources.Layout.ClusterQueryHi
 
   private def rangeFilter(df: org.apache.spark.sql.DataFrame) =
     df.filter(col("o_date") >= lit(lo).cast("date")

@@ -61,10 +61,8 @@ class LakeStreamSpec extends SparkSpec {
       graft.queries.Advanced.cdcLogs(spark, dir)
         .select(col("b"), col("k"), col("o_orderstatus"), col("price"), col("act"))
         .as[Chg]).toDF()
-    val lake = graft.queries.Advanced.cdcLake(spark, dir)
-    val merged = lake.join(broadcast(resolved.select(col("k"))), Seq("k"), "left_anti")
-      .unionByName(resolved.filter(col("act") === "U")
-        .select(col("k"), col("o_orderstatus"), col("price")))
+    val merged = graft.queries.Advanced
+      .mergeResolved(graft.queries.Advanced.cdcLake(spark, dir), resolved)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("k", "o_orderstatus", "price").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
