@@ -145,6 +145,103 @@ object Layout {
     })
   }
 
+  /** Debris threshold for q46's selective planner: partitions holding
+    * more than this many data files get rewritten, the rest are left
+    * alone. Absolute (like ShingleDfCap): "needs compaction" is a
+    * property of one partition's file count, not of table size.
+    */
+  private[graft] val CompactFileThreshold = 4
+
+  /** Parquet data files of a partition directory (markers excluded). */
+  private def dataFiles(d: java.io.File): Array[java.io.File] = {
+    val fs = d.listFiles()
+    if (fs == null) Array.empty
+    else fs.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
+
+  /** Mixed-health twin of `events`: even-length type names arrive as
+    * ingest debris ([[FragmentCount]] files per partition), odd-length
+    * ones were written compact — the BEFORE state q46's planner must
+    * triage. The split rule is deterministic from the type name alone
+    * so every SF produces both regimes.
+    */
+  private[graft] def mixedHealthEventsPath(s: SparkSession, dir: String): String =
+    memoLayout(s, "graft_mixedfrag_events", dir) { path =>
+      val ev = t(s, dir, "events")
+      val debris = length(col("event_type")) % 2 === 0
+      ev.filter(debris)
+        .repartition(FragmentCount, pmod(col("event_id"), lit(FragmentCount)))
+        .write.partitionBy("event_type").mode("overwrite").parquet(path)
+      ev.filter(!debris)
+        .repartition(col("event_type"))
+        .write.partitionBy("event_type").mode("append").parquet(path)
+    }
+
+  /** q46's selective (incremental) OPTIMIZE: clone the mixed layout (a
+    * stand-in for operating on the live table — the shared fixture
+    * must stay pristine), PLAN from per-partition file counts (table
+    * metadata, bounded by |partitions|; at scale this read comes from
+    * the transaction log, not a listing), and rewrite ONLY the debris
+    * partitions — each bin-packed exactly like q39 — swapping the new
+    * files into the partition directory so healthy partitions' files
+    * are left BYTE-IDENTICAL, never rewritten. At 100 TB this is the
+    * difference between maintenance proportional to one day's ingest
+    * debris and a full-table rewrite per OPTIMIZE run.
+    */
+  private[graft] def selectivelyCompactedPath(s: SparkSession, dir: String): String = {
+    val src = mixedHealthEventsPath(s, dir)
+    memoLayout(s, "graft_selcompact_events", dir) { path =>
+      copyTree(new java.io.File(src), new java.io.File(path))
+      val parts = new java.io.File(path).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+      parts.filter(p => dataFiles(p).length > CompactFileThreshold).foreach { pdir =>
+        val tmp = new java.io.File(pdir.getParentFile, pdir.getName + ".compact")
+        s.read.parquet(pdir.getAbsolutePath)
+          .repartition(1)
+          .write.option("maxRecordsPerFile", TargetRowsPerFile)
+          .mode("overwrite").parquet(tmp.getAbsolutePath)
+        dataFiles(pdir).foreach(_.delete())
+        dataFiles(tmp).foreach(f => f.renameTo(new java.io.File(pdir, f.getName)))
+        deleteTree(tmp)
+      }
+    }
+  }
+
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    dst.mkdirs()
+    src.listFiles().foreach { f =>
+      val t = new java.io.File(dst, f.getName)
+      if (f.isDirectory) copyTree(f, t)
+      else java.nio.file.Files.copy(f.toPath, t.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteTree)
+    f.delete()
+  }
+
+  /** q39/q46's shared content-integrity gate: per partition, row
+    * count, decimal-exact value sum, and an order-insensitive XOR of
+    * per-row identity hashes against the ORIGINAL events — a lost or
+    * duplicated fragment cannot cancel out.
+    */
+  private def eventsIntegritySql: String = s"""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+               bit_xor(${graft.pipeline.Portable.md5LongSql("CAST(event_id AS VARCHAR)")}) AS id_xor
+        FROM events
+        GROUP BY 1"""
+
+  private def eventsIntegrityAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.Agg.dsum(col("value")).as("sum_value"),
+        bit_xor(graft.pipeline.Portable.md5Long(col("event_id").cast("string")))
+          .as("id_xor"))
+
   def all: Seq[Q] = Seq(
     // ---- q33: fact-fact join over co-bucketed tables — zero Exchange
     //      below the join (PlanSpec-asserted). The `merge` hint keeps the
@@ -202,20 +299,29 @@ object Layout {
       "q39_compaction",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
-        compactedEvents(s, dir)
-          .groupBy(col("event_type"))
-          .agg(
-            count(lit(1)).as("n"),
-            graft.Agg.dsum(col("value")).as("sum_value"),
-            bit_xor(graft.pipeline.Portable.md5Long(col("event_id").cast("string")))
-              .as("id_xor"))
+        eventsIntegrityAgg(compactedEvents(s, dir))
       },
-      Some(s"""
-        SELECT event_type, count(*) AS n,
-               CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
-               bit_xor(${graft.pipeline.Portable.md5LongSql("CAST(event_id AS VARCHAR)")}) AS id_xor
-        FROM events
-        GROUP BY 1"""),
+      Some(eventsIntegritySql),
+    ),
+
+    // ---- q46: SELECTIVE compaction — the incremental OPTIMIZE q39's
+    //      full rewrite grows into at scale: a planner triages
+    //      partitions by file count (table metadata, |partitions|-
+    //      bounded) and rewrites ONLY the ones above the debris
+    //      threshold; healthy partitions keep their files
+    //      byte-identical (SelectiveCompactionSpec pins the untouched
+    //      file identity and the rewritten partitions' ⌈n/target⌉
+    //      physics). Maintenance cost is proportional to debris, not
+    //      table size. Content integrity gated exactly like q39:
+    //      the oracle cannot see files, so it checks per-partition
+    //      count + decimal sum + XOR identity hashes. ----
+    Q(
+      "q46_selective_compact",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        eventsIntegrityAgg(s.read.parquet(selectivelyCompactedPath(s, dir)))
+      },
+      Some(eventsIntegritySql),
     ),
 
     // ---- q37: Z-ORDER clustered layout — 2-D (customer × day) range
