@@ -191,19 +191,37 @@ object Layout {
   private[graft] def selectivelyCompactedPath(s: SparkSession, dir: String): String = {
     val src = mixedHealthEventsPath(s, dir)
     memoLayout(s, "graft_selcompact_events", dir) { path =>
-      copyTree(new java.io.File(src), new java.io.File(path))
-      val parts = new java.io.File(path).listFiles()
+      // Build-completion discipline: the _SUCCESS marker memoLayout
+      // keys on must appear LAST. copyTree skips the source's marker,
+      // a crashed prior attempt's leftovers are wiped first (a partial
+      // tree without the marker triggers a rebuild, and re-copying
+      // over half-compacted partitions would duplicate rows), the
+      // per-partition tmp dirs live OUTSIDE the table root (a dir
+      // named "event_type=X.compact" inside it would be discovered as
+      // a phantom partition), and every rename/delete is checked —
+      // a silently failed swap would serve a partition with lost rows.
+      val root = new java.io.File(path)
+      if (root.exists()) deleteTree(root)
+      copyTree(new java.io.File(src), root)
+      val parts = root.listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
       parts.filter(p => dataFiles(p).length > CompactFileThreshold).foreach { pdir =>
-        val tmp = new java.io.File(pdir.getParentFile, pdir.getName + ".compact")
+        val tmp = new java.io.File(root.getParentFile,
+          root.getName + ".tmp-" + pdir.getName)
         s.read.parquet(pdir.getAbsolutePath)
           .repartition(1)
           .write.option("maxRecordsPerFile", TargetRowsPerFile)
           .mode("overwrite").parquet(tmp.getAbsolutePath)
-        dataFiles(pdir).foreach(_.delete())
-        dataFiles(tmp).foreach(f => f.renameTo(new java.io.File(pdir, f.getName)))
+        val old = dataFiles(pdir)
+        dataFiles(tmp).foreach { f =>
+          val target = new java.io.File(pdir, f.getName)
+          require(f.renameTo(target), s"q46: failed to move ${f.getName} into $pdir")
+        }
+        old.foreach(f => require(f.delete(), s"q46: failed to delete stale $f"))
         deleteTree(tmp)
       }
+      require(new java.io.File(root, "_SUCCESS").createNewFile(),
+        s"q46: failed to mark $path complete")
     }
   }
 
@@ -212,8 +230,9 @@ object Layout {
     src.listFiles().foreach { f =>
       val t = new java.io.File(dst, f.getName)
       if (f.isDirectory) copyTree(f, t)
-      else java.nio.file.Files.copy(f.toPath, t.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else if (f.getName != "_SUCCESS") // the caller decides completion
+        java.nio.file.Files.copy(f.toPath, t.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
   }
 

@@ -352,6 +352,15 @@ class PlanSpec extends SparkSpec {
       s"per-partition counts must map-side combine:\n${p.take(2500)}")
   }
 
+  test("q46: selective-compaction gate reads the SELECTIVELY compacted layout") {
+    val p = plan("q46_selective_compact")
+    // without this pin, a regression returning the mixed (or original)
+    // path would still pass the oracle — the integrity aggregate over
+    // ANY faithful copy of events hashes identically
+    assert(p.contains("graft_sel"),
+      s"gate must read the selectively compacted layout:\n${p.take(2500)}")
+  }
+
   test("q40: JSONL scan is schema-first with pruned read schema") {
     val p = plan("q40_jsonl_ingest")
     assert(p.contains("FileScan json"), s"expected a json file scan:\n${p.take(2500)}")

@@ -40,8 +40,33 @@ class SelectiveCompactionSpec extends SparkSpec {
       assert(files(after(p)).size == expect,
         s"debris partition $p: expected ⌈$n/${Layout.TargetRowsPerFile}⌉=$expect files, " +
           s"got ${files(after(p)).size}")
-      assert(files(before(p)).size > Layout.CompactFileThreshold,
-        s"$p was not debris before")
+      assert(files(after(p)) != files(before(p)),
+        s"debris partition $p must actually have been rewritten")
+    }
+  }
+
+  test("multi-file regime at sf0.01: an over-target debris partition splits, bounded") {
+    // sf0.001's partitions all fit one target file; this is the regime
+    // where the bin-packing bound inside the SELECTIVE rewrite is real
+    // (the same coverage CompactionSpec carries for q39's full rewrite)
+    val big = "/root/testdata/sf0.01"
+    val after = partDirs(Layout.selectivelyCompactedPath(spark, big))
+    val over = after.filter { case (_, d) =>
+      spark.read.parquet(d.getAbsolutePath).count() > Layout.TargetRowsPerFile
+    }
+    val before = partDirs(Layout.mixedHealthEventsPath(spark, big))
+    // only rewritten (debris) partitions carry the bound; the fixture
+    // must provide at least one that is BOTH debris and over-target
+    val rewrittenOver = over.filter { case (p, _) =>
+      files(before(p)).size > Layout.CompactFileThreshold
+    }
+    assert(rewrittenOver.nonEmpty,
+      s"fixture must have an over-target DEBRIS partition at sf0.01, over=${over.keySet}")
+    rewrittenOver.foreach { case (p, d) =>
+      val n = spark.read.parquet(d.getAbsolutePath).count()
+      val expect = ((n + Layout.TargetRowsPerFile - 1) / Layout.TargetRowsPerFile).toInt
+      assert(files(d).size == expect && expect > 1,
+        s"$p: expected the multi-file bound $expect, got ${files(d).size}")
     }
   }
 
