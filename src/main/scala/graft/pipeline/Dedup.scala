@@ -875,7 +875,7 @@ object Dedup {
     * output; as a literal the bitmask is one shared object referenced
     * from codegen, and the probe stage carries no join at all.
     */
-  private def bloomOf(keys: DataFrame): Array[Long] = {
+  private[pipeline] def bloomOf(keys: DataFrame): Array[Long] = {
     val nWords = BloomBits / 64
     val words = keys
       .withColumn("h1", col("h").bitwiseAND(lit(0xFFFFFFFFL)))

@@ -34,6 +34,30 @@ class BloomDecontamSpec extends SparkSpec {
     assert(candidates > 0)
   }
 
+  test("build/probe position consistency: every inserted key passes contains (no false negatives)") {
+    // the no-false-negative contract holds ONLY if the distributed
+    // build (SQL expressions in bloomOf) and the probe kernel
+    // (BloomMaskKernel.contains) derive identical bit positions; this
+    // pins that end-to-end over adversarial keys the corpus never
+    // produces (0, 2^60-1 boundaries, 32-bit edges, seeded randoms)
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val keys = (Seq(0L, 1L, (1L << 60) - 1, (1L << 32) - 1, 1L << 32) ++
+      (0 until 500).map(_ => rng.nextLong() & ((1L << 60) - 1))).distinct
+    val mask = Dedup.bloomOf(keys.toDF("h"))
+    keys.foreach { k =>
+      assert(graft.functions.BloomMaskKernel.contains(k, mask, Dedup.BloomK, Dedup.BloomBits),
+        s"inserted key $k not found — build and probe disagree on bit positions")
+    }
+    // and the filter is not degenerately full: most absent keys miss
+    val absent = (0 until 2000).map(_ => rng.nextLong() & ((1L << 60) - 1))
+      .filterNot(keys.contains)
+    val fp = absent.count(
+      graft.functions.BloomMaskKernel.contains(_, mask, Dedup.BloomK, Dedup.BloomBits))
+    assert(fp < absent.length / 10,
+      s"$fp/${absent.length} false positives — the bloom is saturated or broken")
+  }
+
   test("plan shape: joinless literal-bitmask probe; exact verify joins WITHOUT a broadcast") {
     // the probe stage is a pure map-side filter — no join of any kind
     // (the scalar-join spelling measured 14 s at sf0.1: every probe row
