@@ -45,12 +45,30 @@ object Layout {
     * the session catalog, not a path probe). Reentrant: a build lambda
     * may itself resolve another memoized layout (q39's compaction
     * reads the fragmented twin).
+    *
+    * STAGED: the lambda writes into a `.build` staging dir that is
+    * renamed into place only when it finishes. This is what makes the
+    * marker check sound for MULTI-STEP builds — a two-write fixture
+    * (overwrite then append) carries `_SUCCESS` from its first write
+    * the whole time, so probing the build dir directly would accept a
+    * half-built layout after a mid-append crash; with staging, the
+    * final path exists only complete, and a crashed attempt's staging
+    * debris is wiped on the next call.
     */
   private def memoLayout(s: SparkSession, name: String, dir: String)(
       write: String => Unit): String = {
     val path = s"${layoutRoot(s)}/${name}_${Scratch.pathKey(dir)}"
     this.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").isFile) write(path)
+      if (!new java.io.File(path, "_SUCCESS").isFile) {
+        val staging = new java.io.File(path + ".build")
+        if (staging.exists()) deleteTree(staging)
+        write(staging.getAbsolutePath)
+        require(new java.io.File(staging, "_SUCCESS").isFile,
+          s"layout build for $name finished without a completion marker")
+        val dest = new java.io.File(path)
+        if (dest.exists()) deleteTree(dest)
+        require(staging.renameTo(dest), s"failed to publish layout $name to $path")
+      }
     }
     path
   }
@@ -191,23 +209,22 @@ object Layout {
   private[graft] def selectivelyCompactedPath(s: SparkSession, dir: String): String = {
     val src = mixedHealthEventsPath(s, dir)
     memoLayout(s, "graft_selcompact_events", dir) { path =>
-      // Build-completion discipline: the _SUCCESS marker memoLayout
-      // keys on must appear LAST. copyTree skips the source's marker,
-      // a crashed prior attempt's leftovers are wiped first (a partial
-      // tree without the marker triggers a rebuild, and re-copying
-      // over half-compacted partitions would duplicate rows), the
-      // per-partition tmp dirs live OUTSIDE the table root (a dir
-      // named "event_type=X.compact" inside it would be discovered as
-      // a phantom partition), and every rename/delete is checked —
-      // a silently failed swap would serve a partition with lost rows.
+      // Build discipline on top of memoLayout's staging: copyTree
+      // skips the source's marker and the completion marker is created
+      // LAST, so the staged tree only publishes whole. Per-partition
+      // tmp dirs live inside the staging root under an underscore name
+      // (Spark listings ignore "_"-prefixed dirs, and a crashed
+      // attempt's debris dies with the staging wipe). Every
+      // rename/delete is checked — a silently failed swap would serve
+      // a partition with lost rows — and new files move in BEFORE old
+      // ones are deleted, so no interleaving leaves the partition
+      // empty.
       val root = new java.io.File(path)
-      if (root.exists()) deleteTree(root)
       copyTree(new java.io.File(src), root)
       val parts = root.listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
       parts.filter(p => dataFiles(p).length > CompactFileThreshold).foreach { pdir =>
-        val tmp = new java.io.File(root.getParentFile,
-          root.getName + ".tmp-" + pdir.getName)
+        val tmp = new java.io.File(root, "_tmp-" + pdir.getName)
         s.read.parquet(pdir.getAbsolutePath)
           .repartition(1)
           .write.option("maxRecordsPerFile", TargetRowsPerFile)

@@ -50,20 +50,18 @@ class SelectiveCompactionSpec extends SparkSpec {
     // where the bin-packing bound inside the SELECTIVE rewrite is real
     // (the same coverage CompactionSpec carries for q39's full rewrite)
     val big = "/root/testdata/sf0.01"
-    val after = partDirs(Layout.selectivelyCompactedPath(spark, big))
-    val over = after.filter { case (_, d) =>
-      spark.read.parquet(d.getAbsolutePath).count() > Layout.TargetRowsPerFile
+    val counted = partDirs(Layout.selectivelyCompactedPath(spark, big)).map {
+      case (p, d) => p -> (d, spark.read.parquet(d.getAbsolutePath).count())
     }
     val before = partDirs(Layout.mixedHealthEventsPath(spark, big))
     // only rewritten (debris) partitions carry the bound; the fixture
     // must provide at least one that is BOTH debris and over-target
-    val rewrittenOver = over.filter { case (p, _) =>
-      files(before(p)).size > Layout.CompactFileThreshold
+    val rewrittenOver = counted.filter { case (p, (_, n)) =>
+      n > Layout.TargetRowsPerFile && files(before(p)).size > Layout.CompactFileThreshold
     }
     assert(rewrittenOver.nonEmpty,
-      s"fixture must have an over-target DEBRIS partition at sf0.01, over=${over.keySet}")
-    rewrittenOver.foreach { case (p, d) =>
-      val n = spark.read.parquet(d.getAbsolutePath).count()
+      s"fixture must have an over-target DEBRIS partition at sf0.01, saw=${counted.keySet}")
+    rewrittenOver.foreach { case (p, (d, n)) =>
       val expect = ((n + Layout.TargetRowsPerFile - 1) / Layout.TargetRowsPerFile).toInt
       assert(files(d).size == expect && expect > 1,
         s"$p: expected the multi-file bound $expect, got ${files(d).size}")

@@ -11,8 +11,16 @@ Usage:
   bench_regress.py check  [round]                # default: latest recorded round
 
 `record` parses the bench metrics line (queries + skew_queries seconds,
-sort_sweep_us microseconds) and rewrites that round's rows in
-results/bench_history.csv (round,cell,unit,value). `check` compares each
+sort_sweep_us microseconds) and MIN-MERGES into that round's rows in
+results/bench_history.csv (round,cell,unit,value): a cell already
+recorded for the round keeps the smaller value. Same-round re-records
+happen when later runs add queries, and the host's throughput windows
+mean a re-record can land 15-50% slow across the board — replacing
+good baselines with window-inflated ones would let a real next-round
+regression hide inside the slack (min-of-runs is also the sweep's
+documented estimator). Pass --replace to overwrite instead (e.g. after
+a deliberate fixture change that makes cells slower for real).
+`check` compares each
 cell of <round> against the most recent earlier round that has the cell,
 and flags ratio > 1.5 with an absolute-floor guard (0.15 s / 500 us) so
 scheduler jitter on near-zero cells can't trip the gate. Exit code 1 on
@@ -72,12 +80,22 @@ def parse_bench(path):
     return cells
 
 
-def record(rnd, path):
+def record(rnd, path, replace=False):
     cells = parse_bench(path)
     rows = [r for r in load_hist() if r["round"] != rnd]
-    rows += [{"round": rnd, "cell": c, "unit": u, "value": v} for c, u, v in cells]
+    prior = {} if replace else {
+        r["cell"]: r["value"] for r in load_hist() if r["round"] == rnd}
+    merged = 0
+    new_rows = []
+    for c, u, v in cells:
+        if c in prior and prior[c] < v:
+            v = prior[c]
+            merged += 1
+        new_rows.append({"round": rnd, "cell": c, "unit": u, "value": v})
+    rows += new_rows
     save_hist(rows)
-    print(f"[bench_regress] recorded round {rnd}: {len(cells)} cells -> {HIST}")
+    kept = f", kept {merged} faster prior values" if merged else ""
+    print(f"[bench_regress] recorded round {rnd}: {len(cells)} cells{kept} -> {HIST}")
 
 
 def check(rnd):
@@ -123,8 +141,9 @@ if __name__ == "__main__":
     if len(sys.argv) < 2 or sys.argv[1] not in ("record", "check"):
         sys.exit(__doc__)
     if sys.argv[1] == "record":
-        rnd = int(sys.argv[2])
-        path = sys.argv[3] if len(sys.argv) > 3 else os.path.join(ROOT, "results", "bench_local.json")
-        record(rnd, path)
+        args = [a for a in sys.argv[2:] if a != "--replace"]
+        rnd = int(args[0])
+        path = args[1] if len(args) > 1 else os.path.join(ROOT, "results", "bench_local.json")
+        record(rnd, path, replace="--replace" in sys.argv)
     else:
         check(int(sys.argv[2]) if len(sys.argv) > 2 else None)
