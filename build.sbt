@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench-capture protocol (VERDICT r7 item 1, carried since r4):
+// the driver parses the TAIL of `sbt "runMain graft.Bench"` stdout, and
+// sbt's default framing defeats it two ways — the logger prefixes every
+// forked-process line with "[info] " (so no line starts with '{') and a
+// trailing "[success] Total time..." line lands AFTER our final JSON
+// line. StdoutOutput passes the forked JVM's stdout through RAW, and
+// showSuccess=false drops the trailing line, so the absolute last stdout
+// line of a bench run is bare parseable JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude
+// it from the unused-key lint so the warning doesn't pollute stdout.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

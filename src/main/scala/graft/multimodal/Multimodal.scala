@@ -216,11 +216,63 @@ object Multimodal {
         call_function("byte_simhash", col("payload"), lit(32)).as("phash"))
     }
 
-  /** Pre-build m6's signature table (same out-of-cell billing contract
-    * as [[graft.pipeline.Dedup.prewarmIndexes]]).
+  /** m7's re-encoded variant rasters: every even-id raster re-emitted at
+    * a DIFFERENT geometry (24×24 for id%4=0, 16×16 for the rest) by
+    * running the real [[graft.functions.ResizeNn]] kernel over the
+    * original payload — the synthetic twin of the re-encode/resize
+    * copies a media pipeline must recognize as duplicates. Variant ids
+    * live past max(doc_id) (q41's re-key convention). Variant
+    * geometries are MULTIPLES of the [[ThumbW]]×[[ThumbH]] canonical
+    * thumbnail, which makes nearest-neighbor index-map composition
+    * exact: resize(resize(O, g), 8) == resize(O, 8) byte-for-byte
+    * (⌊⌊oy·g/8⌋·h/g⌋ = ⌊oy·h/8⌋ when 8 | g) — the m7 spec pins that
+    * identity and the oracle replays the composed map rather than
+    * assuming it.
+    */
+  private[graft] def rasterVariants(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val mx = graft.BoundedCollect.rows(
+      t(s, dir, "documents").agg(max(col("doc_id"))), 1, "m7 max doc id")(0).getLong(0)
+    val even = rasterBlobs(s, dir).filter(pmod(col("id"), lit(2)) === 0)
+    def reenc(src: DataFrame, g: Int): DataFrame = src.select(
+      (col("id") + lit(mx + 1L)).as("vid"), col("id").as("src"),
+      lit(g).as("w"), lit(g).as("h"),
+      call_function("resize_nn",
+        col("payload"), col("w"), col("h"), lit(g), lit(g)).as("payload"))
+    reenc(even.filter(pmod(col("id"), lit(4)) === 0), 24)
+      .unionByName(reenc(even.filter(pmod(col("id"), lit(4)) =!= 0), 16))
+  }
+
+  /** m7's canonical-fingerprint table `(mid, src, is_var, fp)` over
+    * originals ∪ variants: fp = md5 of the 8×8 canonical thumbnail
+    * ([[ResizeNn]] at the m4 spec geometry). Materialized once per
+    * (session, corpus): the match join reads it on BOTH sides, and
+    * custom-expression subtrees get no exchange reuse (round-7 review)
+    * — without the cache each side would re-run the resize kernels over
+    * the corpus's full byte volume.
+    */
+  private[graft] def thumbFpIndex(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Materialized.getOrBuild(s, s"m7.fp|$dir") {
+      graft.functions.GraftFunctions.register(s)
+      val orig = rasterBlobs(s, dir).select(
+        col("id").as("mid"), col("id").as("src"), lit(0).as("is_var"),
+        col("w"), col("h"), col("payload"))
+      val members = orig.unionByName(rasterVariants(s, dir).select(
+        col("vid").as("mid"), col("src"), lit(1).as("is_var"),
+        col("w"), col("h"), col("payload")))
+      members.select(col("mid"), col("src"), col("is_var"),
+        md5(lower(hex(call_function("resize_nn",
+          col("payload"), col("w"), col("h"), lit(ThumbW), lit(ThumbH))))).as("fp"))
+    }
+
+  /** Pre-build m6's signature table and m7's fingerprint table (same
+    * out-of-cell billing contract as
+    * [[graft.pipeline.Dedup.prewarmIndexes]]).
     */
   private[graft] def prewarmIndexes(s: SparkSession, dir: String): Unit = {
-    sigIndex(s, dir); ()
+    sigIndex(s, dir)
+    thumbFpIndex(s, dir)
+    ()
   }
 
   /** Shared oracle CTE block for the byte-gram SimHash (m5/m6): blob
@@ -395,6 +447,77 @@ object Multimodal {
           WHERE a.id < c.id)
         SELECT id1, id2, CAST(bit_count(xor(p1, p2)) AS INT) AS hamming
         FROM cand WHERE bit_count(xor(p1, p2)) <= 3"""),
+    ),
+
+    // ---- m7: RESIZE-INVARIANT media near-dup — m4's kernel and
+    //      m5/m6's fingerprinting tied together the way a real image-
+    //      dedup pipeline works: every raster (original ∪ the [[
+    //      rasterVariants]] re-encodes at different geometries) is
+    //      canonicalized to the 8×8 thumbnail with resize_nn, the
+    //      thumbnail is fingerprinted, and matches meet through an
+    //      equi-join on the fingerprint — so a copy that was RESIZED
+    //      (different dims, different byte length, different bytes)
+    //      still collides with its source, which raw payload SimHash
+    //      (m6) structurally cannot do (the spec shows the miss).
+    //      Output: one row per variant — its source, how many corpus
+    //      members share its canonical fingerprint, and whether its
+    //      true source is among them (always 1: NN index-map
+    //      composition is exact for 8|g, oracle-replayed not assumed).
+    //      Scale shape: fingerprints are map-side codegen kernels; the
+    //      match is a fingerprint-keyed hash join (content-keyed like
+    //      d1, never all-pairs); per-row state is the 64-byte
+    //      thumbnail whatever the source dims. ----
+    Q(
+      "m7_resize_neardup",
+      (s, dir) => {
+        val fp = thumbFpIndex(s, dir)
+        val v = fp.filter(col("is_var") === 1)
+          .select(col("mid").as("vid"), col("src").as("src_id"), col("fp").as("vfp"))
+        val c = fp.select(col("mid").as("cid"), col("fp").as("cfp"))
+        // self-exclusion INSIDE the join condition (not a post-filter):
+        // the oracle's LEFT JOIN decides match-existence after excluding
+        // self, and the two spellings differ exactly when a member
+        // matches only itself
+        v.join(c, col("vfp") === col("cfp") && col("cid") =!= col("vid"), "left_outer")
+          .groupBy(col("vid"), col("src_id"))
+          .agg(count(col("cid")).as("n_matches"),
+            coalesce(max(when(col("cid") === col("src_id"), 1).otherwise(0)), lit(0))
+              .as("src_matched"))
+      },
+      Some(s"""
+        WITH mk AS (SELECT max(doc_id) AS mx FROM documents),
+        b AS (
+          SELECT doc_id AS id,
+                 CAST(doc_id % 25 + 8 AS INT) AS w,
+                 CAST((doc_id * 7) % 25 + 8 AS INT) AS h
+          FROM documents),
+        members AS (
+          SELECT id AS mid, id AS src, 0 AS is_var, w, h, 0 AS g FROM b
+          UNION ALL
+          SELECT id + mx + 1, id, 1, w, h,
+                 CASE WHEN id % 4 = 0 THEN 24 ELSE 16 END
+          FROM b, mk WHERE id % 2 = 0),
+        px AS (
+          SELECT mid, src, is_var,
+                 oy, ox,
+                 (src * 31
+                  + (CASE WHEN is_var = 1 THEN (((oy * g) // $ThumbH) * h) // g
+                          ELSE (oy * h) // $ThumbH END) * 7
+                  + (CASE WHEN is_var = 1 THEN (((ox * g) // $ThumbW) * w) // g
+                          ELSE (ox * w) // $ThumbW END) * 13) % 256 AS pix
+          FROM members,
+               (SELECT unnest(generate_series(0, ${ThumbH - 1})) AS oy),
+               (SELECT unnest(generate_series(0, ${ThumbW - 1})) AS ox)),
+        fp AS (
+          SELECT mid, src, is_var,
+                 md5(string_agg(printf('%02x', pix), '' ORDER BY oy, ox)) AS fp
+          FROM px GROUP BY 1, 2, 3)
+        SELECT v.mid AS vid, v.src AS src_id,
+               count(c.mid) AS n_matches,
+               coalesce(max(CASE WHEN c.mid = v.src THEN 1 ELSE 0 END), 0) AS src_matched
+        FROM fp v LEFT JOIN fp c ON v.fp = c.fp AND c.mid <> v.mid
+        WHERE v.is_var = 1
+        GROUP BY 1, 2"""),
     ),
 
     // ---- m3: stubbed decode → feature extraction, via the native

@@ -619,6 +619,65 @@ object Advanced {
                bit_xor(${graft.pipeline.Portable.md5LongSql("CAST(k AS VARCHAR)")}) AS key_xor
         FROM merged GROUP BY 1"""),
     ),
+
+    // ---- q47: CDC LOG CHECKPOINT / retention — the missing third of
+    //      the merge-on-read lifecycle (q43 reads as-of any version,
+    //      but its change log grows forever; real lake tables
+    //      periodically FOLD the log into a new base and truncate it).
+    //      Checkpoint at cp=1: the b≤1 log entries resolve through the
+    //      same [[mergeResolved]] convention into a new compacted base
+    //      (exactly the v=1 state — materialized, modeling the rewritten
+    //      base files), and the retained log keeps ONLY b>1 entries.
+    //      The RETENTION CONTRACT — as-of reads at versions > cp are
+    //      IDENTICAL pre/post checkpoint — is what the gate hashes: the
+    //      query serves the v=2 state through BOTH paths (pre = frozen
+    //      lake + full log; post = compacted base + truncated log),
+    //      labeled, and the oracle emits the independently-replayed v=2
+    //      state under both labels, so any divergence (a key resolved
+    //      differently against the folded base, a tombstone lost in the
+    //      fold, double-applied row images) splits count, sums, AND the
+    //      key XOR of whichever path drifted. At 100 TB: the fold costs
+    //      one lake scan + a broadcast (q43's as-of price, paid once),
+    //      bounds every future read's log side to the retention window,
+    //      and frees pre-cp log storage — without it the max_by argmax
+    //      over the log grows without bound while 99% of entries are
+    //      shadowed by later batches. Versions < cp become unreadable:
+    //      that is the retention trade, made explicit here (the
+    //      checkpoint is a NEW pair of tables; a deployment keeps the
+    //      old pair until its readers drain). ----
+    Q(
+      "q47_log_checkpoint",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val pre = asOfState(s, dir, 2).drop("v").withColumn("path", lit("pre"))
+        val post = asOfCheckpointed(s, dir, cp = 1, v = 2).withColumn("path", lit("post"))
+        pre.unionByName(post)
+          .groupBy(col("path"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            graft.Agg.dsum(col("price")).as("sum_price"),
+            bit_xor(graft.pipeline.Portable.md5Long(col("k").cast("string")))
+              .as("key_xor"))
+      },
+      Some(s"""
+        WITH $cdcLogCtesSql,
+        resolved AS (
+          SELECT l.k,
+                 max_by(l.act, l.b) AS act,
+                 max_by(l.o_orderstatus, l.b) AS o_orderstatus,
+                 max_by(l.price, l.b) AS price
+          FROM logs l WHERE l.b <= 2
+          GROUP BY 1),
+        state AS (
+          SELECT b.k, b.o_orderstatus, b.price FROM base b
+          WHERE NOT EXISTS (SELECT 1 FROM resolved r WHERE r.k = b.k)
+          UNION ALL
+          SELECT k, o_orderstatus, price FROM resolved WHERE act = 'U'),
+        paths AS (SELECT 'pre' AS path UNION ALL SELECT 'post')
+        SELECT p.path, s.o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(s.price AS DECIMAL(30,2))) AS DOUBLE) AS sum_price,
+               bit_xor(${graft.pipeline.Portable.md5LongSql("CAST(s.k AS VARCHAR)")}) AS key_xor
+        FROM state s CROSS JOIN paths p GROUP BY 1, 2"""),
+    ),
   )
 
   /** q38's lake/delta boundary: the last ~7 months of the orders range
@@ -773,4 +832,52 @@ object Advanced {
     lake.join(broadcast(resolved.select(col("k"))), Seq("k"), "left_anti")
       .unionByName(resolved.filter(col("act") === "U")
         .select(col("k"), col("o_orderstatus"), col("price")))
+
+  /** q47's compacted base: the log's batches ≤ `cp` folded into the
+    * frozen lake through [[mergeResolved]] — by construction EXACTLY the
+    * as-of-`cp` state, which is why the fold reuses [[asOfState]] (one
+    * resolution convention; a second spelling could drift). Materialized
+    * + localCheckpoint: the checkpoint WRITES a new base (post-cp reads
+    * must plan against the compacted table, not replay the fold's
+    * lineage per read — the lake-file rewrite a cluster deployment does
+    * with q46's selective-rewrite discipline, here session-scoped like
+    * q38's lake partials).
+    */
+  private[graft] def checkpointBase(
+      s: org.apache.spark.sql.SparkSession, dir: String, cp: Int): org.apache.spark.sql.DataFrame =
+    graft.pipeline.Materialized.getOrBuild(s, s"q47.base$cp|$dir")(
+      asOfState(s, dir, cp).drop("v").localCheckpoint())
+
+  /** q47's retained log: entries AFTER the checkpoint batch only. The
+    * pre-cp entries are shadowed by the compacted base and get dropped —
+    * that is the retention: log size is bounded by the window since the
+    * last checkpoint, not table history.
+    */
+  private[graft] def truncatedLog(
+      s: org.apache.spark.sql.SparkSession, dir: String, cp: Int): org.apache.spark.sql.DataFrame =
+    cdcLogs(s, dir).filter(col("b") > cp)
+
+  /** As-of read at version `v` AGAINST the checkpoint at `cp` — the
+    * post-checkpoint twin of [[asOfState]]: same max_by resolution, same
+    * [[mergeResolved]] merge, but over (compacted base, truncated log).
+    * `v == cp` reads the compacted base directly (no log, no join).
+    * Versions below `cp` are retired by retention — reject loudly rather
+    * than serve a wrong state.
+    */
+  private[graft] def asOfCheckpointed(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      cp: Int, v: Int): org.apache.spark.sql.DataFrame = {
+    require(v >= cp, s"q47: version $v predates checkpoint $cp (retired by retention)")
+    val base = checkpointBase(s, dir, cp)
+    if (v == cp) base
+    else {
+      val resolved = truncatedLog(s, dir, cp).filter(col("b") <= v)
+        .groupBy(col("k"))
+        .agg(max_by(
+          struct(col("act"), col("o_orderstatus"), col("price")), col("b")).as("r"))
+        .select(col("k"), col("r.act").as("act"),
+          col("r.o_orderstatus").as("o_orderstatus"), col("r.price").as("price"))
+      mergeResolved(base, resolved)
+    }
+  }
 }

@@ -21,7 +21,9 @@ class PrewarmConsistencySpec extends SparkSpec {
     "d10_semantic_clusters",
     // round 7: s10/s11's frozen artifacts (s10.cent|dir, s10.cb|dir,
     // s10.baseasg|dir) joined the prewarm set
-    "s10_ann_delta", "s11_ann_drift")
+    "s10_ann_delta", "s11_ann_drift",
+    // round 8: m7's canonical-fingerprint table (m7.fp|dir)
+    "m7_resize_neardup")
 
   private def release(): Unit = {
     graft.pipeline.Materialized.releaseMatching(_.endsWith(s"|$dir"))
