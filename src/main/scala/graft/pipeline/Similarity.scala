@@ -562,9 +562,20 @@ object Similarity {
     * to the DuckDB replay. The per-dimension explode shuffles K·dim
     * tiny partial rows, not the corpus.
     */
-  private def lloydStep(e: DataFrame, cent: DataFrame, k: Int): DataFrame = {
-    val means = ivfAssign(e, cent, k)
-      .select(col("cid"), posexplode(col("v")))
+  private def lloydStep(e: DataFrame, cent: DataFrame, k: Int): DataFrame =
+    cent.join(cellMeans(ivfAssign(e, cent, k)), Seq("cid"), "left_outer")
+      .select(col("cid"), coalesce(col("lv"), col("cv")).as("cv"))
+
+  /** Per-cell decimal-exact coordinate means of an assignment table
+    * `(cid, v)` → one `(cid, lv)` row per non-empty cell. ONE spelling
+    * shared by [[lloydStep]] and s12's hot-cell refresh: the mean
+    * arithmetic (round-6 coordinates → DECIMAL(30,9) order-insensitive
+    * sum → re-round-6) is exactly what keeps refreshed centroid arrays
+    * bit-identical to the DuckDB replay, and a drifted copy would
+    * silently split whichever gate used it.
+    */
+  private def cellMeans(asg: DataFrame): DataFrame =
+    asg.select(col("cid"), posexplode(col("v")))
       .groupBy(col("cid"), col("pos"))
       .agg(round(
         sum(round(col("col"), 6).cast(org.apache.spark.sql.types.DecimalType(30, 9))).cast("double")
@@ -573,9 +584,6 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("lv"))
-    cent.join(means, Seq("cid"), "left_outer")
-      .select(col("cid"), coalesce(col("lv"), col("cv")).as("cv"))
-  }
 
   /** Lloyd-refined centroid table: seeds + [[LloydIters]] k-means steps.
     * Materialized per corpus — K rows, but its lineage holds
@@ -1037,6 +1045,12 @@ object Similarity {
     s10Centroids(s, dir)
     s10Codebook(s, dir)
     s10BaseAssigned(s, dir)
+    // s12's memoized retrain artifacts (flagged set, members, refreshed
+    // centroids) — lake-resident state the retrain cell consumes; the
+    // first measured cell must not pay the |delta|·2√K drift derivation
+    retrainCells(s, dir)
+    s12Members(s, dir)
+    retrainedCentroids(s, dir)
     ()
   }
 
@@ -1179,7 +1193,7 @@ object Similarity {
   /** FROZEN centroid table: s4's Lloyd chain trained on the base corpus
     * only — the artifact a lake persisted before the delta arrived.
     */
-  private def s10Centroids(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def s10Centroids(s: SparkSession, dir: String): DataFrame = {
     val b = s10Boundary(s, dir)
     val base = vecs(s, dir).filter(col("vec_id") < b)
     val k = s10K(s, dir)
@@ -1458,6 +1472,200 @@ object Similarity {
       .map(i => s"${asgSql(i)},\n        ${meanSql(i)},\n        ${cbSql(i)}")
     (steps :+ asgSql(PqLloydIters)).mkString(",\n        ")
   }
+
+  // ------------------------------------------------------------- s12
+  /** Retrain budget: each maintenance cycle refreshes the s11-HOT cells
+    * plus the [[RetrainTopCells]] most-drifted cells by integer ppm
+    * excess (delta_ppm − base_ppm, ties → lower cid). The top-R floor
+    * makes the retrain a scheduled rebalance — the policy a deployment
+    * actually runs: a guaranteed refresh minimum per cycle keeps index
+    * quality from ratcheting down between threshold trips. R bounds the
+    * MINIMUM work (R·(corpus/K) ≈ R·√n member re-routes when nothing is
+    * hot); total cost scales with the flagged set — (R + #hot)·cell
+    * size — because every hot cell genuinely needs the refresh. The
+    * DriftFloorPpm=1% hot rule caps #hot under 100 whatever K is, so
+    * even the all-hot worst case re-routes a bounded corpus fraction,
+    * never the corpus.
+    */
+  val RetrainTopCells = 4
+
+  /** The retrain SET (cids): s11-hot ∪ top-[[RetrainTopCells]] by drift
+    * excess. K-row index metadata — the unpartitioned ranking window
+    * orders K ≈ √n rows, never the corpus. Memoized: the drift report
+    * behind it embeds the |delta|·2√K delta-assignment subtree, and the
+    * set has three independent consumers (members build, centroid
+    * refresh, the hot-swap anti-join) — without the memo each would
+    * re-derive that subtree (custom-expression subtrees get no exchange
+    * reuse; round-7 review).
+    */
+  private[graft] def retrainCells(s: SparkSession, dir: String): DataFrame =
+    Materialized.getOrBuild(s, s"s12.rset|$dir") {
+      val w = Window.orderBy(col("excess").desc, col("cid").asc)
+      annDriftReport(s, dir)
+        .withColumn("excess", col("delta_ppm") - col("base_ppm"))
+        .withColumn("drn", row_number().over(w))
+        .filter(col("is_hot") === 1 || col("drn") <= RetrainTopCells)
+        .select(col("cid"))
+        .localCheckpoint()
+    }
+
+  /** Members of the retrain cells under the FROZEN routing —
+    * `(vec_id, cid, v)`, the flagged subset everything downstream
+    * touches. Base side reads the materialized assignment (joined back
+    * to the corpus for the vectors); delta side re-derives through the
+    * frozen centroids (s11's shape). Materialized: three consumers (the
+    * mean refresh, the re-assignment, the old→new join) would otherwise
+    * each replay the delta assignment subtree — custom-expression
+    * subtrees get no exchange reuse (round-7 review).
+    */
+  private[graft] def s12Members(s: SparkSession, dir: String): DataFrame =
+    Materialized.getOrBuild(s, s"s12.members|$dir") {
+      val b = s10Boundary(s, dir)
+      val k = s10K(s, dir)
+      val baseAsg = s10BaseAssigned(s, dir)
+        .join(vecs(s, dir).select(col("vec_id"), col("v")), "vec_id")
+        .select(col("vec_id"), col("cid"), col("v"))
+      val deltaAsg =
+        ivfAssign(vecs(s, dir).filter(col("vec_id") >= b), s10Centroids(s, dir), k)
+          .select(col("vec_id"), col("cid"), col("v"))
+      baseAsg.unionByName(deltaAsg)
+        .join(broadcast(retrainCells(s, dir)), "cid")
+        .select(col("vec_id"), col("cid"), col("v"))
+        .localCheckpoint()
+    }
+
+  /** The retrained centroid table: flagged cells re-centered on the
+    * decimal-exact mean of their CURRENT members (base ∪ delta — one
+    * [[cellMeans]] step, the same arithmetic Lloyd refinement uses), all
+    * other cells byte-frozen. K is UNCHANGED — a refresh re-centers
+    * routing, it does not re-derive geometry (s10's contract); an empty
+    * flagged cell keeps its frozen centroid (the standard empty-cluster
+    * rule). PQ codebooks are deliberately NOT refreshed: they quantize
+    * vector COORDINATES (monitored by reconstruction error, a different
+    * signal), while s11 flags ROUTING skew — and keeping codes frozen is
+    * what lets the swap reuse every member's existing code.
+    */
+  private[graft] def retrainedCentroids(s: SparkSession, dir: String): DataFrame =
+    Materialized.getOrBuild(s, s"s12.ucent|$dir") {
+      // K-row artifact; memoized so a re-invocation (bench min-of-N,
+      // repeated reads of the swapped layout) doesn't re-derive the
+      // drift report — which itself costs a |delta|·2√K assignment pass
+      val hot = retrainCells(s, dir).withColumn("hot", lit(1))
+      s10Centroids(s, dir)
+        .join(broadcast(hot), Seq("cid"), "left_outer")
+        .join(cellMeans(s12Members(s, dir)), Seq("cid"), "left_outer")
+        .select(col("cid"),
+          when(col("hot") === 1, coalesce(col("lv"), col("cv")))
+            .otherwise(col("cv")).as("cv"))
+        .localCheckpoint()
+    }
+
+  /** The selective re-route: ONLY the flagged cells' members run the
+    * two-level quantizer again, against the retrained table — the same
+    * [[ivfAssign]] spelling as every other assignment in the family.
+    */
+  private[graft] def s12Reassign(s: SparkSession, dir: String): DataFrame = {
+    val k = s10K(s, dir)
+    ivfAssign(s12Members(s, dir).select(col("vec_id"), col("v")),
+        retrainedCentroids(s, dir), k)
+      .select(col("vec_id"), col("cid").as("new_cid"))
+  }
+
+  /** s12 HOT SWAP: the post-retrain serving index. Cold-cell rows pass
+    * through byte-identical from the frozen index (q46's selective-
+    * rewrite discipline applied to the ANN layout: untouched cells'
+    * files are never rewritten); flagged cells' members re-enter under
+    * their new cid with their EXISTING PQ code (codes are a pure
+    * function of vector × frozen codebook — routing changed, geometry
+    * didn't). At 100 TB the swap rewrites R·√n rows of a √n-cell
+    * layout and leaves every other cell directory untouched.
+    */
+  def annRetrainedIndex(s: SparkSession, dir: String): DataFrame = {
+    val full = annAssignFrozen(s, dir, lit(true))
+    val untouched = full.join(broadcast(retrainCells(s, dir)), Seq("cid"), "left_anti")
+      .select(col("vec_id"), col("cid"), col("code"))
+    val rerouted = s12Reassign(s, dir)
+      .join(full.select(col("vec_id"), col("code")), "vec_id")
+      .select(col("vec_id"), col("new_cid").as("cid"), col("code"))
+    untouched.unionByName(rerouted)
+  }
+
+  /** DuckDB twin of s12: the s11 report CTEs → retrain set (hot ∪
+    * top-R by excess) → flagged members (base assignment ∪ delta
+    * assignment, restricted) → hot-cell mean refresh → updated centroid
+    * table → two-level re-assignment of the members — the dcmap/dvsup/
+    * dasg chain re-instantiated against `ucent`.
+    */
+  private def s12OracleSql: String = s"""
+        WITH $s10IvfCtesSql,
+        asgm AS MATERIALIZED (SELECT vec_id, v, cid FROM asg$LloydIters),
+        dasgm AS MATERIALIZED (
+          SELECT l.vec_id, d.v, l.cid FROM dasg l JOIN d USING (vec_id)),
+        centm AS MATERIALIZED (SELECT cid, cv FROM cent$LloydIters),
+        bc AS (SELECT cid, count(*) AS n_base FROM asgm GROUP BY 1),
+        dc AS (SELECT cid, count(*) AS n_delta FROM dasgm GROUP BY 1),
+        tot AS (SELECT (SELECT count(*) FROM asgm) AS tb,
+                       (SELECT count(*) FROM dasgm) AS td),
+        rep AS (
+          SELECT c.cid,
+                 coalesce(bc.n_base, 0) * 1000000 // tb AS base_ppm,
+                 coalesce(dc.n_delta, 0) * 1000000 // td AS delta_ppm
+          FROM centm c
+          LEFT JOIN bc USING (cid) LEFT JOIN dc USING (cid), tot),
+        rset AS MATERIALIZED (
+          SELECT cid FROM (
+            SELECT cid,
+                   delta_ppm > $DriftFactor * base_ppm + $DriftFloorPpm AS hot,
+                   row_number() OVER (ORDER BY (delta_ppm - base_ppm) DESC, cid ASC) AS drn
+            FROM rep)
+          WHERE hot OR drn <= $RetrainTopCells),
+        members AS MATERIALIZED (
+          SELECT a.vec_id, a.v, a.cid FROM (
+            SELECT vec_id, v, cid FROM asgm
+            UNION ALL
+            SELECT vec_id, v, cid FROM dasgm) a
+          JOIN rset USING (cid)),
+        hmean AS (
+          SELECT cid, pos,
+                 round(CAST(sum(CAST(round(x, 6) AS DECIMAL(30,9))) AS DOUBLE) / count(*), 6) AS m
+          FROM (SELECT cid, unnest(v) AS x,
+                       unnest(generate_series(1, len(v))) AS pos
+                FROM members)
+          GROUP BY 1, 2),
+        ucent AS MATERIALIZED (
+          SELECT c.cid,
+                 CASE WHEN c.cid IN (SELECT cid FROM rset)
+                      THEN coalesce(l.lv, c.cv) ELSE c.cv END AS cv
+          FROM centm c LEFT JOIN (
+            SELECT cid, list(m ORDER BY pos) AS lv FROM hmean GROUP BY 1) l
+          USING (cid)),
+        uscent AS (
+          SELECT cid AS scid, cv AS scv FROM ucent
+          WHERE (cid - $CentroidLo) % (SELECT m FROM ivfpar) = 0),
+        ucmap AS (
+          SELECT cid, scid, cv FROM (
+            SELECT c.cid, s.scid, c.cv,
+                   row_number() OVER (PARTITION BY c.cid
+                     ORDER BY ${cosSql("scv", "cv")} DESC, scid ASC) AS crn
+            FROM ucent c, uscent s)
+          WHERE crn = 1),
+        uvsup AS (
+          SELECT vec_id, v, scid FROM (
+            SELECT m.vec_id, m.v, s.scid,
+                   row_number() OVER (PARTITION BY m.vec_id
+                     ORDER BY ${cosSql("scv", "v")} DESC, scid ASC) AS srn
+            FROM members m, uscent s)
+          WHERE srn = 1),
+        uasg AS (
+          SELECT vec_id, cid FROM (
+            SELECT vs.vec_id, cm.cid,
+                   row_number() OVER (PARTITION BY vs.vec_id
+                     ORDER BY ${cosSql("cv", "v")} DESC, cid ASC) AS arn
+            FROM uvsup vs JOIN ucmap cm ON vs.scid = cm.scid)
+          WHERE arn = 1)
+        SELECT m.vec_id, m.cid AS old_cid, u.cid AS new_cid,
+               CAST(m.cid <> u.cid AS INT) AS moved
+        FROM members m JOIN uasg u USING (vec_id)"""
 
   def all: Seq[Q] = Seq(
     // ---- s1: brute-force cosine top-k for a fixed query set ----
@@ -1773,6 +1981,25 @@ object Similarity {
       "s11_ann_drift",
       (s, dir) => annDriftReport(s, dir),
       Some(s11OracleSql),
+    ),
+
+    // ---- s12: drift-triggered retrain + hot swap — the CONSUMER of
+    //      s11's signal, closing the maintain (s10) → monitor (s11) →
+    //      retrain loop: the flagged cells (hot ∪ top-R by excess) get
+    //      their centroids re-centered on their current members and
+    //      ONLY those members re-route through the updated quantizer
+    //      (everything else — cold cells, all PQ codes — stays
+    //      byte-frozen; [[annRetrainedIndex]] is the swapped layout,
+    //      DriftRetrainSpec pins its selectivity). Gate output: each
+    //      flagged member's old→new routing. ----
+    Q(
+      "s12_ann_retrain",
+      (s, dir) =>
+        s12Members(s, dir).select(col("vec_id"), col("cid").as("old_cid"))
+          .join(s12Reassign(s, dir), "vec_id")
+          .select(col("vec_id"), col("old_cid"), col("new_cid"),
+            (col("old_cid") =!= col("new_cid")).cast("int").as("moved")),
+      Some(s12OracleSql),
     ),
 
     // ---- s9: metadata-filtered vector search (see [[knnFiltered]]) —

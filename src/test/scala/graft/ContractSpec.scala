@@ -31,8 +31,12 @@ class ContractSpec extends AnyFunSuite {
       // in the same query or a known testdata table
       // the optional (col, ...) group matches recursive-CTE headers like
       // `cc_reach(doc_id, r) AS (` — declared column lists are legal CTE
-      // syntax and p1/d6 use them for the components fixpoint
-      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([a-z0-9_,\\s]*\\))?\\s+as\\s*\\(".r
+      // syntax and p1/d6 use them for the components fixpoint; the
+      // optional MATERIALIZED keyword matches DuckDB's explicit CTE
+      // materialization hint (`x AS MATERIALIZED (`), which s12's oracle
+      // needs because DuckDB 1.0 otherwise inlines a multi-referenced
+      // CTE once per reference
+      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([a-z0-9_,\\s]*\\))?\\s+as\\s*(?:(?:not\\s+)?materialized\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       assert((unknown -- ctes).isEmpty,
         s"$name oracle references unknown tables: ${unknown -- ctes}")
