@@ -383,7 +383,8 @@ object Bench {
       // item 1).
       Files.writeString(out.resolve("bench_summary.json"), summaryLine + "\n")
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write results/bench_local.json: ${e.getMessage}")
+      System.err.println(
+        s"[bench] could not write results/bench_local.json or bench_summary.json: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -1280,6 +1280,24 @@ object Similarity {
         .localCheckpoint())
   }
 
+  /** The delta's frozen routing `(vec_id, cid)` — [[s10BaseAssigned]]'s
+    * twin for the appended rows: once s10's append lands, the serving
+    * layout persists the delta's routing too, so monitor/retrain
+    * consumers (s11's counts, s12's members) READ it rather than each
+    * re-running the |delta|·2√K assignment (round-8 review: the drift
+    * report and the member build were paying that subtree once each).
+    * s10's own cell keeps computing the assignment — that IS the
+    * maintenance operator being measured.
+    */
+  private[graft] def s10DeltaAssigned(s: SparkSession, dir: String): DataFrame = {
+    val b = s10Boundary(s, dir)
+    val k = s10K(s, dir)
+    Materialized.getOrBuild(s, s"s10.deltaasg|$dir")(
+      ivfAssign(vecs(s, dir).filter(col("vec_id") >= b), s10Centroids(s, dir), k)
+        .select(col("vec_id"), col("cid"))
+        .localCheckpoint())
+  }
+
   /** s11 kernel: index-drift monitor — the retrain-policy SIGNAL s10's
     * scaladoc deliberately keeps out of the maintenance operator. Per
     * frozen cell: how much of the base landed there vs how much of the
@@ -1288,17 +1306,17 @@ object Similarity {
     * piles new vectors onto a few stale cells — exactly the probe-cost
     * skew that degrades IVF — and this report is what a deployment
     * alerts on to trigger re-training. Scale shape: two count
-    * aggregates (the base side read from the materialized assignment,
-    * the delta side |delta|·2√K assignment work — ONCE: the totals are
-    * driver-side metadata scalars, not a second aggregate over each
-    * branch) and a K-row join — nothing corpus-sized moves.
+    * aggregates over the MATERIALIZED routing tables (base and delta —
+    * the layout s10's append persists; neither side re-runs assignment
+    * work, and the totals are driver-side metadata scalars, not a
+    * second aggregate over each branch) and a K-row join — nothing
+    * corpus-sized moves.
     */
   def annDriftReport(s: SparkSession, dir: String): DataFrame = {
     val b = s10Boundary(s, dir)
-    val k = s10K(s, dir)
     val baseC = s10BaseAssigned(s, dir)
       .groupBy("cid").agg(count(lit(1)).as("n_base"))
-    val deltaC = ivfAssign(vecs(s, dir).filter(col("vec_id") >= b), s10Centroids(s, dir), k)
+    val deltaC = s10DeltaAssigned(s, dir)
       .groupBy("cid").agg(count(lit(1)).as("n_delta"))
     // Totals as DRIVER-SIDE literals, not a second aggregate over each
     // branch: every vector lands in exactly one cell, so tb/td ARE the
@@ -1511,25 +1529,19 @@ object Similarity {
 
   /** Members of the retrain cells under the FROZEN routing —
     * `(vec_id, cid, v)`, the flagged subset everything downstream
-    * touches. Base side reads the materialized assignment (joined back
-    * to the corpus for the vectors); delta side re-derives through the
-    * frozen centroids (s11's shape). Materialized: three consumers (the
+    * touches. Both sides read the MATERIALIZED routing tables
+    * ([[s10BaseAssigned]]/[[s10DeltaAssigned]]), the flagged filter
+    * lands before the vector join (only flagged members' arrays ever
+    * move), and the result is itself materialized: three consumers (the
     * mean refresh, the re-assignment, the old→new join) would otherwise
-    * each replay the delta assignment subtree — custom-expression
-    * subtrees get no exchange reuse (round-7 review).
+    * each replay the subtree — custom-expression subtrees get no
+    * exchange reuse (round-7 review).
     */
   private[graft] def s12Members(s: SparkSession, dir: String): DataFrame =
     Materialized.getOrBuild(s, s"s12.members|$dir") {
-      val b = s10Boundary(s, dir)
-      val k = s10K(s, dir)
-      val baseAsg = s10BaseAssigned(s, dir)
-        .join(vecs(s, dir).select(col("vec_id"), col("v")), "vec_id")
-        .select(col("vec_id"), col("cid"), col("v"))
-      val deltaAsg =
-        ivfAssign(vecs(s, dir).filter(col("vec_id") >= b), s10Centroids(s, dir), k)
-          .select(col("vec_id"), col("cid"), col("v"))
-      baseAsg.unionByName(deltaAsg)
+      s10BaseAssigned(s, dir).unionByName(s10DeltaAssigned(s, dir))
         .join(broadcast(retrainCells(s, dir)), "cid")
+        .join(vecs(s, dir).select(col("vec_id"), col("v")), "vec_id")
         .select(col("vec_id"), col("cid"), col("v"))
         .localCheckpoint()
     }
@@ -1547,16 +1559,15 @@ object Similarity {
     */
   private[graft] def retrainedCentroids(s: SparkSession, dir: String): DataFrame =
     Materialized.getOrBuild(s, s"s12.ucent|$dir") {
-      // K-row artifact; memoized so a re-invocation (bench min-of-N,
-      // repeated reads of the swapped layout) doesn't re-derive the
-      // drift report — which itself costs a |delta|·2√K assignment pass
-      val hot = retrainCells(s, dir).withColumn("hot", lit(1))
+      // K-row artifact, memoized like the frozen table it refreshes.
+      // lloydStep's exact coalesce spelling: cellMeans over the members
+      // emits rows ONLY for flagged non-empty cells, so coalesce(lv, cv)
+      // IS "refresh flagged, keep everything else frozen" — one refresh
+      // convention shared with Lloyd (a separate hot-flag join would be
+      // dead logic; round-8 review)
       s10Centroids(s, dir)
-        .join(broadcast(hot), Seq("cid"), "left_outer")
         .join(cellMeans(s12Members(s, dir)), Seq("cid"), "left_outer")
-        .select(col("cid"),
-          when(col("hot") === 1, coalesce(col("lv"), col("cv")))
-            .otherwise(col("cv")).as("cv"))
+        .select(col("cid"), coalesce(col("lv"), col("cv")).as("cv"))
         .localCheckpoint()
     }
 
@@ -1581,7 +1592,12 @@ object Similarity {
     * layout and leaves every other cell directory untouched.
     */
   def annRetrainedIndex(s: SparkSession, dir: String): DataFrame = {
-    val full = annAssignFrozen(s, dir, lit(true))
+    // the pre-swap layout is referenced by BOTH branches (anti-join +
+    // code lookup) — materialize it once, or the corpus-scale quantize+
+    // encode subtree plans under each branch (round-8 review; the
+    // no-exchange-reuse trap again)
+    val full = Materialized.getOrBuild(s, s"s12.fullidx|$dir")(
+      annAssignFrozen(s, dir, lit(true)).localCheckpoint())
     val untouched = full.join(broadcast(retrainCells(s, dir)), Seq("cid"), "left_anti")
       .select(col("vec_id"), col("cid"), col("code"))
     val rerouted = s12Reassign(s, dir)
@@ -1633,9 +1649,7 @@ object Similarity {
                 FROM members)
           GROUP BY 1, 2),
         ucent AS MATERIALIZED (
-          SELECT c.cid,
-                 CASE WHEN c.cid IN (SELECT cid FROM rset)
-                      THEN coalesce(l.lv, c.cv) ELSE c.cv END AS cv
+          SELECT c.cid, coalesce(l.lv, c.cv) AS cv
           FROM centm c LEFT JOIN (
             SELECT cid, list(m ORDER BY pos) AS lv FROM hmean GROUP BY 1) l
           USING (cid)),
