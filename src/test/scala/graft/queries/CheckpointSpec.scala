@@ -42,6 +42,14 @@ class CheckpointSpec extends SparkSpec {
       "the retained suffix must keep every post-cp entry")
   }
 
+  test("checkpoint at the log head (cp=2): read is the compacted base alone, still exact") {
+    assert(rowsOf(Advanced.asOfCheckpointed(spark, dir, cp = 2, v = 2))
+      == rowsOf(Advanced.asOfState(spark, dir, 2).drop("v")),
+      "cp at the latest batch must serve the latest state with an empty retained log")
+    assert(Advanced.truncatedLog(spark, dir, cp = 2).count() == 0L,
+      "nothing remains after folding every batch")
+  }
+
   test("versions before the checkpoint are retired loudly") {
     val e = intercept[IllegalArgumentException](
       Advanced.asOfCheckpointed(spark, dir, cp = 1, v = 0))
