@@ -229,10 +229,24 @@ object Multimodal {
     * identity and the oracle replays the composed map rather than
     * assuming it.
     */
+  /** max(doc_id) — one memoized scalar per (session, corpus), the
+    * [[graft.pipeline.Similarity.s10Boundary]] pattern: every variant
+    * consumer was otherwise paying a full documents scan for one long
+    * (round-8 review).
+    */
+  private val maxDocIdCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  private def maxDocId(s: SparkSession, dir: String): Long = {
+    maxDocIdCache.keys.filter(_._1.sparkContext.isStopped).foreach(maxDocIdCache.remove)
+    maxDocIdCache.getOrElseUpdate((s, dir),
+      graft.BoundedCollect.rows(
+        t(s, dir, "documents").agg(max(col("doc_id"))), 1, "m7 max doc id")(0).getLong(0))
+  }
+
   private[graft] def rasterVariants(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val mx = graft.BoundedCollect.rows(
-      t(s, dir, "documents").agg(max(col("doc_id"))), 1, "m7 max doc id")(0).getLong(0)
+    val mx = maxDocId(s, dir)
     val even = rasterBlobs(s, dir).filter(pmod(col("id"), lit(2)) === 0)
     def reenc(src: DataFrame, g: Int): DataFrame = src.select(
       (col("id") + lit(mx + 1L)).as("vid"), col("id").as("src"),
@@ -263,6 +277,11 @@ object Multimodal {
       members.select(col("mid"), col("src"), col("is_var"),
         md5(lower(hex(call_function("resize_nn",
           col("payload"), col("w"), col("h"), lit(ThumbW), lit(ThumbH))))).as("fp"))
+        // lineage truncation like every other corpus-scale artifact
+        // (ivfCentroids' scaladoc): m7 reads fp on BOTH join sides, and
+        // without the checkpoint each invocation re-ANALYZES the whole
+        // union+variants+resize subtree twice at plan time
+        .localCheckpoint()
     }
 
   /** Pre-build m6's signature table and m7's fingerprint table (same

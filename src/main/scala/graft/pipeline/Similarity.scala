@@ -669,34 +669,52 @@ object Similarity {
     * centroid array in coordinate order, mirroring Spark's
     * posexplode → array_sort(collect_list(struct(pos, m))).
     */
-  private def lloydCtesSql: String = {
-    def asgSql(i: Int) = s"""scent$i AS (
-          SELECT cid AS scid, cv AS scv FROM cent$i
+  /** ONE generator for the two-level-assignment CTE chain (super-cell
+    * subsample → centroid→super map → vector→super → nearest centroid
+    * within the super-cell) — the SQL twin of [[ivfAssign]]. Emits
+    * `${p}scent` / `${p}cmap` / `${p}vsup` / `$out(vec_id, v, cid)`
+    * against an arbitrary centroid table and vector table. Every
+    * consumer (the Lloyd steps, s10's delta assignment, s12's
+    * re-assignment) instantiates THIS text — round-8 review found the
+    * chain hand-copied three times, and a tie-break or rounding fix
+    * landing in one copy would silently split the others' gate hashes.
+    */
+  private def twoLevelAsgSql(p: String, cent: String, vecsTbl: String, out: String): String =
+    s"""${p}scent AS (
+          SELECT cid AS scid, cv AS scv FROM $cent
           WHERE (cid - $CentroidLo) % (SELECT m FROM ivfpar) = 0),
-        cmap$i AS (
+        ${p}cmap AS (
           SELECT cid, scid, cv FROM (
             SELECT c.cid, s.scid, c.cv,
                    row_number() OVER (PARTITION BY c.cid
                      ORDER BY ${cosSql("scv", "cv")} DESC, scid ASC) AS crn
-            FROM cent$i c, scent$i s)
+            FROM $cent c, ${p}scent s)
           WHERE crn = 1),
-        vsup$i AS (
+        ${p}vsup AS (
           SELECT vec_id, v, scid FROM (
             SELECT e.vec_id, e.v, s.scid,
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY ${cosSql("scv", "v")} DESC, scid ASC) AS srn
-            FROM e, scent$i s)
+            FROM $vecsTbl e, ${p}scent s)
           WHERE srn = 1),
-        asg$i AS (
+        $out AS (
           SELECT vec_id, v, cid FROM (
             SELECT vs.vec_id, vs.v, cm.cid,
                    row_number() OVER (PARTITION BY vs.vec_id
                      ORDER BY ${cosSql("cv", "v")} DESC, cid ASC) AS arn
-            FROM vsup$i vs JOIN cmap$i cm ON vs.scid = cm.scid)
+            FROM ${p}vsup vs JOIN ${p}cmap cm ON vs.scid = cm.scid)
           WHERE arn = 1)"""
+
+  /** The decimal-exact per-coordinate mean — [[cellMeans]]' SQL twin,
+    * one spelling for the Lloyd/PQ/s12 mean CTEs.
+    */
+  private def decMeanSql: String =
+    "round(CAST(sum(CAST(round(x, 6) AS DECIMAL(30,9))) AS DOUBLE) / count(*), 6)"
+
+  private def lloydCtesSql: String = {
+    def asgSql(i: Int) = twoLevelAsgSql(s"a$i", s"cent$i", "e", s"asg$i")
     def meanSql(i: Int) = s"""mean${i + 1} AS (
-          SELECT cid, pos,
-                 round(CAST(sum(CAST(round(x, 6) AS DECIMAL(30,9))) AS DOUBLE) / count(*), 6) AS m
+          SELECT cid, pos, $decMeanSql AS m
           FROM (SELECT cid, unnest(v) AS x,
                        unnest(generate_series(1, len(v))) AS pos
                 FROM asg$i)
@@ -1393,30 +1411,7 @@ object Similarity {
           WHERE vec_id >= $CentroidLo
             AND vec_id < $CentroidLo + (SELECT k FROM ivfpar)),
         $lloydCtesSql,
-        dscent AS (
-          SELECT cid AS scid, cv AS scv FROM $cN
-          WHERE (cid - $CentroidLo) % (SELECT m FROM ivfpar) = 0),
-        dcmap AS (
-          SELECT cid, scid, cv FROM (
-            SELECT c.cid, s.scid, c.cv,
-                   row_number() OVER (PARTITION BY c.cid
-                     ORDER BY ${cosSql("scv", "cv")} DESC, scid ASC) AS crn
-            FROM $cN c, dscent s)
-          WHERE crn = 1),
-        dvsup AS (
-          SELECT vec_id, v, scid FROM (
-            SELECT d.vec_id, d.v, s.scid,
-                   row_number() OVER (PARTITION BY d.vec_id
-                     ORDER BY ${cosSql("scv", "v")} DESC, scid ASC) AS srn
-            FROM d, dscent s)
-          WHERE srn = 1),
-        dasg AS (
-          SELECT vec_id, cid FROM (
-            SELECT vs.vec_id, cm.cid,
-                   row_number() OVER (PARTITION BY vs.vec_id
-                     ORDER BY ${cosSql("cv", "v")} DESC, cid ASC) AS arn
-            FROM dvsup vs JOIN dcmap cm ON vs.scid = cm.scid)
-          WHERE arn = 1)"""
+        ${twoLevelAsgSql("d", cN, "d", "dasg")}"""
   }
 
   private def s10OracleSql: String = {
@@ -1475,8 +1470,7 @@ object Similarity {
             FROM pqslices sl JOIN pcb$i cb USING (sub))
           WHERE arn = 1)"""
     def meanSql(i: Int) = s"""pmean${i + 1} AS (
-          SELECT sub, cid, pos,
-                 round(CAST(sum(CAST(round(x, 6) AS DECIMAL(30,9))) AS DOUBLE) / count(*), 6) AS m
+          SELECT sub, cid, pos, $decMeanSql AS m
           FROM (SELECT sub, cid, unnest(sv) AS x,
                        unnest(generate_series(1, len(sv))) AS pos
                 FROM pasg$i)
@@ -1615,8 +1609,7 @@ object Similarity {
   private def s12OracleSql: String = s"""
         WITH $s10IvfCtesSql,
         asgm AS MATERIALIZED (SELECT vec_id, v, cid FROM asg$LloydIters),
-        dasgm AS MATERIALIZED (
-          SELECT l.vec_id, d.v, l.cid FROM dasg l JOIN d USING (vec_id)),
+        dasgm AS MATERIALIZED (SELECT vec_id, v, cid FROM dasg),
         centm AS MATERIALIZED (SELECT cid, cv FROM cent$LloydIters),
         bc AS (SELECT cid, count(*) AS n_base FROM asgm GROUP BY 1),
         dc AS (SELECT cid, count(*) AS n_delta FROM dasgm GROUP BY 1),
@@ -1642,8 +1635,7 @@ object Similarity {
             SELECT vec_id, v, cid FROM dasgm) a
           JOIN rset USING (cid)),
         hmean AS (
-          SELECT cid, pos,
-                 round(CAST(sum(CAST(round(x, 6) AS DECIMAL(30,9))) AS DOUBLE) / count(*), 6) AS m
+          SELECT cid, pos, $decMeanSql AS m
           FROM (SELECT cid, unnest(v) AS x,
                        unnest(generate_series(1, len(v))) AS pos
                 FROM members)
@@ -1653,30 +1645,7 @@ object Similarity {
           FROM centm c LEFT JOIN (
             SELECT cid, list(m ORDER BY pos) AS lv FROM hmean GROUP BY 1) l
           USING (cid)),
-        uscent AS (
-          SELECT cid AS scid, cv AS scv FROM ucent
-          WHERE (cid - $CentroidLo) % (SELECT m FROM ivfpar) = 0),
-        ucmap AS (
-          SELECT cid, scid, cv FROM (
-            SELECT c.cid, s.scid, c.cv,
-                   row_number() OVER (PARTITION BY c.cid
-                     ORDER BY ${cosSql("scv", "cv")} DESC, scid ASC) AS crn
-            FROM ucent c, uscent s)
-          WHERE crn = 1),
-        uvsup AS (
-          SELECT vec_id, v, scid FROM (
-            SELECT m.vec_id, m.v, s.scid,
-                   row_number() OVER (PARTITION BY m.vec_id
-                     ORDER BY ${cosSql("scv", "v")} DESC, scid ASC) AS srn
-            FROM members m, uscent s)
-          WHERE srn = 1),
-        uasg AS (
-          SELECT vec_id, cid FROM (
-            SELECT vs.vec_id, cm.cid,
-                   row_number() OVER (PARTITION BY vs.vec_id
-                     ORDER BY ${cosSql("cv", "v")} DESC, cid ASC) AS arn
-            FROM uvsup vs JOIN ucmap cm ON vs.scid = cm.scid)
-          WHERE arn = 1)
+        ${twoLevelAsgSql("u", "ucent", "members", "uasg")}
         SELECT m.vec_id, m.cid AS old_cid, u.cid AS new_cid,
                CAST(m.cid <> u.cid AS INT) AS moved
         FROM members m JOIN uasg u USING (vec_id)"""

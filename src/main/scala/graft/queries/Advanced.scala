@@ -801,20 +801,27 @@ object Advanced {
     * TimeTravelSpec's row-level contracts (v=1 must equal q41's
     * copy-on-write merge exactly).
     */
+  /** The CDC family's log-resolution convention: latest action per key
+    * by batch (`max_by` argmax over the full row image — map-side
+    * combinable, log-sized input). ONE spelling shared by [[asOfState]]
+    * and [[asOfCheckpointed]]: pre- and post-checkpoint reads must
+    * resolve IDENTICALLY or the q47 retention contract breaks, so the
+    * convention must not be able to drift between them (round-8
+    * review).
+    */
+  private def resolveLog(log: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    log.groupBy(col("k"))
+      .agg(max_by(
+        struct(col("act"), col("o_orderstatus"), col("price")), col("b")).as("r"))
+      .select(col("k"), col("r.act").as("act"),
+        col("r.o_orderstatus").as("o_orderstatus"), col("r.price").as("price"))
+
   private[graft] def asOfState(
       s: org.apache.spark.sql.SparkSession, dir: String, v: Int): org.apache.spark.sql.DataFrame = {
     val base = cdcLake(s, dir)
     val state =
       if (v == 0) base
-      else {
-        val resolved = cdcLogs(s, dir).filter(col("b") <= v)
-          .groupBy(col("k"))
-          .agg(max_by(
-            struct(col("act"), col("o_orderstatus"), col("price")), col("b")).as("r"))
-          .select(col("k"), col("r.act").as("act"),
-            col("r.o_orderstatus").as("o_orderstatus"), col("r.price").as("price"))
-        mergeResolved(base, resolved)
-      }
+      else mergeResolved(base, resolveLog(cdcLogs(s, dir).filter(col("b") <= v)))
     state.withColumn("v", lit(v))
   }
 
@@ -870,14 +877,6 @@ object Advanced {
     require(v >= cp, s"q47: version $v predates checkpoint $cp (retired by retention)")
     val base = checkpointBase(s, dir, cp)
     if (v == cp) base
-    else {
-      val resolved = truncatedLog(s, dir, cp).filter(col("b") <= v)
-        .groupBy(col("k"))
-        .agg(max_by(
-          struct(col("act"), col("o_orderstatus"), col("price")), col("b")).as("r"))
-        .select(col("k"), col("r.act").as("act"),
-          col("r.o_orderstatus").as("o_orderstatus"), col("r.price").as("price"))
-      mergeResolved(base, resolved)
-    }
+    else mergeResolved(base, resolveLog(truncatedLog(s, dir, cp).filter(col("b") <= v)))
   }
 }
