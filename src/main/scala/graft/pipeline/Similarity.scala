@@ -853,13 +853,21 @@ object Similarity {
     * [[PqSubs]] rows per vector. Materialized: the codebook train reads
     * it [[PqLloydIters]]+1 times, the code assignment once more.
     */
+  /** L2-normalize + slice an arbitrary `(vec_id, v)` frame into the
+    * per-subspace rows — the ONE slicing spelling, shared by the corpus
+    * materialization and the streaming-append path
+    * ([[annAssignFrozenBatch]]); a drifted copy would silently split
+    * the serving codes between the two ingestion paths.
+    */
+  private def sliceVecs(e: DataFrame): DataFrame = e
+    .select(col("vec_id"),
+      expr("transform(v, x -> x / sqrt(vec_dot(v, v)))").as("nv"))
+    .select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${PqSubs - 1}), j -> slice(nv, j * $PqDim + 1, $PqDim))")))
+    .select(col("vec_id"), col("pos").as("sub"), col("col").as("sv"))
+
   private def pqSlices(s: SparkSession, dir: String): DataFrame =
-    Materialized.getOrBuild(s, s"s6.slices|$dir")(vecs(s, dir)
-      .select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(vec_dot(v, v)))").as("nv"))
-      .select(col("vec_id"), posexplode(expr(
-        s"transform(sequence(0, ${PqSubs - 1}), j -> slice(nv, j * $PqDim + 1, $PqDim))")))
-      .select(col("vec_id"), col("pos").as("sub"), col("col").as("sv")))
+    Materialized.getOrBuild(s, s"s6.slices|$dir")(sliceVecs(vecs(s, dir)))
 
   /** Seed codebooks: slices of the [[PqK]] vectors at [[CentroidLo]] —
     * the same deterministic-sample rule as s4's seeds, per subspace.
@@ -1270,6 +1278,28 @@ object Similarity {
       .select(col("vec_id"), col("cid"))
       .join(packCodes(
         pqAssign(pqSlices(s, dir).filter(pred), s10Codebook(s, dir))), "vec_id")
+      .select(col("vec_id"), col("cid"), col("code"))
+  }
+
+  /** Assign an ARBITRARY `(vec_id, v: array<double>)` frame through the
+    * frozen artifacts — the streaming-append kernel behind
+    * [[graft.streaming.VecStream]]: one micro-batch in, its
+    * `(vec_id, cid, code)` serving rows out. Identical kernels to
+    * [[annAssignFrozen]] (ivfAssign / sliceVecs / pqAssign / packCodes
+    * — one spelling each); the corpus variant reads the materialized
+    * slice table instead of re-slicing, that is the only difference.
+    * Because per-vector assignment is a pure function of (vector,
+    * frozen artifacts), the union over ANY micro-batching of the delta
+    * equals the one-shot batch assignment bit-for-bit — AnnStreamSpec
+    * pins that batch-size invariance, which is what makes the live
+    * append idempotent under at-least-once redelivery.
+    */
+  private[graft] def annAssignFrozenBatch(
+      s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    val k = s10K(s, dir)
+    ivfAssign(batch, s10Centroids(s, dir), k)
+      .select(col("vec_id"), col("cid"))
+      .join(packCodes(pqAssign(sliceVecs(batch), s10Codebook(s, dir))), "vec_id")
       .select(col("vec_id"), col("cid"), col("code"))
   }
 
