@@ -284,13 +284,60 @@ object Multimodal {
         .localCheckpoint()
     }
 
-  /** Pre-build m6's signature table and m7's fingerprint table (same
-    * out-of-cell billing contract as
+  /** m8's WATERMARKED variants: every 5th raster re-emitted at its
+    * ORIGINAL geometry with its first pixel overwritten (a constant
+    * 0x2A) — the synthetic twin of a logo/watermark/corner-stamp edit.
+    * Pure column algebra on the binary payload (concat of a 1-byte
+    * literal with the substring tail, no kernel needed). Watermark ids
+    * live past the resize-variant id range (`id + 2·(mx+1)`).
+    */
+  private[graft] def watermarkedRasters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val mx = maxDocId(s, dir)
+    rasterBlobs(s, dir).filter(pmod(col("id"), lit(5)) === 0).select(
+      (col("id") + lit(2L * (mx + 1L))).as("wid"), col("id").as("src"),
+      col("w"), col("h"),
+      concat(lit(Array(0x2a.toByte)),
+        expr("substring(payload, 2, w * h - 1)")).as("payload"))
+  }
+
+  /** m8's canonical-thumbnail SIGNATURE table `(mid, src, kind, phash)`
+    * over originals (kind 0) ∪ resize variants (1) ∪ watermarked
+    * copies (2): phash = the 32-bit byte-gram SimHash of the 8×8
+    * canonical thumbnail. The edit-tolerant sibling of [[thumbFpIndex]]
+    * (which stays exact-md5 and excludes the watermarked class — m7's
+    * oracle replays that exact membership). Same materialization
+    * rationale: the pigeonhole join reads it on both sides.
+    */
+  private[graft] def thumbSigIndex(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Materialized.getOrBuild(s, s"m8.sig|$dir") {
+      graft.functions.GraftFunctions.register(s)
+      val orig = rasterBlobs(s, dir).select(
+        col("id").as("mid"), col("id").as("src"), lit(0).as("kind"),
+        col("w"), col("h"), col("payload"))
+      val members = orig
+        .unionByName(rasterVariants(s, dir).select(
+          col("vid").as("mid"), col("src"), lit(1).as("kind"),
+          col("w"), col("h"), col("payload")))
+        .unionByName(watermarkedRasters(s, dir).select(
+          col("wid").as("mid"), col("src"), lit(2).as("kind"),
+          col("w"), col("h"), col("payload")))
+      members.select(col("mid"), col("src"), col("kind"),
+        call_function("byte_simhash",
+          call_function("resize_nn",
+            col("payload"), col("w"), col("h"), lit(ThumbW), lit(ThumbH)),
+          lit(32)).as("phash"))
+        .localCheckpoint()
+    }
+
+  /** Pre-build m6's signature table and m7/m8's canonical-thumbnail
+    * tables (same out-of-cell billing contract as
     * [[graft.pipeline.Dedup.prewarmIndexes]]).
     */
   private[graft] def prewarmIndexes(s: SparkSession, dir: String): Unit = {
     sigIndex(s, dir)
     thumbFpIndex(s, dir)
+    thumbSigIndex(s, dir)
     ()
   }
 
@@ -537,6 +584,90 @@ object Multimodal {
         FROM fp v LEFT JOIN fp c ON v.fp = c.fp AND c.mid <> v.mid
         WHERE v.is_var = 1
         GROUP BY 1, 2"""),
+    ),
+
+    // ---- m8: canonical-thumbnail SimHash near-dup — the
+    //      edit-TOLERANT completion of the media-dedup matrix (m1
+    //      exact bytes → m5/m6 payload SimHash → m7 resize-exact →
+    //      m8 resize AND edit tolerant): every raster (originals ∪
+    //      resize variants ∪ watermarked copies) canonicalizes to the
+    //      8×8 thumbnail, the THUMBNAIL is SimHash-fingerprinted, and
+    //      candidates meet through m6's 4-piece pigeonhole at
+    //      hamming ≤ 3. Resized copies land at hamming 0 (the m7
+    //      identity); a watermarked copy's thumbnail differs in ONE
+    //      pixel, so it lands a few hamming bits away — caught here,
+    //      structurally invisible to m7's exact md5 (the spec shows
+    //      the miss). Scale shape: map-side kernel fingerprints, the
+    //      pigeonhole equi-join (never all-pairs); at 100 TB the
+    //      fixed 32/4 pigeonhole inherits d4b's adaptive-width ladder
+    //      as the hot-bucket defense. ----
+    Q(
+      "m8_phash_neardup",
+      (s, dir) => {
+        val sig = thumbSigIndex(s, dir)
+        val pieces = sig.select(col("mid"), col("phash"),
+          explode(array((0 until 4).map(i =>
+            expr(s"(phash div ${1L << (8 * i)}L) % 256L + ${i.toLong * 256}L")): _*)).as("piece"))
+        pieces.select(col("piece"), col("mid").as("id1"), col("phash").as("p1"))
+          .join(pieces.select(col("piece"), col("mid").as("id2"), col("phash").as("p2")),
+            Seq("piece"))
+          .filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"), col("p1"), col("p2")).distinct()
+          .withColumn("hamming", expr("bit_count(p1 ^ p2)"))
+          .filter(col("hamming") <= 3)
+          .select(col("id1"), col("id2"), col("hamming"))
+      },
+      Some(s"""
+        WITH mk AS (SELECT max(doc_id) AS mx FROM documents),
+        b AS (
+          SELECT doc_id AS id,
+                 CAST(doc_id % 25 + 8 AS INT) AS w,
+                 CAST((doc_id * 7) % 25 + 8 AS INT) AS h
+          FROM documents),
+        members AS (
+          SELECT id AS mid, id AS src, 0 AS kind, w, h, 0 AS g FROM b
+          UNION ALL
+          SELECT id + mx + 1, id, 1, w, h,
+                 CASE WHEN id % 4 = 0 THEN 24 ELSE 16 END
+          FROM b, mk WHERE id % 2 = 0
+          UNION ALL
+          SELECT id + 2 * (mx + 1), id, 2, w, h, 0
+          FROM b, mk WHERE id % 5 = 0),
+        px AS (
+          SELECT mid, oy, ox,
+                 CASE WHEN kind = 2 AND oy = 0 AND ox = 0 THEN 42
+                      ELSE (src * 31
+                        + (CASE WHEN kind = 1 THEN (((oy * g) // $ThumbH) * h) // g
+                                ELSE (oy * h) // $ThumbH END) * 7
+                        + (CASE WHEN kind = 1 THEN (((ox * g) // $ThumbW) * w) // g
+                                ELSE (ox * w) // $ThumbW END) * 13) % 256
+                 END AS pix
+          FROM members,
+               (SELECT unnest(generate_series(0, ${ThumbH - 1})) AS oy),
+               (SELECT unnest(generate_series(0, ${ThumbW - 1})) AS ox)),
+        thx AS (
+          SELECT mid, string_agg(printf('%02x', pix), '' ORDER BY oy, ox) AS hx
+          FROM px GROUP BY 1),
+        tok AS (
+          SELECT mid, CAST(('0x' || substr(md5(substr(hx, 2*i+1, 8)), 1, 15)) AS BIGINT) AS hsh
+          FROM (SELECT mid, hx, unnest(generate_series(0, ${ThumbW * ThumbH - 4})) AS i FROM thx)),
+        bits AS (
+          SELECT mid, bit,
+                 sum(CASE WHEN (hsh // (1::BIGINT << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS wgt
+          FROM tok, (SELECT unnest(generate_series(0, 31)) AS bit)
+          GROUP BY 1, 2),
+        sig AS (
+          SELECT mid, CAST(sum(CASE WHEN wgt > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS phash
+          FROM bits GROUP BY 1),
+        pieces AS (
+          SELECT mid, phash, (phash // (1::BIGINT << (8*i))) % 256 + i * 256 AS piece
+          FROM sig, (SELECT unnest(generate_series(0, 3)) AS i)),
+        cand AS (
+          SELECT DISTINCT a.mid AS id1, c.mid AS id2, a.phash AS p1, c.phash AS p2
+          FROM pieces a JOIN pieces c USING (piece)
+          WHERE a.mid < c.mid)
+        SELECT id1, id2, CAST(bit_count(xor(p1, p2)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(p1, p2)) <= 3"""),
     ),
 
     // ---- m3: stubbed decode → feature extraction, via the native

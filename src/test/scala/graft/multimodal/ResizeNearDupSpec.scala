@@ -66,6 +66,49 @@ class ResizeNearDupSpec extends SparkSpec {
       s"most resized pairs should be invisible to payload SimHash, got ${hams.toSeq}")
   }
 
+  test("m8 carries m7's exact matches at hamming 0 and catches watermarked pairs m7 misses") {
+    val mx = Multimodal.rasterBlobs(spark, dir).agg(max(col("id"))).collect()(0).getLong(0)
+    val m8 = graft.queries.Registry.all.find(_.name == "m8_phash_neardup").get
+      .run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming")))
+    // every resize-variant pair (src, src + mx + 1) lands at hamming 0:
+    // the canonical-composition identity carries into the SimHash space.
+    // `a <= mx` pins a to the ORIGINAL id range — without it a
+    // (variant-of-k, watermarked-of-k) pair also differs by mx + 1
+    val resizePairs = m8.filter { case (a, b, _) => a <= mx && b == a + mx + 1 }
+    assert(resizePairs.nonEmpty)
+    assert(resizePairs.forall(_._3 == 0),
+      s"resized copies must fingerprint identically: ${resizePairs.filter(_._3 != 0).take(5).toSeq}")
+    // watermarked copies (src + 2(mx+1)): one edited pixel moves the
+    // thumbnail a few hamming bits — some land within the pigeonhole
+    // tolerance, and every one of those is invisible to m7's exact md5
+    val wmPairs = m8.filter { case (a, b, _) => a <= mx && b == a + 2 * (mx + 1) }
+    assert(wmPairs.nonEmpty,
+      "fixture must catch watermarked pairs within hamming tolerance")
+    assert(wmPairs.exists(_._3 >= 1),
+      "a watermarked pair at hamming >= 1 is exactly what exact-fingerprint matching cannot see")
+    val fp = Multimodal.thumbFpIndex(spark, dir)
+    // m7's table does not even contain the watermarked class — and the
+    // edited thumbnail's md5 differs from its source's, so an
+    // exact-fingerprint join could never pair them
+    val srcFp = fp.filter(col("is_var") === 0).select(col("mid"), col("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.functions.GraftFunctions.register(spark)
+    val wmFp = Multimodal.watermarkedRasters(spark, dir)
+      .select(col("src"),
+        md5(lower(hex(call_function("resize_nn",
+          col("payload"), col("w"), col("h"),
+          lit(Multimodal.ThumbW), lit(Multimodal.ThumbH))))).as("wfp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // ids whose pixel (0,0) already equals the 0x2A stamp (id·31 ≡ 42
+    // mod 256, i.e. id ≡ 150 mod 256) get a NO-OP watermark — their
+    // thumbnails legitimately keep the source fingerprint; every
+    // actually-edited copy must lose it
+    val edited = wmFp.filter { case (src, _) => java.lang.Math.floorMod(src * 31, 256) != 42 }
+    assert(edited.nonEmpty && edited.forall { case (src, wfp) => srcFp(src) != wfp },
+      "every actually-edited watermarked thumbnail must differ from its source's exact fingerprint")
+  }
+
   test("fingerprint match plans as a hash join on fp, never a cartesian product") {
     val df = graft.queries.Registry.all.find(_.name == "m7_resize_neardup").get
       .run(spark, dir)
