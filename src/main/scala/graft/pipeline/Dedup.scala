@@ -55,6 +55,16 @@ object Dedup {
     */
   val ShingleDfCap = 256L
 
+  /** d12's directed-containment emit threshold: the fraction of the
+    * CONTAINED side's (capped) shingle set that the pair shares. 0.5 is
+    * the conventional "majority of this document appears inside that
+    * one" cut — measured non-degenerate on the testdata corpus at every
+    * gate SF, and any full inclusion (the quote/derived-doc case the
+    * operator exists for) scores 1.0 regardless of the container's
+    * size.
+    */
+  val ContainmentMin = 0.5
+
   /** d8 span window length in words. The ExactSubstr paper uses 50 BPE
     * tokens on web documents; the fixture's docs are ~50 words total, so
     * 8 keeps the same ratio of window to document. Independent of corpus
@@ -800,6 +810,68 @@ object Dedup {
             countDistinct("eval_id").as("n_eval_docs"))
       },
       Some(decontamOracleSql),
+    ),
+
+    // ---- d12: asymmetric CONTAINMENT detection — the quote/inclusion
+    //      relation Jaccard structurally under-weights: a small doc
+    //      fully embedded in a large one has containment 1.0 but
+    //      Jaccard ≈ |small|/|large|, far under any symmetric
+    //      near-dup threshold (ContainmentSpec crafts exactly that
+    //      pair and shows d2's rule misses it while d12 emits it at
+    //      1.0). Same inverted capped shingle index and pair join as
+    //      d2 — candidates meet through shared shingles, never
+    //      all-pairs — but the score normalizes by EACH side's set
+    //      size and the emit is DIRECTED: one row per (contained,
+    //      container) direction at containment ≥ [[ContainmentMin]]
+    //      (near-identical docs legitimately emit both directions).
+    //      The provenance/quote-detection primitive a training-corpus
+    //      curation pass runs beside symmetric dedup: inclusions mark
+    //      derived/quoting documents whose removal policy differs
+    //      from true duplicates. Containment is
+    //      measured on the df-CAPPED sets (d2's contract): hot
+    //      boilerplate shingles can neither fabricate nor dilute an
+    //      inclusion. ----
+    Q(
+      "d12_containment",
+      (s, dir) => {
+        val exploded = cappedIndex(s, dir)
+        val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val pairs = exploded.as("x")
+          .join(exploded.as("y"),
+            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+          .agg(count(lit(1)).as("n_common"))
+        val joined = pairs
+          .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1"), "doc1")
+          .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2"), "doc2")
+        def direction(contained: String, container: String, n: String) = joined
+          .withColumn("c_raw", col("n_common").cast("double") / col(n))
+          .filter(col("c_raw") >= ContainmentMin)
+          .select(col(contained).as("contained"), col(container).as("container"),
+            round(col("c_raw"), 6).as("containment"))
+        direction("doc1", "doc2", "n1").unionByName(direction("doc2", "doc1", "n2"))
+      },
+      Some(s"""
+        WITH sh0 AS ($shingleIndexSql),
+        sh AS (
+          SELECT * FROM sh0 WHERE h NOT IN (
+            SELECT h FROM sh0 GROUP BY h
+            HAVING count(*) > $ShingleDfCap)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        pairs AS (
+          SELECT x.doc_id AS doc1, y.doc_id AS doc2, count(*) AS n_common
+          FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        j AS (
+          SELECT doc1, doc2, n_common, s1.n_sh AS n1, s2.n_sh AS n2
+          FROM pairs JOIN sizes s1 ON doc1 = s1.doc_id
+                     JOIN sizes s2 ON doc2 = s2.doc_id)
+        SELECT doc1 AS contained, doc2 AS container,
+               round(n_common / CAST(n1 AS DOUBLE), 6) AS containment
+        FROM j WHERE n_common / CAST(n1 AS DOUBLE) >= $ContainmentMin
+        UNION ALL
+        SELECT doc2, doc1, round(n_common / CAST(n2 AS DOUBLE), 6)
+        FROM j WHERE n_common / CAST(n2 AS DOUBLE) >= $ContainmentMin"""),
     ),
   )
 

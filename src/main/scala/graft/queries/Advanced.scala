@@ -678,6 +678,56 @@ object Advanced {
                bit_xor(${graft.pipeline.Portable.md5LongSql("CAST(s.k AS VARCHAR)")}) AS key_xor
         FROM state s CROSS JOIN paths p GROUP BY 1, 2"""),
     ),
+
+    // ---- q48: POSITION-DELETE (deletion-vector) read — the OTHER
+    //      lake delete mechanism, completing the taxonomy: q41/q43
+    //      delete by KEY (row-image tombstones); Iceberg/Delta
+    //      deletion vectors delete by (file, row position), which
+    //      needs no key at all and costs one bitmap per touched file.
+    //      Synthetic twin: the lake shards into deterministic "files"
+    //      (fid = k % 8) and position = rank of k within its file —
+    //      the cross-engine-replayable stand-in for the physical row
+    //      offset (at 100 TB positions come FREE from the scan as
+    //      per-file offsets; no engine sorts for them — the window
+    //      here exists only so DuckDB can derive identical positions).
+    //      The DV marks a scattered rule (every 97th position) plus a
+    //      contiguous head range in one file (positions ≤ 5 of fid 0 —
+    //      the "deleted first rows" range shape DV bitmaps compress
+    //      best). The read is one broadcast anti-join on (fid, pos):
+    //      DVs are day-scale metadata (|lake|/97 + 5 entries) against
+    //      a lake that never reshuffles — delete cost is proportional
+    //      to deletes, zero rewrite amplification, and the surviving
+    //      rows' count/sums/key-XOR gate that EXACTLY the marked
+    //      positions vanished. ----
+    Q(
+      "q48_position_delete",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val withPos = lakeWithPositions(s, dir)
+        withPos.join(broadcast(deletionVector(s, dir)), Seq("fid", "pos"), "left_anti")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            graft.Agg.dsum(col("price")).as("sum_price"),
+            bit_xor(graft.pipeline.Portable.md5Long(col("k").cast("string")))
+              .as("key_xor"))
+      },
+      Some(s"""
+        WITH lake AS (
+          SELECT o_orderkey AS k, o_orderstatus, o_totalprice AS price,
+                 o_orderkey % 8 AS fid
+          FROM orders),
+        wp AS (
+          SELECT *, row_number() OVER (PARTITION BY fid ORDER BY k) AS pos
+          FROM lake),
+        dv AS (
+          SELECT fid, pos FROM wp
+          WHERE pos % 97 = 0 OR (fid = 0 AND pos <= 5))
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS sum_price,
+               bit_xor(${graft.pipeline.Portable.md5LongSql("CAST(k AS VARCHAR)")}) AS key_xor
+        FROM wp ANTI JOIN dv USING (fid, pos)
+        GROUP BY 1"""),
+    ),
   )
 
   /** q38's lake/delta boundary: the last ~7 months of the orders range
@@ -710,6 +760,32 @@ object Advanced {
           UNION ALL
           SELECT 2, k, o_orderstatus, price + 7.0, 'U'
           FROM base WHERE k % 13 = 0 AND k % 59 <> 0)"""
+
+  /** q48's position-stamped lake: the CDC lake sharded into
+    * deterministic synthetic "files" (fid) with each row's rank within
+    * its file as the position — the replayable stand-in for a physical
+    * per-file row offset. Positions are PER-FILE (the window partitions
+    * by fid): a real deployment reads them off the scan for free; the
+    * rank exists so both engines derive identical positions over the
+    * same parquet (orders keys are unique, so the rank is total).
+    */
+  private[graft] def lakeWithPositions(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val lake = cdcLake(s, dir).withColumn("fid", pmod(col("k"), lit(8)))
+    lake.withColumn("pos",
+      row_number().over(Window.partitionBy(col("fid")).orderBy(col("k"))))
+  }
+
+  /** q48's deletion vector `(fid, pos)` — the deterministic delete
+    * feed: every 97th position in each file plus the first 5 positions
+    * of file 0 (a contiguous range, the shape DV bitmaps compress
+    * best). Day-scale metadata by construction: |lake|/97 + 5 entries.
+    */
+  private[graft] def deletionVector(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    lakeWithPositions(s, dir)
+      .filter(pmod(col("pos"), lit(97)) === 0 || (col("fid") === 0 && col("pos") <= 5))
+      .select(col("fid"), col("pos"))
 
   /** The CDC family's lake view of orders: `(k, o_orderstatus, price)`.
     * Shared by q41 (copy-on-write merge) and q43 (merge-on-read log +
