@@ -257,32 +257,49 @@ object Multimodal {
       .unionByName(reenc(even.filter(pmod(col("id"), lit(4)) =!= 0), 16))
   }
 
-  /** m7's canonical-fingerprint table `(mid, src, is_var, fp)` over
-    * originals ∪ variants: fp = md5 of the 8×8 canonical thumbnail
-    * ([[ResizeNn]] at the m4 spec geometry). Materialized once per
-    * (session, corpus): the match join reads it on BOTH sides, and
+  /** m7/m8's SHARED canonical-thumbnail table `(mid, src, kind,
+    * thumb)` over originals (kind 0) ∪ resize variants (1) ∪
+    * watermarked copies (2): thumb = the 8×8 canonical thumbnail
+    * ([[ResizeNn]] at the m4 spec geometry). Materialized ONCE per
+    * (session, corpus): both digests — m7's exact md5 and m8's SimHash
+    * — are projections over this one table, so the resize kernels run
+    * a single corpus pass (64 bytes/row stored) instead of once per
+    * digest; the match joins read it on both sides, and
     * custom-expression subtrees get no exchange reuse (round-7 review)
-    * — without the cache each side would re-run the resize kernels over
-    * the corpus's full byte volume.
+    * — without the cache each consumer would re-run resize_nn over the
+    * corpus's full byte volume, and each invocation would re-ANALYZE
+    * the whole union+variants+resize subtree at plan time (the
+    * localCheckpoint truncates lineage like ivfCentroids').
     */
-  private[graft] def thumbFpIndex(s: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Materialized.getOrBuild(s, s"m7.fp|$dir") {
+  private[graft] def thumbIndex(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Materialized.getOrBuild(s, s"m78.thumb|$dir") {
       graft.functions.GraftFunctions.register(s)
       val orig = rasterBlobs(s, dir).select(
-        col("id").as("mid"), col("id").as("src"), lit(0).as("is_var"),
+        col("id").as("mid"), col("id").as("src"), lit(0).as("kind"),
         col("w"), col("h"), col("payload"))
-      val members = orig.unionByName(rasterVariants(s, dir).select(
-        col("vid").as("mid"), col("src"), lit(1).as("is_var"),
-        col("w"), col("h"), col("payload")))
-      members.select(col("mid"), col("src"), col("is_var"),
-        md5(lower(hex(call_function("resize_nn",
-          col("payload"), col("w"), col("h"), lit(ThumbW), lit(ThumbH))))).as("fp"))
-        // lineage truncation like every other corpus-scale artifact
-        // (ivfCentroids' scaladoc): m7 reads fp on BOTH join sides, and
-        // without the checkpoint each invocation re-ANALYZES the whole
-        // union+variants+resize subtree twice at plan time
+      val members = orig
+        .unionByName(rasterVariants(s, dir).select(
+          col("vid").as("mid"), col("src"), lit(1).as("kind"),
+          col("w"), col("h"), col("payload")))
+        .unionByName(watermarkedRasters(s, dir).select(
+          col("wid").as("mid"), col("src"), lit(2).as("kind"),
+          col("w"), col("h"), col("payload")))
+      members.select(col("mid"), col("src"), col("kind"),
+        call_function("resize_nn",
+          col("payload"), col("w"), col("h"), lit(ThumbW), lit(ThumbH)).as("thumb"))
         .localCheckpoint()
     }
+
+  /** m7's view of [[thumbIndex]]: exact-md5 fingerprints over the
+    * NON-watermarked members — m7's membership contract is originals ∪
+    * resize variants only (the oracle replays exactly that set), and
+    * `is_var` keeps its original meaning with kind restricted to
+    * {0, 1}. Pure projection: no second kernel pass, no second cache.
+    */
+  private[graft] def thumbFpIndex(s: SparkSession, dir: String): DataFrame =
+    thumbIndex(s, dir).filter(col("kind") < 2)
+      .select(col("mid"), col("src"), col("kind").as("is_var"),
+        md5(lower(hex(col("thumb")))).as("fp"))
 
   /** m8's WATERMARKED variants: every 5th raster re-emitted at its
     * ORIGINAL geometry with its first pixel overwritten (a constant
@@ -301,67 +318,135 @@ object Multimodal {
         expr("substring(payload, 2, w * h - 1)")).as("payload"))
   }
 
-  /** m8's canonical-thumbnail SIGNATURE table `(mid, src, kind, phash)`
-    * over originals (kind 0) ∪ resize variants (1) ∪ watermarked
-    * copies (2): phash = the 32-bit byte-gram SimHash of the 8×8
-    * canonical thumbnail. The edit-tolerant sibling of [[thumbFpIndex]]
-    * (which stays exact-md5 and excludes the watermarked class — m7's
-    * oracle replays that exact membership). Same materialization
-    * rationale: the pigeonhole join reads it on both sides.
+  /** m8's view of [[thumbIndex]]: the 32-bit byte-gram SimHash of each
+    * canonical thumbnail, ALL members incl. the watermarked class —
+    * the edit-tolerant sibling of [[thumbFpIndex]] (which stays
+    * exact-md5). Pure projection over the shared thumbnail table.
     */
-  private[graft] def thumbSigIndex(s: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Materialized.getOrBuild(s, s"m8.sig|$dir") {
-      graft.functions.GraftFunctions.register(s)
-      val orig = rasterBlobs(s, dir).select(
-        col("id").as("mid"), col("id").as("src"), lit(0).as("kind"),
-        col("w"), col("h"), col("payload"))
-      val members = orig
-        .unionByName(rasterVariants(s, dir).select(
-          col("vid").as("mid"), col("src"), lit(1).as("kind"),
-          col("w"), col("h"), col("payload")))
-        .unionByName(watermarkedRasters(s, dir).select(
-          col("wid").as("mid"), col("src"), lit(2).as("kind"),
-          col("w"), col("h"), col("payload")))
-      members.select(col("mid"), col("src"), col("kind"),
-        call_function("byte_simhash",
-          call_function("resize_nn",
-            col("payload"), col("w"), col("h"), lit(ThumbW), lit(ThumbH)),
-          lit(32)).as("phash"))
-        .localCheckpoint()
-    }
+  private[graft] def thumbSigIndex(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    thumbIndex(s, dir).select(col("mid"), col("src"), col("kind"),
+      call_function("byte_simhash", col("thumb"), lit(32)).as("phash"))
+  }
 
-  /** Pre-build m6's signature table and m7/m8's canonical-thumbnail
-    * tables (same out-of-cell billing contract as
+  /** Pre-build m6's signature table and m7/m8's shared canonical-
+    * thumbnail table (same out-of-cell billing contract as
     * [[graft.pipeline.Dedup.prewarmIndexes]]).
     */
   private[graft] def prewarmIndexes(s: SparkSession, dir: String): Unit = {
     sigIndex(s, dir)
-    thumbFpIndex(s, dir)
-    thumbSigIndex(s, dir)
+    thumbIndex(s, dir)
     ()
   }
 
-  /** Shared oracle CTE block for the byte-gram SimHash (m5/m6): blob
-    * hex + rolling 4-byte-gram hashes + per-bit sums + signature — the
-    * SQL twin of [[graft.functions.ByteSimhashKernel]], one spelling.
+  /** m6/m8's shared 4×8-bit pigeonhole pairing: hamming ≤ 3 on a
+    * 32-bit signature implies at least one of 4 8-bit pieces is
+    * identical, so candidates meet through an equi-join on (piece idx,
+    * piece value) and the exact hamming check verifies — never
+    * all-pairs. `sig` must expose `($id, phash)`; output is
+    * `(id1, id2, hamming)` with id1 < id2.
     */
-  private def phashCtesSql: String = """b AS (
+  private def pigeonholePairs(sig: DataFrame, id: String): DataFrame = {
+    val pieces = sig.select(col(id), col("phash"),
+      explode(array((0 until 4).map(i =>
+        expr(s"(phash div ${1L << (8 * i)}L) % 256L + ${i.toLong * 256}L")): _*)).as("piece"))
+    pieces.select(col("piece"), col(id).as("id1"), col("phash").as("p1"))
+      .join(pieces.select(col("piece"), col(id).as("id2"), col("phash").as("p2")),
+        Seq("piece"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("p1"), col("p2")).distinct()
+      .withColumn("hamming", expr("bit_count(p1 ^ p2)"))
+      .filter(col("hamming") <= 3)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  /** Shared oracle CTE fragment: the byte-gram SimHash fold — rolling
+    * 4-byte-gram md5 hashes over a hex column `hx`, per-bit ±1 sums,
+    * 32-bit signature `sig($id, phash)`. The single SQL spelling of
+    * [[graft.functions.ByteSimhashKernel]]: m5/m6 fold document
+    * payloads (via [[phashCtesSql]]), m8 folds canonical thumbnails.
+    * `src` must expose `($id, hx)`; `lastGram` is the index of the
+    * final gram (`n-4` for variable-length payloads, a constant for
+    * fixed-size thumbnails); `guard` filters sub-gram-length rows.
+    */
+  private def simhashFoldCtes(src: String, id: String, lastGram: String,
+      guard: String): String =
+    s"""tok AS (
+          SELECT $id, CAST(('0x' || substr(md5(substr(hx, 2*i+1, 8)), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT $id, hx, unnest(generate_series(0, $lastGram)) AS i FROM $src$guard)),
+        bits AS (
+          SELECT $id, bit,
+                 sum(CASE WHEN (h // (1::BIGINT << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS w
+          FROM tok, (SELECT unnest(generate_series(0, 31)) AS bit)
+          GROUP BY 1, 2),
+        sig AS (
+          SELECT $id, CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS phash
+          FROM bits GROUP BY 1)"""
+
+  /** Shared oracle CTE fragment: m6/m8's pigeonhole in SQL — pieces
+    * exploded from `$src($id, phash)`, deduped candidate pairs meeting
+    * at piece equality ([[pigeonholePairs]]'s twin, one spelling).
+    */
+  private def pigeonholeCtes(src: String, id: String): String =
+    s"""pieces AS (
+          SELECT $id, phash, (phash // (1::BIGINT << (8*i))) % 256 + i * 256 AS piece
+          FROM $src, (SELECT unnest(generate_series(0, 3)) AS i)),
+        cand AS (
+          SELECT DISTINCT a.$id AS id1, c.$id AS id2, a.phash AS p1, c.phash AS p2
+          FROM pieces a JOIN pieces c USING (piece)
+          WHERE a.$id < c.$id)"""
+
+  /** Shared oracle CTE block for the payload byte-gram SimHash (m5/m6):
+    * blob hex + the [[simhashFoldCtes]] fold.
+    */
+  private def phashCtesSql: String = s"""b AS (
           SELECT doc_id AS id,
                  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
                  lower(hex(encode(text))) AS hx,
                  octet_length(encode(text)) AS n
           FROM documents),
-        tok AS (
-          SELECT id, CAST(('0x' || substr(md5(substr(hx, 2*i+1, 8)), 1, 15)) AS BIGINT) AS h
-          FROM (SELECT id, hx, unnest(generate_series(0, n-4)) AS i FROM b WHERE n >= 4)),
-        bits AS (
-          SELECT id, bit,
-                 sum(CASE WHEN (h // (1::BIGINT << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS w
-          FROM tok, (SELECT unnest(generate_series(0, 31)) AS bit)
-          GROUP BY 1, 2),
-        sig AS (
-          SELECT id, CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS phash
-          FROM bits GROUP BY 1)"""
+        ${simhashFoldCtes("b", "id", "n-4", " WHERE n >= 4")}"""
+
+  /** Shared oracle CTE fragment for m7/m8: corpus raster geometry,
+    * thumbnail-membership (originals kind 0 ∪ resize variants kind 1 ∪
+    * — when `withWatermark` — watermarked copies kind 2), and the
+    * replayed composed pixel map `px(mid, src, kind, oy, ox, pix)`.
+    * The NN index-map composition is replayed, not assumed; the
+    * watermark branch overwrites thumbnail pixel (0,0) only, because
+    * w,h ≥ 8 means source pixel (0,0) is exactly what canonicalization
+    * reads for output (0,0).
+    */
+  private def thumbPxCtes(withWatermark: Boolean): String = {
+    val wmMember = if (withWatermark) s"""
+          UNION ALL
+          SELECT id + 2 * (mx + 1), id, 2, w, h, 0
+          FROM b, mk WHERE id % 5 = 0"""
+    else ""
+    s"""mk AS (SELECT max(doc_id) AS mx FROM documents),
+        b AS (
+          SELECT doc_id AS id,
+                 CAST(doc_id % 25 + 8 AS INT) AS w,
+                 CAST((doc_id * 7) % 25 + 8 AS INT) AS h
+          FROM documents),
+        members AS (
+          SELECT id AS mid, id AS src, 0 AS kind, w, h, 0 AS g FROM b
+          UNION ALL
+          SELECT id + mx + 1, id, 1, w, h,
+                 CASE WHEN id % 4 = 0 THEN 24 ELSE 16 END
+          FROM b, mk WHERE id % 2 = 0$wmMember),
+        px AS (
+          SELECT mid, src, kind, oy, ox,
+                 CASE WHEN kind = 2 AND oy = 0 AND ox = 0 THEN 42
+                      ELSE (src * 31
+                        + (CASE WHEN kind = 1 THEN (((oy * g) // $ThumbH) * h) // g
+                                ELSE (oy * h) // $ThumbH END) * 7
+                        + (CASE WHEN kind = 1 THEN (((ox * g) // $ThumbW) * w) // g
+                                ELSE (ox * w) // $ThumbW END) * 13) % 256
+                 END AS pix
+          FROM members,
+               (SELECT unnest(generate_series(0, ${ThumbH - 1})) AS oy),
+               (SELECT unnest(generate_series(0, ${ThumbW - 1})) AS ox))"""
+  }
 
   def all: Seq[Q] = Seq(
     // ---- m1: binary metadata extraction (oracle-checked) ----
@@ -486,31 +571,15 @@ object Multimodal {
       "m6_media_neardup",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
-        val sig = sigIndex(s, dir) // shared materialized table, see its doc
-        val pieces = sig.select(col("id"), col("phash"),
-          explode(array((0 until 4).map(i =>
-            expr(s"(phash div ${1L << (8 * i)}L) % 256L + ${i.toLong * 256}L")): _*)).as("piece"))
-        pieces.select(col("piece"), col("id").as("id1"), col("phash").as("p1"))
-          .join(pieces.select(col("piece"), col("id").as("id2"), col("phash").as("p2")),
-            Seq("piece"))
-          .filter(col("id1") < col("id2"))
-          .select(col("id1"), col("id2"), col("p1"), col("p2")).distinct()
-          .withColumn("hamming", expr("bit_count(p1 ^ p2)"))
-          .filter(col("hamming") <= 3)
-          .select(col("id1"), col("id2"), col("hamming"))
+        // shared materialized signature table, see sigIndex's doc
+        pigeonholePairs(sigIndex(s, dir), "id")
       },
       Some(s"""
         WITH $phashCtesSql,
         s2 AS (
           SELECT b.id, coalesce(sig.phash, 0) AS phash
           FROM b LEFT JOIN sig USING (id)),
-        pieces AS (
-          SELECT id, phash, (phash // (1::BIGINT << (8*i))) % 256 + i * 256 AS piece
-          FROM s2, (SELECT unnest(generate_series(0, 3)) AS i)),
-        cand AS (
-          SELECT DISTINCT a.id AS id1, c.id AS id2, a.phash AS p1, c.phash AS p2
-          FROM pieces a JOIN pieces c USING (piece)
-          WHERE a.id < c.id)
+        ${pigeonholeCtes("s2", "id")}
         SELECT id1, id2, CAST(bit_count(xor(p1, p2)) AS INT) AS hamming
         FROM cand WHERE bit_count(xor(p1, p2)) <= 3"""),
     ),
@@ -551,38 +620,16 @@ object Multimodal {
               .as("src_matched"))
       },
       Some(s"""
-        WITH mk AS (SELECT max(doc_id) AS mx FROM documents),
-        b AS (
-          SELECT doc_id AS id,
-                 CAST(doc_id % 25 + 8 AS INT) AS w,
-                 CAST((doc_id * 7) % 25 + 8 AS INT) AS h
-          FROM documents),
-        members AS (
-          SELECT id AS mid, id AS src, 0 AS is_var, w, h, 0 AS g FROM b
-          UNION ALL
-          SELECT id + mx + 1, id, 1, w, h,
-                 CASE WHEN id % 4 = 0 THEN 24 ELSE 16 END
-          FROM b, mk WHERE id % 2 = 0),
-        px AS (
-          SELECT mid, src, is_var,
-                 oy, ox,
-                 (src * 31
-                  + (CASE WHEN is_var = 1 THEN (((oy * g) // $ThumbH) * h) // g
-                          ELSE (oy * h) // $ThumbH END) * 7
-                  + (CASE WHEN is_var = 1 THEN (((ox * g) // $ThumbW) * w) // g
-                          ELSE (ox * w) // $ThumbW END) * 13) % 256 AS pix
-          FROM members,
-               (SELECT unnest(generate_series(0, ${ThumbH - 1})) AS oy),
-               (SELECT unnest(generate_series(0, ${ThumbW - 1})) AS ox)),
+        WITH ${thumbPxCtes(withWatermark = false)},
         fp AS (
-          SELECT mid, src, is_var,
+          SELECT mid, src, kind,
                  md5(string_agg(printf('%02x', pix), '' ORDER BY oy, ox)) AS fp
           FROM px GROUP BY 1, 2, 3)
         SELECT v.mid AS vid, v.src AS src_id,
                count(c.mid) AS n_matches,
                coalesce(max(CASE WHEN c.mid = v.src THEN 1 ELSE 0 END), 0) AS src_matched
         FROM fp v LEFT JOIN fp c ON v.fp = c.fp AND c.mid <> v.mid
-        WHERE v.is_var = 1
+        WHERE v.kind = 1
         GROUP BY 1, 2"""),
     ),
 
@@ -603,69 +650,15 @@ object Multimodal {
     //      as the hot-bucket defense. ----
     Q(
       "m8_phash_neardup",
-      (s, dir) => {
-        val sig = thumbSigIndex(s, dir)
-        val pieces = sig.select(col("mid"), col("phash"),
-          explode(array((0 until 4).map(i =>
-            expr(s"(phash div ${1L << (8 * i)}L) % 256L + ${i.toLong * 256}L")): _*)).as("piece"))
-        pieces.select(col("piece"), col("mid").as("id1"), col("phash").as("p1"))
-          .join(pieces.select(col("piece"), col("mid").as("id2"), col("phash").as("p2")),
-            Seq("piece"))
-          .filter(col("id1") < col("id2"))
-          .select(col("id1"), col("id2"), col("p1"), col("p2")).distinct()
-          .withColumn("hamming", expr("bit_count(p1 ^ p2)"))
-          .filter(col("hamming") <= 3)
-          .select(col("id1"), col("id2"), col("hamming"))
-      },
+      (s, dir) =>
+        pigeonholePairs(thumbSigIndex(s, dir).select(col("mid"), col("phash")), "mid"),
       Some(s"""
-        WITH mk AS (SELECT max(doc_id) AS mx FROM documents),
-        b AS (
-          SELECT doc_id AS id,
-                 CAST(doc_id % 25 + 8 AS INT) AS w,
-                 CAST((doc_id * 7) % 25 + 8 AS INT) AS h
-          FROM documents),
-        members AS (
-          SELECT id AS mid, id AS src, 0 AS kind, w, h, 0 AS g FROM b
-          UNION ALL
-          SELECT id + mx + 1, id, 1, w, h,
-                 CASE WHEN id % 4 = 0 THEN 24 ELSE 16 END
-          FROM b, mk WHERE id % 2 = 0
-          UNION ALL
-          SELECT id + 2 * (mx + 1), id, 2, w, h, 0
-          FROM b, mk WHERE id % 5 = 0),
-        px AS (
-          SELECT mid, oy, ox,
-                 CASE WHEN kind = 2 AND oy = 0 AND ox = 0 THEN 42
-                      ELSE (src * 31
-                        + (CASE WHEN kind = 1 THEN (((oy * g) // $ThumbH) * h) // g
-                                ELSE (oy * h) // $ThumbH END) * 7
-                        + (CASE WHEN kind = 1 THEN (((ox * g) // $ThumbW) * w) // g
-                                ELSE (ox * w) // $ThumbW END) * 13) % 256
-                 END AS pix
-          FROM members,
-               (SELECT unnest(generate_series(0, ${ThumbH - 1})) AS oy),
-               (SELECT unnest(generate_series(0, ${ThumbW - 1})) AS ox)),
+        WITH ${thumbPxCtes(withWatermark = true)},
         thx AS (
           SELECT mid, string_agg(printf('%02x', pix), '' ORDER BY oy, ox) AS hx
           FROM px GROUP BY 1),
-        tok AS (
-          SELECT mid, CAST(('0x' || substr(md5(substr(hx, 2*i+1, 8)), 1, 15)) AS BIGINT) AS hsh
-          FROM (SELECT mid, hx, unnest(generate_series(0, ${ThumbW * ThumbH - 4})) AS i FROM thx)),
-        bits AS (
-          SELECT mid, bit,
-                 sum(CASE WHEN (hsh // (1::BIGINT << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS wgt
-          FROM tok, (SELECT unnest(generate_series(0, 31)) AS bit)
-          GROUP BY 1, 2),
-        sig AS (
-          SELECT mid, CAST(sum(CASE WHEN wgt > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS phash
-          FROM bits GROUP BY 1),
-        pieces AS (
-          SELECT mid, phash, (phash // (1::BIGINT << (8*i))) % 256 + i * 256 AS piece
-          FROM sig, (SELECT unnest(generate_series(0, 3)) AS i)),
-        cand AS (
-          SELECT DISTINCT a.mid AS id1, c.mid AS id2, a.phash AS p1, c.phash AS p2
-          FROM pieces a JOIN pieces c USING (piece)
-          WHERE a.mid < c.mid)
+        ${simhashFoldCtes("thx", "mid", (ThumbW * ThumbH - 4).toString, "")},
+        ${pigeonholeCtes("sig", "mid")}
         SELECT id1, id2, CAST(bit_count(xor(p1, p2)) AS INT) AS hamming
         FROM cand WHERE bit_count(xor(p1, p2)) <= 3"""),
     ),

@@ -451,6 +451,55 @@ object Dedup {
                  CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash32
           FROM bits GROUP BY 1)"""
 
+  /** d2/d12's shared candidate table `(doc1, doc2, n_common, n1, n2)`:
+    * the capped inverted shingle index self-joined into co-occurring
+    * pairs, each pair annotated with both sides' (capped) set sizes.
+    * Jaccard (d2) and directed containment (d12) are pure projections
+    * over this one join — a cap or skew fix lands in both at once.
+    *
+    * Join key = 60-bit shingle hash: an 8-byte long shuffles and
+    * compares far cheaper than a ~20-char string; the oracle hashes
+    * identically so semantics match (collisions: ~n²/2⁶¹, nil).
+    * Inverted-index self-join: only docs sharing a shingle meet — never
+    * all-pairs. (A collect_list-per-bucket variant benches identically
+    * at sf0.1 — the pair space is the cost — but the join wins at
+    * scale: AQE can split skewed shingle buckets, an in-memory bucket
+    * array cannot.) `sizes` is one row per doc — corpus-proportional,
+    * so no broadcast hint; AQE broadcasts it at runtime while it
+    * actually fits.
+    */
+  private def pairSizes(s: SparkSession, dir: String): DataFrame = {
+    val exploded = cappedIndex(s, dir)
+    val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = exploded.as("x")
+      .join(exploded.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1"), "doc1")
+      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2"), "doc2")
+  }
+
+  /** The SQL twin of [[pairSizes]], ending in a `j(doc1, doc2,
+    * n_common, n1, n2)` CTE — one spelling for d2's and d12's oracles.
+    */
+  private def pairSizesCtes: String =
+    s"""sh0 AS ($shingleIndexSql),
+        sh AS (
+          SELECT * FROM sh0 WHERE h NOT IN (
+            SELECT h FROM sh0 GROUP BY h
+            HAVING count(*) > $ShingleDfCap)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        pairs AS (
+          SELECT x.doc_id AS doc1, y.doc_id AS doc2, count(*) AS n_common
+          FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        j AS (
+          SELECT doc1, doc2, n_common, s1.n_sh AS n1, s2.n_sh AS n2
+          FROM pairs JOIN sizes s1 ON doc1 = s1.doc_id
+                     JOIN sizes s2 ON doc2 = s2.doc_id)"""
+
   def all: Seq[Q] = Seq(
     // ---- d1: exact dedup — group by normalized-text fingerprint: the
     //      canonical-id assignment (keep_id) plus copy count per
@@ -472,49 +521,18 @@ object Dedup {
     // ---- d2: n-gram Jaccard near-dup — inverted shingle index, no all-pairs ----
     Q(
       "d2_ngram_jaccard",
-      (s, dir) => {
-        // join key = 60-bit shingle hash: an 8-byte long shuffles and
-        // compares far cheaper than a ~20-char string; the oracle hashes
-        // identically so semantics match (collisions: ~n^2/2^61, nil)
-        val exploded = cappedIndex(s, dir)
-        val sizes = exploded.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_sh"))
-        // inverted index self-join: only docs sharing a shingle meet.
-        // (A collect_list-per-bucket variant benches identically at
-        // sf0.1 — the 40M-pair space is the cost — but the join wins at
-        // scale: AQE can split skewed shingle buckets, an in-memory
-        // bucket array cannot.)
-        val pairs = exploded.as("x")
-          .join(exploded.as("y"),
-            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
-          .agg(count(lit(1)).as("n_common"))
-        // sizes is one row per doc — corpus-proportional, so no broadcast
-        // hint (AQE broadcasts it at runtime while it actually fits)
-        pairs
-          .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1"), "doc1")
-          .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2"), "doc2")
+      (s, dir) =>
+        pairSizes(s, dir)
           .withColumn("jac_raw",
             col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
           .filter(col("jac_raw") >= 0.2) // threshold on RAW value, like the oracle
-          .select(col("doc1"), col("doc2"), round(col("jac_raw"), 6).as("jaccard"))
-      },
+          .select(col("doc1"), col("doc2"), round(col("jac_raw"), 6).as("jaccard")),
       Some(s"""
-        WITH sh0 AS ($shingleIndexSql),
-        sh AS (
-          SELECT * FROM sh0 WHERE h NOT IN (
-            SELECT h FROM sh0 GROUP BY h
-            HAVING count(*) > $ShingleDfCap)),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        pairs AS (
-          SELECT x.doc_id AS doc1, y.doc_id AS doc2, count(*) AS n_common
-          FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id
-          GROUP BY 1, 2)
+        WITH $pairSizesCtes
         SELECT doc1, doc2,
-               round(n_common / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE), 6) AS jaccard
-        FROM pairs JOIN sizes s1 ON doc1 = s1.doc_id
-                   JOIN sizes s2 ON doc2 = s2.doc_id
-        WHERE n_common / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) >= 0.2"""),
+               round(n_common / CAST(n1 + n2 - n_common AS DOUBLE), 6) AS jaccard
+        FROM j
+        WHERE n_common / CAST(n1 + n2 - n_common AS DOUBLE) >= 0.2"""),
     ),
 
     // ---- d3: MinHash signatures + LSH band buckets ----
@@ -834,16 +852,7 @@ object Dedup {
     Q(
       "d12_containment",
       (s, dir) => {
-        val exploded = cappedIndex(s, dir)
-        val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val pairs = exploded.as("x")
-          .join(exploded.as("y"),
-            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
-          .agg(count(lit(1)).as("n_common"))
-        val joined = pairs
-          .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1"), "doc1")
-          .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2"), "doc2")
+        val joined = pairSizes(s, dir)
         def direction(contained: String, container: String, n: String) = joined
           .withColumn("c_raw", col("n_common").cast("double") / col(n))
           .filter(col("c_raw") >= ContainmentMin)
@@ -852,20 +861,7 @@ object Dedup {
         direction("doc1", "doc2", "n1").unionByName(direction("doc2", "doc1", "n2"))
       },
       Some(s"""
-        WITH sh0 AS ($shingleIndexSql),
-        sh AS (
-          SELECT * FROM sh0 WHERE h NOT IN (
-            SELECT h FROM sh0 GROUP BY h
-            HAVING count(*) > $ShingleDfCap)),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        pairs AS (
-          SELECT x.doc_id AS doc1, y.doc_id AS doc2, count(*) AS n_common
-          FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id
-          GROUP BY 1, 2),
-        j AS (
-          SELECT doc1, doc2, n_common, s1.n_sh AS n1, s2.n_sh AS n2
-          FROM pairs JOIN sizes s1 ON doc1 = s1.doc_id
-                     JOIN sizes s2 ON doc2 = s2.doc_id)
+        WITH $pairSizesCtes
         SELECT doc1 AS contained, doc2 AS container,
                round(n_common / CAST(n1 AS DOUBLE), 6) AS containment
         FROM j WHERE n_common / CAST(n1 AS DOUBLE) >= $ContainmentMin

@@ -1290,7 +1290,7 @@ object Similarity {
     * slice table instead of re-slicing, that is the only difference.
     * Because per-vector assignment is a pure function of (vector,
     * frozen artifacts), the union over ANY micro-batching of the delta
-    * equals the one-shot batch assignment bit-for-bit — AnnStreamSpec
+    * equals the one-shot batch assignment bit-for-bit — VecStreamSpec
     * pins that batch-size invariance, which is what makes the live
     * append idempotent under at-least-once redelivery.
     */

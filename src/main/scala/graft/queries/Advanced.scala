@@ -704,7 +704,7 @@ object Advanced {
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
         val withPos = lakeWithPositions(s, dir)
-        withPos.join(broadcast(deletionVector(s, dir)), Seq("fid", "pos"), "left_anti")
+        withPos.join(broadcast(deletionVector(withPos)), Seq("fid", "pos"), "left_anti")
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"),
             graft.Agg.dsum(col("price")).as("sum_price"),
@@ -780,10 +780,13 @@ object Advanced {
     * feed: every 97th position in each file plus the first 5 positions
     * of file 0 (a contiguous range, the shape DV bitmaps compress
     * best). Day-scale metadata by construction: |lake|/97 + 5 entries.
+    * Takes the ALREADY-positioned lake so the partition-by-fid window
+    * executes once per read (a filter over the shared `withPos` frame),
+    * not rebuilt from scratch per consumer.
     */
   private[graft] def deletionVector(
-      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    lakeWithPositions(s, dir)
+      withPos: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    withPos
       .filter(pmod(col("pos"), lit(97)) === 0 || (col("fid") === 0 && col("pos") <= 5))
       .select(col("fid"), col("pos"))
 

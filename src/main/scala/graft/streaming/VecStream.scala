@@ -10,7 +10,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * `(vec_id, cid, code)` serving rows are appended to the layout — the
   * live twin of s10's one-shot delta append.
   *
-  * Contract (what AnnStreamSpec pins): per-vector assignment is a pure
+  * Contract (what VecStreamSpec pins): per-vector assignment is a pure
   * function of (vector, frozen centroids/codebooks), so the union over
   * ANY micro-batching of the delta equals the batch assignment
   * bit-for-bit — batch-size invariance. It follows that at-least-once

@@ -22,9 +22,9 @@ class PrewarmConsistencySpec extends SparkSpec {
     // round 7: s10/s11's frozen artifacts (s10.cent|dir, s10.cb|dir,
     // s10.baseasg|dir) joined the prewarm set
     "s10_ann_delta", "s11_ann_drift",
-    // round 8: m7/m8's canonical-thumbnail tables (m7.fp|dir,
-    // m8.sig|dir) and s12's flagged-member table (s12.members|dir)
-    // over the s10 artifacts
+    // round 8: m7/m8's shared canonical-thumbnail table (m78.thumb|dir)
+    // and s12's flagged-member table (s12.members|dir) over the s10
+    // artifacts
     "m7_resize_neardup", "m8_phash_neardup", "s12_ann_retrain")
 
   private def release(): Unit = {

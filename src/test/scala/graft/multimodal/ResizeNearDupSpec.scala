@@ -117,4 +117,13 @@ class ResizeNearDupSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"m7 must meet candidates through the fp equi-join:\n${p.take(2500)}")
   }
+
+  test("m8's pigeonhole match plans as a piece equi-join, never a cartesian product") {
+    val df = graft.queries.Registry.all.find(_.name == "m8_phash_neardup").get
+      .run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"m8 must meet candidates through the piece equi-join:\n${p.take(2500)}")
+  }
 }

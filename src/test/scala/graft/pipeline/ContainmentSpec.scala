@@ -40,6 +40,14 @@ class ContainmentSpec extends SparkSpec {
     }
   }
 
+  test("pair candidates meet through the shingle equi-join — never a cartesian") {
+    val df = q("d12_containment").run(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d12 must meet candidates through the inverted shingle index, not all-pairs:\n${p.take(2500)}")
+  }
+
   test("corpus output: directed rows, containment within [min, 1]") {
     val out = q("d12_containment").run(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty, "the gate corpus must produce containment pairs")

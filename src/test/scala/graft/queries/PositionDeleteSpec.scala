@@ -31,7 +31,7 @@ class PositionDeleteSpec extends SparkSpec {
 
   test("the read removes exactly the marked positions; the DV is metadata-scale") {
     val wp = Advanced.lakeWithPositions(spark, dir).cache()
-    val dv = Advanced.deletionVector(spark, dir).cache()
+    val dv = Advanced.deletionVector(wp).cache()
     try {
       val (nLake, nDv) = (wp.count(), dv.count())
       assert(nDv > 5, "fixture must mark scattered positions beyond the head range")
@@ -47,8 +47,8 @@ class PositionDeleteSpec extends SparkSpec {
   }
 
   test("read plans as a broadcast anti-join — the lake side never reshuffles for deletes") {
-    val df = Advanced.lakeWithPositions(spark, dir)
-      .join(broadcast(Advanced.deletionVector(spark, dir)), Seq("fid", "pos"), "left_anti")
+    val wp = Advanced.lakeWithPositions(spark, dir)
+    val df = wp.join(broadcast(Advanced.deletionVector(wp)), Seq("fid", "pos"), "left_anti")
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
