@@ -342,6 +342,40 @@ object Curation {
               FROM documents)
         WHERE rk <= $QuotaPerSource"""),
     ),
+
+    // ---- p6: LEAKAGE-SAFE train/val/test split — p4's hash split with
+    //      the one property a dedup-aware pipeline must add: near-dup
+    //      CLUSTERS assign atomically. The split hash keys on the d6
+    //      component ROOT (singletons root at themselves, so p6 is
+    //      bit-identical to p4 outside clusters — LeakageSplitSpec pins
+    //      both contracts), which makes it structurally impossible for
+    //      one member of a near-dup cluster to land in train while its
+    //      twin lands in the eval split — the train/test contamination
+    //      d9/d11 exist to detect is prevented at assignment time
+    //      instead. Scale shape: the cluster artifact is d6's (built
+    //      once); on top it's one corpus join plus a map-side hash —
+    //      the same cost as p4 plus one hash join. ----
+    Q(
+      "p6_leakage_split",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s) // md5_long below
+        val h = Portable.md5Long(concat_ws("|", lit("split-v1"), col("root"))) % 1000
+        Dedup.corpusRoots(s, dir)
+          .select(col("doc_id"), col("root"),
+            when(h < 900, "train").when(h < 950, "val").otherwise("test")
+              .as("split"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${Dedup.corpusRootsCtes},
+        hh AS (SELECT doc_id, root,
+                      ${Portable.md5LongSql("concat_ws('|', 'split-v1', root)")} % 1000 AS h
+               FROM wr)
+        SELECT doc_id, root,
+               CASE WHEN h < 900 THEN 'train'
+                    WHEN h < 950 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM hh"""),
+    ),
   )
 
   /** p5's hard per-source document ceiling — binding at every testdata

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -500,6 +501,39 @@ object Dedup {
           FROM pairs JOIN sizes s1 ON doc1 = s1.doc_id
                      JOIN sizes s2 ON doc2 = s2.doc_id)"""
 
+  /** d6's materialized connected-component table `(doc_id, root)` over
+    * the verified dup pairs — built once per (session, corpus); d6,
+    * d13 and p6 all read this one artifact.
+    */
+  private[pipeline] def dupComponents(s: SparkSession, dir: String): DataFrame =
+    Materialized.getOrBuild(s, s"d6.cc|$dir")(
+      Cluster.minLabelComponents(
+        lshVerifiedPairs(s, dir).filter(col("is_dup")).select("doc1", "doc2")))
+
+  /** The cluster map extended to the WHOLE corpus: every document's
+    * component root, with docs in no dup cluster rooting at themselves.
+    * The survivorship/leakage primitive d13 (canonical pick) and p6
+    * (leakage-safe split) consume: one broadcast-or-hash join of the
+    * corpus against the (small, dup-members-only) component table — the
+    * cluster artifact itself is built once ([[dupComponents]]).
+    */
+  private[pipeline] def corpusRoots(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(dupComponents(s, dir), Seq("doc_id"), "left_outer")
+      .withColumn("root", coalesce(col("root"), col("doc_id")))
+
+  /** Oracle twin of [[corpusRoots]], ending in `wr(doc_id, root)`.
+    * Callers must open `WITH RECURSIVE` ([[Cluster.componentsCtes]] is
+    * recursive).
+    */
+  private[pipeline] def corpusRootsCtes: String =
+    s"""$lshVerifiedCtes,
+        dup AS (SELECT doc1, doc2 FROM verified WHERE is_dup),
+        ${Cluster.componentsCtes("dup")},
+        wr AS (
+          SELECT d.doc_id, coalesce(r.root, d.doc_id) AS root
+          FROM documents d LEFT JOIN cc_roots r USING (doc_id))"""
+
   def all: Seq[Q] = Seq(
     // ---- d1: exact dedup — group by normalized-text fingerprint: the
     //      canonical-id assignment (keep_id) plus copy count per
@@ -586,9 +620,7 @@ object Dedup {
     //      same fixpoint as a recursive CTE. ----
     Q(
       "d6_dup_clusters",
-      (s, dir) => Materialized.getOrBuild(s, s"d6.cc|$dir")(
-        Cluster.minLabelComponents(
-          lshVerifiedPairs(s, dir).filter(col("is_dup")).select("doc1", "doc2"))),
+      (s, dir) => dupComponents(s, dir),
       Some(s"""
         WITH RECURSIVE $lshVerifiedCtes,
         dup AS (SELECT doc1, doc2 FROM verified WHERE is_dup),
@@ -868,6 +900,56 @@ object Dedup {
         UNION ALL
         SELECT doc2, doc1, round(n_common / CAST(n2 AS DOUBLE), 6)
         FROM j WHERE n_common / CAST(n2 AS DOUBLE) >= $ContainmentMin"""),
+    ),
+
+    // ---- d13: quality-aware CANONICAL selection — the survivorship
+    //      map a dedup pass actually ships: every document resolves to
+    //      the member of its near-dup cluster (d6's components,
+    //      singletons rooting at themselves) that a curation pass
+    //      KEEPS. Keeper rule: most words wins (the classic keep-the-
+    //      longest heuristic), doc_id breaks ties deterministically —
+    //      both replayed identically in the oracle (t2 pins the word
+    //      count cross-engine). Output is per-DOC `(doc_id, root,
+    //      keep_id, kept)`: the join target downstream tables use to
+    //      redirect references from dropped duplicates to their
+    //      canonical survivor. Scale shape: the cluster artifact is
+    //      built once (d6); on top of it this is one corpus join plus
+    //      a per-cluster argmax window — partitions are cluster-sized
+    //      (bounded by the dedup clusters themselves), never
+    //      corpus-sized. ----
+    Q(
+      "d13_canonical_pick",
+      (s, dir) => {
+        val nw = t(s, dir, "documents")
+          .select(col("doc_id"), Portable.nWords(col("text")).as("n_words"))
+        val wr = corpusRoots(s, dir).join(nw, "doc_id")
+        val keep = wr
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("root"))
+              .orderBy(col("n_words").desc, col("doc_id").asc)))
+          .filter(col("rn") === 1)
+          .select(col("root"), col("doc_id").as("keep_id"))
+        wr.join(keep, "root")
+          .select(col("doc_id"), col("root"), col("keep_id"),
+            (col("doc_id") === col("keep_id")).as("kept"))
+      },
+      Some(s"""
+        WITH RECURSIVE $corpusRootsCtes,
+        nw AS (
+          SELECT doc_id, len(${Portable.wordsSql("text")}) AS n_words
+          FROM documents),
+        wrn AS (SELECT wr.doc_id, wr.root, nw.n_words
+                FROM wr JOIN nw USING (doc_id)),
+        keep AS (
+          SELECT root, doc_id AS keep_id
+          FROM (SELECT root, doc_id,
+                       row_number() OVER (PARTITION BY root
+                                          ORDER BY n_words DESC, doc_id) AS rn
+                FROM wrn)
+          WHERE rn = 1)
+        SELECT wrn.doc_id, wrn.root, keep.keep_id,
+               wrn.doc_id = keep.keep_id AS kept
+        FROM wrn JOIN keep USING (root)"""),
     ),
   )
 

@@ -449,7 +449,121 @@ object Layout {
           AND o_orderdate < TIMESTAMP '$ClusterQueryHi 00:00:00'
         GROUP BY 1"""),
     ),
+
+    // ---- q49: FILE-LEVEL BLOOM SKIPPING — the data-skipping index for
+    //      the case zone maps (q45) cannot touch: a point lookup on a
+    //      key UNCORRELATED with the clustering order. The q45 layout
+    //      is date-clustered, so every file's o_orderkey min/max spans
+    //      the whole key domain and min/max skipping prunes NOTHING;
+    //      instead each file carries a bloom filter over its keys
+    //      (built in one distributed pass at write time; per-file
+    //      metadata the size Delta/Iceberg keep in manifests), and a
+    //      point lookup prunes at PLANNING time by probing blooms —
+    //      the driver touches only metadata, like partition pruning.
+    //      Probe hashes are computed BY THE ENGINE with the same
+    //      md5_long expression the build uses (no driver-side hash
+    //      twin to drift); blooms have no false negatives, so the
+    //      pruned read then filters EXACTLY — a false positive costs
+    //      one extra file read, never a wrong row. At 100 TB: blooms
+    //      ride in the table's manifest (8 KB per file here), the
+    //      build amortizes into the write path, and a primary-key
+    //      lookup reads ~k files of millions instead of the full scan
+    //      this table's clustering would otherwise force (BloomSkipSpec
+    //      measures the file counts and pins no-false-negatives). ----
+    Q(
+      "q49_bloom_skip",
+      (s, dir) => {
+        val sel = bloomSelectedFiles(s, dir)
+        val probes = probeKeyHashes(s, dir).map(_._1)
+        s.read.parquet(sel: _*)
+          .filter(col("o_orderkey").isin(probes: _*))
+          .select(col("o_orderkey").as("k"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice").as("price"))
+      },
+      Some(s"""
+        WITH pk AS (
+          SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT $Q49Probes)
+        SELECT o.o_orderkey AS k, o.o_custkey, o.o_orderstatus,
+               o.o_totalprice AS price
+        FROM orders o JOIN pk ON o.o_orderkey = pk.o_orderkey"""),
+    ),
   )
+
+  /** q49's bloom geometry: 64 Kbit (8 KB) per file at k = 4 hashes —
+    * manifest-scale metadata. At the gate SFs per-file fill stays low
+    * (≤ ~60% at sf0.1, fp ≈ 10% worst case); a production writer
+    * derives m from the file's row count the way d4b's piece-width
+    * ladder derives from corpus size. [[Q49Probes]] point lookups on
+    * the (unique) order key: each probe lives in exactly ONE file of
+    * the date-clustered layout, so pruning stays real at every SF.
+    */
+  private[sources] val Q49Bits = 1 << 16
+  private[sources] val Q49K = 4
+  private[sources] val Q49Probes = 5
+
+  // Per-file blooms are planning metadata consulted by every q49 run in
+  // a gate session (Q + spec probes) — memoized like the z-layout dims,
+  // keyed by (applicationId, dir): the same lifetime as the layout they
+  // describe.
+  private val fileBloomCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Map[String, Array[Long]]]
+
+  /** Per-file key blooms over the date-clustered orders layout: one
+    * distributed pass — distinct (file, key-hash), each hash exploded
+    * to its [[Q49K]] Kirsch-Mitzenmacher bit positions (the exact
+    * positions [[graft.functions.BloomMaskKernel]] probes), bit_or'd
+    * into 64-bit words per file, and collected as constant-bounded
+    * metadata (files × [[Q49Bits]]/64 words).
+    */
+  private[graft] def fileBlooms(s: SparkSession, dir: String): Map[String, Array[Long]] =
+    fileBloomCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      graft.functions.GraftFunctions.register(s)
+      val nWords = Q49Bits / 64
+      val words = clusteredOrders(s, dir)
+        .select(input_file_name().as("fname"),
+          graft.pipeline.Portable.md5Long(col("o_orderkey").cast("string")).as("h"))
+        .distinct()
+        .withColumn("h1", col("h").bitwiseAND(lit(0xFFFFFFFFL)))
+        .withColumn("h2", expr("shiftrightunsigned(h, 30) | 1"))
+        .select(col("fname"), explode(array((0 until Q49K).map(i =>
+          (col("h1") + lit(i.toLong) * col("h2")) % lit(Q49Bits.toLong)): _*)).as("p"))
+        .groupBy(col("fname"), expr("p div 64").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))").as("word"))
+      graft.BoundedCollect.rows(words, ClusterFileCount * nWords, "q49 file blooms")
+        .groupBy(_.getString(0)).map { case (f, rs) =>
+          val arr = new Array[Long](nWords)
+          rs.foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
+          f -> arr
+        }
+    })
+
+  /** q49's probe set: the [[Q49Probes]] smallest order keys
+    * (deterministic at every SF) paired with their portable hashes —
+    * computed by the engine via the SAME md5_long expression the bloom
+    * build uses, so build and probe can never disagree on the hash.
+    */
+  private[graft] def probeKeyHashes(s: SparkSession, dir: String): Seq[(Long, Long)] = {
+    graft.functions.GraftFunctions.register(s)
+    val pk = t(s, dir, "orders").orderBy(col("o_orderkey")).limit(Q49Probes)
+      .select(col("o_orderkey").as("k"),
+        graft.pipeline.Portable.md5Long(col("o_orderkey").cast("string")).as("h"))
+    graft.BoundedCollect.rows(pk, Q49Probes, "q49 probe keys")
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  /** Planning-time file selection: the files whose bloom might contain
+    * ANY probe key (union over probes — a point-lookup batch). No
+    * false negatives by bloom construction; [[BloomMaskKernel]] is the
+    * shared probe kernel, driver-side here because blooms are
+    * planning metadata, exactly like partition pruning.
+    */
+  private[graft] def bloomSelectedFiles(s: SparkSession, dir: String): Seq[String] = {
+    val hs = probeKeyHashes(s, dir).map(_._2)
+    fileBlooms(s, dir).collect {
+      case (f, mask) if hs.exists(h =>
+        graft.functions.BloomMaskKernel.contains(h, mask, Q49K, Q49Bits)) => f
+    }.toSeq.sorted
+  }
 
   /** q45's clustering geometry and gate window: enough files that the
     * multi-file skipping regime is real at every gate SF, and a
