@@ -339,6 +339,43 @@ object Multimodal {
     ()
   }
 
+  /** m9's clip geometry: each clip is [[ClipFrames]] full frames cut
+    * starting at frame [[ClipOff]] — interior frames only, so every
+    * clip frame is byte-identical to the matching source frame.
+    */
+  val ClipOff = 1
+  val ClipFrames = 3
+
+  /** m9's synthetic clips: for every 7th doc long enough to donate
+    * ([[ClipOff]]+[[ClipFrames]] full frames), a contiguous
+    * frame-aligned byte slice re-emitted as its own blob
+    * (`clip_id = src + mx + 1`, past the corpus id range). The
+    * media twin of a re-posted excerpt.
+    */
+  private[graft] def clipBlobs(s: SparkSession, dir: String): DataFrame = {
+    val mx = maxDocId(s, dir)
+    blobs(s, dir)
+      .withColumn("nf", expr(s"octet_length(payload) div $FrameBytes"))
+      .filter(pmod(col("id"), lit(7)) === 0 && col("nf") >= ClipOff + ClipFrames)
+      .select((col("id") + lit(mx + 1L)).as("clip_id"), col("id").as("src_id"),
+        expr(s"substring(payload, ${ClipOff * FrameBytes} + 1, ${ClipFrames * FrameBytes})")
+          .as("payload"))
+  }
+
+  /** Per-frame hash index: every FULL [[FrameBytes]] frame of each
+    * payload hashed individually (`fh` = md5 of the frame's lowercase
+    * hex — m1's hashing convention, frame-sized). Map-side explode:
+    * corpus-bytes/[[FrameBytes]] rows, no shuffle.
+    */
+  private def frameHashes(df: DataFrame, keep: String*): DataFrame =
+    df.withColumn("nf", expr(s"octet_length(payload) div $FrameBytes"))
+      .filter(col("nf") >= 1)
+      .select(keep.map(col) :+ col("payload") :+
+        explode(expr("sequence(0L, nf - 1)")).as("fi"): _*)
+      .select(keep.map(col) :+ col("fi") :+
+        md5(lower(hex(expr(s"substring(payload, fi * $FrameBytes + 1, $FrameBytes)"))))
+          .as("fh"): _*)
+
   /** m6/m8's shared 4×8-bit pigeonhole pairing: hamming ≤ 3 on a
     * 32-bit signature implies at least one of 4 8-bit pieces is
     * identical, so candidates meet through an equi-join on (piece idx,
@@ -661,6 +698,61 @@ object Multimodal {
         ${pigeonholeCtes("sig", "mid")}
         SELECT id1, id2, CAST(bit_count(xor(p1, p2)) AS INT) AS hamming
         FROM cand WHERE bit_count(xor(p1, p2)) <= 3"""),
+    ),
+
+    // ---- m9: CLIP CONTAINMENT — d8's span-dedup idea applied to
+    //      media: a clip (a contiguous frame-aligned byte slice cut
+    //      from a longer file — [[clipBlobs]] materializes one per 7th
+    //      sufficiently-long doc) is detected INSIDE its source by
+    //      frame-sequence alignment, which whole-payload fingerprints
+    //      (m1/m5) structurally cannot do — the clip is a different
+    //      length with a different hash. Mechanism: every file's full
+    //      frames hash individually ([[FrameBytes]] chunks, m2's frame
+    //      model); clip frames meet video frames through a hash
+    //      equi-join (content-keyed, never all-pairs); an alignment
+    //      `frame_off = fi - ci` where ALL clip frames match
+    //      consecutively is a containment hit. Duplicate corpus docs
+    //      legitimately yield multi-video hits — the oracle replays
+    //      them. Scale shape: the frame index is corpus-bytes/64 rows
+    //      built map-side; the join is keyed on the 128-bit frame
+    //      hash; per-alignment state is one counter. The audit a
+    //      video-dedup pipeline runs to catch re-posted excerpts. ----
+    Q(
+      "m9_clip_containment",
+      (s, dir) => {
+        val vf = frameHashes(
+          blobs(s, dir).select(col("id").as("video_id"), col("payload")),
+          "video_id").withColumnRenamed("fi", "vfi")
+        val cf = frameHashes(
+          clipBlobs(s, dir).select(col("clip_id"), col("src_id"), col("payload")),
+          "clip_id", "src_id").withColumnRenamed("fi", "ci")
+        cf.join(vf, "fh")
+          .withColumn("frame_off", col("vfi") - col("ci"))
+          .groupBy(col("clip_id"), col("src_id"), col("video_id"), col("frame_off"))
+          .agg(count(lit(1)).as("n_frames"))
+          .filter(col("n_frames") === ClipFrames.toLong)
+      },
+      Some(s"""
+        WITH mk AS (SELECT max(doc_id) AS mx FROM documents),
+        b AS (
+          SELECT doc_id AS id, lower(hex(encode(text))) AS hx,
+                 octet_length(encode(text)) // $FrameBytes AS nf
+          FROM documents),
+        vf AS (
+          SELECT id AS video_id, fi,
+                 md5(substr(hx, fi * ${2 * FrameBytes} + 1, ${2 * FrameBytes})) AS fh
+          FROM (SELECT id, hx, unnest(generate_series(0, nf - 1)) AS fi
+                FROM b WHERE nf >= 1)),
+        cf AS (
+          SELECT id + mx + 1 AS clip_id, id AS src_id, ci,
+                 md5(substr(hx, (ci + $ClipOff) * ${2 * FrameBytes} + 1, ${2 * FrameBytes})) AS fh
+          FROM b, mk, (SELECT unnest(generate_series(0, ${ClipFrames - 1})) AS ci)
+          WHERE id % 7 = 0 AND nf >= ${ClipOff + ClipFrames})
+        SELECT clip_id, src_id, video_id, fi - ci AS frame_off,
+               count(*) AS n_frames
+        FROM cf JOIN vf USING (fh)
+        GROUP BY 1, 2, 3, 4
+        HAVING count(*) = $ClipFrames"""),
     ),
 
     // ---- m3: stubbed decode → feature extraction, via the native

@@ -482,7 +482,9 @@ object Layout {
       },
       Some(s"""
         WITH pk AS (
-          SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT $Q49Probes)
+          SELECT o_orderkey FROM orders
+          WHERE o_orderkey >= (SELECT max(o_orderkey) // 2 FROM orders)
+          ORDER BY o_orderkey LIMIT $Q49Probes)
         SELECT o.o_orderkey AS k, o.o_custkey, o.o_orderstatus,
                o.o_totalprice AS price
         FROM orders o JOIN pk ON o.o_orderkey = pk.o_orderkey"""),
@@ -537,14 +539,22 @@ object Layout {
         }
     })
 
-  /** q49's probe set: the [[Q49Probes]] smallest order keys
-    * (deterministic at every SF) paired with their portable hashes —
-    * computed by the engine via the SAME md5_long expression the bloom
-    * build uses, so build and probe can never disagree on the hash.
+  /** q49's probe set: the [[Q49Probes]] smallest order keys AT OR ABOVE
+    * the key-domain midpoint (deterministic at every SF; mid-domain, so
+    * the keys sit inside essentially every file's min/max range — edge
+    * keys would hand the zone map a free win the index exists to not
+    * need) paired with their portable hashes — computed by the engine
+    * via the SAME md5_long expression the bloom build uses, so build
+    * and probe can never disagree on the hash.
     */
   private[graft] def probeKeyHashes(s: SparkSession, dir: String): Seq[(Long, Long)] = {
     graft.functions.GraftFunctions.register(s)
-    val pk = t(s, dir, "orders").orderBy(col("o_orderkey")).limit(Q49Probes)
+    val orders = t(s, dir, "orders")
+    val mid = graft.BoundedCollect.rows(
+      orders.agg(expr("max(o_orderkey) div 2").as("mid")),
+      1, "q49 key-domain midpoint")(0).getLong(0)
+    val pk = orders.filter(col("o_orderkey") >= mid)
+      .orderBy(col("o_orderkey")).limit(Q49Probes)
       .select(col("o_orderkey").as("k"),
         graft.pipeline.Portable.md5Long(col("o_orderkey").cast("string")).as("h"))
     graft.BoundedCollect.rows(pk, Q49Probes, "q49 probe keys")
