@@ -316,7 +316,101 @@ object Events {
       },
       Some(rateAnomalySql),
     ),
+
+    // ---- e14: WATERMARK-LATENESS AUDIT — the tuning query every
+    //      streaming deployment runs BEFORE picking `withWatermark`'s
+    //      delay: how out-of-order does this stream actually arrive,
+    //      and what fraction of events would each candidate delay
+    //      drop? Arrival order is modeled as event time plus a
+    //      deterministic per-event network delay (portable md5 jitter,
+    //      [[ArrJitterUs]] max — in production this column IS the
+    //      ingestion timestamp; the jitter stands in for it the way
+    //      m-family rasters stand in for codecs). An event is dropped
+    //      by delay D iff the event-time high-water-mark at its
+    //      arrival exceeds its own timestamp by more than D — exactly
+    //      Spark's watermark semantics. The naive hwm spelling is a
+    //      GLOBAL running max over arrival order (one partition, the
+    //      100 TB killer); instead the prefix-max runs two-pass:
+    //      per-arrival-hour max (map-side partial agg down to calendar
+    //      size), a cumulative prefix over that tiny bucket series,
+    //      broadcast back, and a WITHIN-bucket running max partitioned
+    //      by bucket — corpus-sized work stays hour-partitioned, the
+    //      single-partition window touches only the calendar (q43's
+    //      log-sized-argmax class). The output curve is monotone and
+    //      hits an EXACT zero at [[ArrJitterUs]]: arrival inversion is
+    //      bounded by the max network delay, so a watermark at least
+    //      that large provably drops nothing (WatermarkAuditSpec pins
+    //      both, plus naive-vs-two-pass hwm equality). ----
+    Q(
+      "e14_watermark_audit",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s) // md5_long below
+        val ev = t(s, dir, "events").select(
+          col("event_id"),
+          unix_micros(col("ts")).as("t"),
+          (unix_micros(col("ts")) +
+            graft.pipeline.Portable.md5Long(
+              concat_ws("|", lit("arr-v1"), col("event_id"))) % ArrJitterUs)
+            .as("arr"))
+          .withColumn("bk", expr(s"arr div $ArrBucketUs"))
+        val prefix = ev.groupBy(col("bk")).agg(max(col("t")).as("bmax"))
+          .withColumn("pre", max(col("bmax")).over(
+            Window.orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)))
+          .select(col("bk"), col("pre"))
+        val inBk = Window.partitionBy(col("bk"))
+          .orderBy(col("arr"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val curve = WatermarkDelaysSec.map(d =>
+          sum(when(col("late") > d * 1000000L, 1L).otherwise(0L)).as(s"d$d"))
+        ev.join(broadcast(prefix), Seq("bk"))
+          .withColumn("hwm", greatest(max(col("t")).over(inBk),
+            coalesce(col("pre"), col("t"))))
+          .withColumn("late", col("hwm") - col("t"))
+          .agg(count(lit(1)).as("n"), curve: _*)
+          .select(col("n"), expr(
+            s"stack(${WatermarkDelaysSec.size}, " +
+              WatermarkDelaysSec.map(d => s"$d, d$d").mkString(", ") +
+              ") as (delay_s, n_dropped)"))
+          .select(col("delay_s"), col("n_dropped"),
+            expr("n_dropped * 1000000L div n").as("drop_ppm"))
+      },
+      Some {
+        val h = graft.pipeline.Portable.md5LongSql(
+          "concat_ws('|', 'arr-v1', event_id)")
+        val sums = WatermarkDelaysSec.map(d =>
+          s"sum(CASE WHEN hwm - t > ${d}000000 THEN 1 ELSE 0 END) AS d$d")
+          .mkString(",\n                 ")
+        val rows = WatermarkDelaysSec.map(d =>
+          s"SELECT $d AS delay_s, d$d AS n_dropped, d$d * 1000000 // n AS drop_ppm FROM g")
+          .mkString("\n        UNION ALL ")
+        s"""
+        WITH ev AS (
+          SELECT event_id, epoch_us(ts) AS t,
+                 epoch_us(ts) + $h % $ArrJitterUs AS arr
+          FROM events),
+        a AS (
+          SELECT t, max(t) OVER (ORDER BY arr ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+          FROM ev),
+        g AS (
+          SELECT count(*) AS n,
+                 $sums
+          FROM a)
+        $rows"""
+      },
+    ),
   )
+
+  /** e14's arrival model and curve: per-event network delay is
+    * `md5_long("arr-v1|" + event_id) % ArrJitterUs` (deterministic,
+    * portable — the p4 split-hash convention), arrival buckets are
+    * hours (the prefix table is calendar-sized at any corpus size),
+    * and the candidate-watermark curve ends AT the max jitter, where
+    * the drop count is provably zero.
+    */
+  private[graft] val ArrJitterUs = 600000000L
+  private[graft] val ArrBucketUs = 3600000000L
+  private[graft] val WatermarkDelaysSec = Seq(0, 60, 180, 300, 600)
 
   /** e11's oracle — shared verbatim with e12, the streaming twin's
     * batch-equivalence entry (the two MUST emit identical rows on a
