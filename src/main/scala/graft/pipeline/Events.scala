@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -344,14 +345,7 @@ object Events {
     Q(
       "e14_watermark_audit",
       (s, dir) => {
-        graft.functions.GraftFunctions.register(s) // md5_long below
-        val ev = t(s, dir, "events").select(
-          col("event_id"),
-          unix_micros(col("ts")).as("t"),
-          (unix_micros(col("ts")) +
-            graft.pipeline.Portable.md5Long(
-              concat_ws("|", lit("arr-v1"), col("event_id"))) % ArrJitterUs)
-            .as("arr"))
+        val ev = arrivalEvents(s, dir)
           .withColumn("bk", expr(s"arr div $ArrBucketUs"))
         val prefix = ev.groupBy(col("bk")).agg(max(col("t")).as("bmax"))
           .withColumn("pre", max(col("bmax")).over(
@@ -399,6 +393,58 @@ object Events {
         $rows"""
       },
     ),
+
+    // ---- e15: WATERMARK ADMISSION AUDIT — e14 sizes the delay; e15
+    //      predicts, window by window, what a watermarked streaming
+    //      aggregation will actually EMIT under that delay: per
+    //      5-minute event-time window, how many events are admitted
+    //      and how many arrive after Spark's micro-batch watermark
+    //      has passed their window's end and are dropped. The
+    //      semantics are the engine's own, replicated exactly — the
+    //      watermark a batch filters with is the max event time over
+    //      all PRIOR micro-batches (ms-truncated, the engine's
+    //      event-time-stats precision) minus the delay, and the drop
+    //      rule is window-END, not per-event lateness.
+    //      WatermarkAdmissionSpec closes the loop live: a real
+    //      `withWatermark` + windowed-count stream fed micro-batch by
+    //      micro-batch emits EXACTLY this prediction's admitted
+    //      counts. Scale shape: [[admissionAudit]]'s two-pass
+    //      prefix-max — per-batch maxima (map-side), a batch-id-table
+    //      cumulative prefix, broadcast back, one shuffle to the
+    //      window grouping. The capacity-planning read: which windows
+    //      will under-count by how much BEFORE the stream ships. ----
+    Q(
+      "e15_admission_audit",
+      (s, dir) =>
+        admissionAudit(
+          arrivalEvents(s, dir).withColumn("bk", expr(s"arr div $AdmBatchUs")),
+          AdmWindowUs, AdmDelayMs),
+      Some {
+        val h = graft.pipeline.Portable.md5LongSql(
+          "concat_ws('|', 'arr-v1', event_id)")
+        s"""
+        WITH ev AS (
+          SELECT event_id, epoch_us(ts) AS t,
+                 epoch_us(ts) + $h % $ArrJitterUs AS arr
+          FROM events),
+        b AS (SELECT t, arr // $AdmBatchUs AS bk FROM ev),
+        bm AS (SELECT bk, max(t) AS bmax FROM b GROUP BY 1),
+        pre AS (
+          SELECT bk, max(bmax) OVER (ORDER BY bk ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pre
+          FROM bm),
+        d AS (
+          SELECT (t // $AdmWindowUs) * $AdmWindowUs AS wstart_us,
+                 CASE WHEN pre IS NOT NULL
+                       AND (t // $AdmWindowUs + 1) * ${AdmWindowUs / 1000L}
+                           <= pre // 1000 - $AdmDelayMs
+                      THEN 1 ELSE 0 END AS dropped
+          FROM b JOIN pre USING (bk))
+        SELECT wstart_us, sum(1 - dropped) AS n_admitted,
+               sum(dropped) AS n_dropped
+        FROM d GROUP BY 1"""
+      },
+    ),
   )
 
   /** e14's arrival model and curve: per-event network delay is
@@ -411,6 +457,59 @@ object Events {
   private[graft] val ArrJitterUs = 600000000L
   private[graft] val ArrBucketUs = 3600000000L
   private[graft] val WatermarkDelaysSec = Seq(0, 60, 180, 300, 600)
+
+  /** The shared arrival model behind e14/e15: each event's modeled
+    * arrival is its event time plus a deterministic portable-hash
+    * network delay. In production this column IS the ingestion
+    * timestamp the pipeline already records.
+    */
+  private[graft] def arrivalEvents(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // md5_long below
+    t(s, dir, "events").select(
+      col("event_id"),
+      unix_micros(col("ts")).as("t"),
+      (unix_micros(col("ts")) +
+        graft.pipeline.Portable.md5Long(
+          concat_ws("|", lit("arr-v1"), col("event_id"))) % ArrJitterUs)
+        .as("arr"))
+  }
+
+  /** e15's per-window admission prediction under Spark's exact
+    * micro-batch watermark semantics: the watermark a batch filters
+    * with is `max event-time over all PRIOR batches` (milliseconds,
+    * floor-truncated — the engine tracks event-time stats in ms)
+    * minus the delay, and a row is dropped iff its WINDOW END is at
+    * or below that watermark — the window-end rule, not the per-event
+    * rule e14's lateness curve uses. `ev` carries (t event-time µs,
+    * bk micro-batch id — any non-decreasing function of arrival
+    * order; e15 uses arrival minutes, the live spec uses count-based
+    * batches). Same two-pass prefix-max shape as e14: the only
+    * unpartitioned window runs over the batch-id table.
+    */
+  private[graft] def admissionAudit(
+      ev: DataFrame, windowUs: Long, delayMs: Long): DataFrame = {
+    val wMs = windowUs / 1000L
+    val pre = ev.groupBy(col("bk")).agg(max(col("t")).as("bmax"))
+      .withColumn("pre", max(col("bmax")).over(
+        Window.orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bk"), col("pre"))
+    ev.join(broadcast(pre), Seq("bk"))
+      .withColumn("wstart_us", expr(s"(t div $windowUs) * $windowUs"))
+      .withColumn("dropped", when(col("pre").isNotNull &&
+        expr(s"(t div $windowUs + 1) * $wMs") <= expr("pre div 1000") - delayMs,
+        1L).otherwise(0L))
+      .groupBy(col("wstart_us"))
+      .agg(sum(lit(1L) - col("dropped")).as("n_admitted"),
+        sum(col("dropped")).as("n_dropped"))
+  }
+
+  /** e15's streaming geometry: 5-minute event-time windows, 1-minute
+    * arrival micro-batches, a 60 s watermark delay — the regime where
+    * the [[ArrJitterUs]] disorder actually crosses batch boundaries.
+    */
+  private[graft] val AdmWindowUs = 300000000L
+  private[graft] val AdmBatchUs = 60000000L
+  private[graft] val AdmDelayMs = 60000L
 
   /** e11's oracle — shared verbatim with e12, the streaming twin's
     * batch-equivalence entry (the two MUST emit identical rows on a

@@ -28,6 +28,25 @@ object EventStream {
         graft.Agg.dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** e15's live side: tumbling event-time window counts at the
+    * admission-audit geometry (5-minute windows, 60 s watermark —
+    * `graft.pipeline.Events.AdmWindowUs`/`AdmDelayMs`). Fed micro-batch
+    * by micro-batch in arrival order, the append-mode emission per
+    * window must equal `Events.admissionAudit`'s predicted
+    * `n_admitted` exactly — the engine's own watermark drop behavior
+    * is the prediction's contract (WatermarkAdmissionSpec pins it).
+    */
+  def watermarkedWindowCounts(events: DataFrame): DataFrame = {
+    val wSec = graft.pipeline.Events.AdmWindowUs / 1000000L
+    val dSec = graft.pipeline.Events.AdmDelayMs / 1000L
+    events
+      .withWatermark("ts", s"$dSec seconds")
+      .groupBy(window(col("ts"), s"$wSec seconds"))
+      .agg(count(lit(1)).as("n_admitted"))
+      .select(unix_micros(col("window.start")).as("wstart_us"),
+        col("n_admitted"))
+  }
+
   /** Built-in session windows (30-min gap), the declarative path. */
   def sessionAgg(events: DataFrame): DataFrame =
     events
