@@ -734,7 +734,10 @@ object Multimodal {
       },
       Some(s"""
         WITH mk AS (SELECT max(doc_id) AS mx FROM documents),
-        b AS (
+        b AS MATERIALIZED (
+          -- MATERIALIZED: vf and cf both read b; DuckDB 1.0 inlines
+          -- multi-referenced CTEs per reference (the s12 lesson), which
+          -- would hex-encode the whole corpus twice
           SELECT doc_id AS id, lower(hex(encode(text))) AS hx,
                  octet_length(encode(text)) // $FrameBytes AS nf
           FROM documents),

@@ -386,7 +386,10 @@ object Events {
           SELECT t, max(t) OVER (ORDER BY arr ASC, event_id ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
           FROM ev),
-        g AS (
+        g AS MATERIALIZED (
+          -- MATERIALIZED: five UNION ALL branches read g; DuckDB 1.0
+          -- inlines multi-referenced CTEs per reference (the s12
+          -- lesson), which would re-run the global running max 5x
           SELECT count(*) AS n,
                  $sums
           FROM a)
@@ -465,13 +468,19 @@ object Events {
     */
   private[graft] def arrivalEvents(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // md5_long below
-    t(s, dir, "events").select(
-      col("event_id"),
-      unix_micros(col("ts")).as("t"),
-      (unix_micros(col("ts")) +
-        graft.pipeline.Portable.md5Long(
-          concat_ws("|", lit("arr-v1"), col("event_id"))) % ArrJitterUs)
-        .as("arr"))
+    // Materialized: e14/e15 each read this from two plan branches (the
+    // batch-maxima groupBy and the probe side of the prefix join), and
+    // branches sharing a subtree get no exchange reuse — without the
+    // persist every run scans events and pays the md5 jitter twice
+    // (the t6/m6/s3 precedent).
+    Materialized(s"e14.arr|$dir",
+      t(s, dir, "events").select(
+        col("event_id"),
+        unix_micros(col("ts")).as("t"),
+        (unix_micros(col("ts")) +
+          graft.pipeline.Portable.md5Long(
+            concat_ws("|", lit("arr-v1"), col("event_id"))) % ArrJitterUs)
+          .as("arr")))
   }
 
   /** e15's per-window admission prediction under Spark's exact

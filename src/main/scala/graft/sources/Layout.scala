@@ -547,19 +547,27 @@ object Layout {
     * via the SAME md5_long expression the bloom build uses, so build
     * and probe can never disagree on the hash.
     */
-  private[graft] def probeKeyHashes(s: SparkSession, dir: String): Seq[(Long, Long)] = {
-    graft.functions.GraftFunctions.register(s)
-    val orders = t(s, dir, "orders")
-    val mid = graft.BoundedCollect.rows(
-      orders.agg(expr("max(o_orderkey) div 2").as("mid")),
-      1, "q49 key-domain midpoint")(0).getLong(0)
-    val pk = orders.filter(col("o_orderkey") >= mid)
-      .orderBy(col("o_orderkey")).limit(Q49Probes)
-      .select(col("o_orderkey").as("k"),
-        graft.pipeline.Portable.md5Long(col("o_orderkey").cast("string")).as("h"))
-    graft.BoundedCollect.rows(pk, Q49Probes, "q49 probe keys")
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
-  }
+  // Probe keys are planning metadata read twice per q49 run (the file
+  // selection and the exact filter) plus by every BloomSkipSpec probe —
+  // memoized like fileBlooms, same (applicationId, dir) lifetime, so
+  // the midpoint scan and the top-k run once per session.
+  private val probeKeyCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(Long, Long)]]
+
+  private[graft] def probeKeyHashes(s: SparkSession, dir: String): Seq[(Long, Long)] =
+    probeKeyCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      graft.functions.GraftFunctions.register(s)
+      val orders = t(s, dir, "orders")
+      val mid = graft.BoundedCollect.rows(
+        orders.agg(expr("max(o_orderkey) div 2").as("mid")),
+        1, "q49 key-domain midpoint")(0).getLong(0)
+      val pk = orders.filter(col("o_orderkey") >= mid)
+        .orderBy(col("o_orderkey")).limit(Q49Probes)
+        .select(col("o_orderkey").as("k"),
+          graft.pipeline.Portable.md5Long(col("o_orderkey").cast("string")).as("h"))
+      graft.BoundedCollect.rows(pk, Q49Probes, "q49 probe keys")
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    })
 
   /** Planning-time file selection: the files whose bloom might contain
     * ANY probe key (union over probes — a point-lookup batch). No

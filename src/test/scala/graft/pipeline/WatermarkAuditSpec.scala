@@ -16,15 +16,7 @@ class WatermarkAuditSpec extends SparkSpec {
 
   private def q(name: String) = graft.queries.Registry.all.find(_.name == name).get
 
-  private def arrivals = {
-    graft.functions.GraftFunctions.register(spark)
-    graft.Tables.t(spark, dir, "events").select(
-      col("event_id"),
-      unix_micros(col("ts")).as("t"),
-      (unix_micros(col("ts")) +
-        Portable.md5Long(concat_ws("|", lit("arr-v1"), col("event_id")))
-          % Events.ArrJitterUs).as("arr"))
-  }
+  private def arrivals = Events.arrivalEvents(spark, dir)
 
   test("two-pass hwm equals the naive global running max, per delay") {
     val naive = Window.orderBy(col("arr"), col("event_id"))

@@ -62,4 +62,15 @@ class WatermarkAdmissionSpec extends SparkSpec {
         s"live emission must equal the prediction (pred dropped $totalDropped of ${sub.length})")
     } finally query.stop()
   }
+
+  test("e15's only window is the batch-id prefix — never a corpus-sized global window") {
+    val q = graft.queries.Registry.all.find(_.name == "e15_admission_audit").get
+    val df = q.run(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(m =>
+      p.substring(m.end, math.min(p.length, m.end + 12))).toSeq
+    assert(specs.nonEmpty && specs.forall(_.startsWith("bk")),
+      s"every window must be the bucket-table prefix (found specs over: $specs):\n${p.take(2500)}")
+  }
 }
