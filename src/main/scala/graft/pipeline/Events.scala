@@ -448,6 +448,77 @@ object Events {
         FROM d GROUP BY 1"""
       },
     ),
+
+    // ---- e16: GAP-FILL + LOCF RESAMPLE — the regularization step
+    //      between sparse event aggregates and anything that consumes
+    //      a time SERIES (forecasting, the e11 anomaly ring, charting):
+    //      a (type × hour) grid over the corpus' hour range with
+    //      missing hours made explicit (n = 0) and the last observed
+    //      hourly sum carried forward; hours before a type's first
+    //      observation stay NULL rather than inventing a value. Scale
+    //      shape: the sparse hourly table is calendar-sized (map-side
+    //      partial agg from the corpus — materialized: the grid join
+    //      and the bounds row both read it); the grid is types ×
+    //      calendar built by a broadcast 1-row bounds join + sequence
+    //      explode (never a corpus-sized cross product); the LOCF
+    //      window partitions by type over calendar-length series. At
+    //      100 TB the grid is STILL just |types| × |hours| — the
+    //      corpus only ever passes through the first aggregate. ----
+    Q(
+      "e16_gap_fill",
+      (s, dir) => {
+        val hourly = Materialized(s"e16.hourly|$dir",
+          t(s, dir, "events")
+            .groupBy(
+              unix_micros(date_trunc("HOUR", col("ts"))).as("hour_us"),
+              col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              graft.Agg.dsum(col("value")).as("sv")))
+        // Global hour bounds via an unbounded window over the
+        // calendar-sized hourly table (then distinct to one row per
+        // type): a literal-keyed bounds join would constant-fold into
+        // a BroadcastNestedLoopJoin, and the corpus never needs to be
+        // touched again for a 2-long answer.
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val grid = hourly.select(col("event_type"),
+            min(col("hour_us")).over(wAll).as("mn"),
+            max(col("hour_us")).over(wAll).as("mx"))
+          .distinct()
+          .select(col("event_type"),
+            explode(sequence(col("mn"), col("mx"), lit(3600000000L)))
+              .as("hour_us"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("event_type", "hour_us"), "left")
+          .select(col("event_type"), col("hour_us"),
+            coalesce(col("n"), lit(0L)).as("n"), col("sv"))
+          .withColumn("locf_value", last(col("sv"), ignoreNulls = true).over(w))
+          .drop("sv")
+      },
+      Some("""
+        WITH h AS MATERIALIZED (
+          -- MATERIALIZED: the grid join, the bounds row and the type
+          -- list all read h (the DuckDB 1.0 per-reference inlining
+          -- lesson)
+          SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+                 count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sv
+          FROM events GROUP BY 1, 2),
+        b AS (SELECT min(hour_us) AS mn, max(hour_us) AS mx FROM h),
+        cal AS (SELECT unnest(generate_series(mn, mx, 3600000000)) AS hour_us FROM b),
+        grid AS (SELECT event_type, hour_us
+                 FROM (SELECT DISTINCT event_type FROM h) CROSS JOIN cal),
+        j AS (
+          SELECT g.event_type, g.hour_us, coalesce(h.n, 0) AS n, h.sv
+          FROM grid g LEFT JOIN h
+            ON g.event_type = h.event_type AND g.hour_us = h.hour_us)
+        SELECT event_type, hour_us, n,
+               last_value(sv IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY hour_us ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+        FROM j"""),
+    ),
   )
 
   /** e14's arrival model and curve: per-event network delay is
