@@ -467,32 +467,9 @@ object Events {
     Q(
       "e16_gap_fill",
       (s, dir) => {
-        val hourly = Materialized(s"e16.hourly|$dir",
-          t(s, dir, "events")
-            .groupBy(
-              unix_micros(date_trunc("HOUR", col("ts"))).as("hour_us"),
-              col("event_type"))
-            .agg(count(lit(1)).as("n"),
-              graft.Agg.dsum(col("value")).as("sv")))
-        // Global hour bounds via an unbounded window over the
-        // calendar-sized hourly table (then distinct to one row per
-        // type): a literal-keyed bounds join would constant-fold into
-        // a BroadcastNestedLoopJoin, and the corpus never needs to be
-        // touched again for a 2-long answer.
-        val wAll = Window.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)
-        val grid = hourly.select(col("event_type"),
-            min(col("hour_us")).over(wAll).as("mn"),
-            max(col("hour_us")).over(wAll).as("mx"))
-          .distinct()
-          .select(col("event_type"),
-            explode(sequence(col("mn"), col("mx"), lit(3600000000L)))
-              .as("hour_us"))
         val w = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        grid.join(hourly, Seq("event_type", "hour_us"), "left")
-          .select(col("event_type"), col("hour_us"),
-            coalesce(col("n"), lit(0L)).as("n"), col("sv"))
+        denseHourlyGrid(s, dir)
           .withColumn("locf_value", last(col("sv"), ignoreNulls = true).over(w))
           .drop("sv")
       },
@@ -519,7 +496,106 @@ object Events {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
         FROM j"""),
     ),
+
+    // ---- e17: LINEAR-INTERPOLATION RESAMPLE — e16's sibling for
+    //      consumers that need a CONTINUOUS signal (rate estimation,
+    //      charting) rather than a step function: interior gaps get
+    //      the time-weighted blend of the surrounding observations,
+    //      observed hours keep their own sum, and hours outside a
+    //      type's observed envelope stay NULL (interpolation never
+    //      extrapolates). Same calendar-sized scale shape as e16 —
+    //      the corpus passes through one partial aggregate, then all
+    //      work is |types| × |hours|; the two directional windows
+    //      share e16's per-type sort, and the arithmetic is pure
+    //      IEEE double ops (int64 diffs cast to double, one divide,
+    //      one multiply-add) so the oracle matches bit-for-bit with
+    //      no rounding fudge. ----
+    Q(
+      "e17_interp",
+      (s, dir) => {
+        val back = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val obsHour = when(col("sv").isNotNull, col("hour_us"))
+        denseHourlyGrid(s, dir)
+          .withColumn("pv", last(col("sv"), ignoreNulls = true).over(back))
+          .withColumn("ph", last(obsHour, ignoreNulls = true).over(back))
+          .withColumn("nv", first(col("sv"), ignoreNulls = true).over(fwd))
+          .withColumn("nh", first(obsHour, ignoreNulls = true).over(fwd))
+          .select(col("event_type"), col("hour_us"), col("n"),
+            when(col("sv").isNotNull, col("sv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                ((col("hour_us") - col("ph")).cast("double") /
+                  (col("nh") - col("ph")).cast("double")))
+              .as("interp_value"))
+      },
+      Some("""
+        WITH h AS MATERIALIZED (
+          SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+                 count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sv
+          FROM events GROUP BY 1, 2),
+        b AS (SELECT min(hour_us) AS mn, max(hour_us) AS mx FROM h),
+        cal AS (SELECT unnest(generate_series(mn, mx, 3600000000)) AS hour_us FROM b),
+        grid AS (SELECT event_type, hour_us
+                 FROM (SELECT DISTINCT event_type FROM h) CROSS JOIN cal),
+        j AS (
+          SELECT g.event_type, g.hour_us, coalesce(h.n, 0) AS n, h.sv
+          FROM grid g LEFT JOIN h
+            ON g.event_type = h.event_type AND g.hour_us = h.hour_us),
+        w AS (
+          SELECT event_type, hour_us, n, sv,
+                 last_value(sv IGNORE NULLS) OVER pb AS pv,
+                 last_value(CASE WHEN sv IS NOT NULL THEN hour_us END
+                   IGNORE NULLS) OVER pb AS ph,
+                 first_value(sv IGNORE NULLS) OVER pf AS nv,
+                 first_value(CASE WHEN sv IS NOT NULL THEN hour_us END
+                   IGNORE NULLS) OVER pf AS nh
+          FROM j
+          WINDOW pb AS (PARTITION BY event_type ORDER BY hour_us ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 pf AS (PARTITION BY event_type ORDER BY hour_us ASC
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT event_type, hour_us, n,
+               CASE WHEN sv IS NOT NULL THEN sv
+                    ELSE pv + (nv - pv) *
+                      (CAST(hour_us - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+               END AS interp_value
+        FROM w"""),
+    ),
   )
+
+  /** The shared e16/e17 resample scaffold: the corpus folded once into
+    * a calendar-sized hourly partial aggregate (session-materialized —
+    * the grid join and the bounds row both read it), global hour
+    * bounds via an unbounded window over that tiny table (a
+    * literal-keyed bounds join would constant-fold into a
+    * BroadcastNestedLoopJoin), the dense grid via per-type sequence
+    * explode, and missing hours made explicit with n = 0 and a NULL
+    * sum. Columns: event_type, hour_us, n, sv.
+    */
+  private def denseHourlyGrid(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Materialized(s"e16.hourly|$dir",
+      t(s, dir, "events")
+        .groupBy(
+          unix_micros(date_trunc("HOUR", col("ts"))).as("hour_us"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.Agg.dsum(col("value")).as("sv")))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val grid = hourly.select(col("event_type"),
+        min(col("hour_us")).over(wAll).as("mn"),
+        max(col("hour_us")).over(wAll).as("mx"))
+      .distinct()
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), lit(3600000000L)))
+          .as("hour_us"))
+    grid.join(hourly, Seq("event_type", "hour_us"), "left")
+      .select(col("event_type"), col("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n"), col("sv"))
+  }
 
   /** e14's arrival model and curve: per-event network delay is
     * `md5_long("arr-v1|" + event_id) % ArrJitterUs` (deterministic,

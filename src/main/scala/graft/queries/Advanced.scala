@@ -728,6 +728,68 @@ object Advanced {
         FROM wp ANTI JOIN dv USING (fid, pos)
         GROUP BY 1"""),
     ),
+
+    // ---- q50: NET CHANGE FEED between versions — the CONSUMER side
+    //      of the merge-on-read log (q43 reads a state; an incremental
+    //      downstream job wants only WHAT CHANGED since its last sync,
+    //      Delta CDF / Iceberg incremental-read semantics, net-effect
+    //      form). The feed over (v1, v2] resolves each touched key's
+    //      final in-range action (the one max_by convention), fetches
+    //      pre-images at v1 for ONLY the touched keys, and classifies:
+    //      I (key absent at v1 — including a tombstoned key a later
+    //      upsert resurrects), U (row image differs from the
+    //      pre-image), D (key existed at v1). Net-effect suppression
+    //      is the point: a key inserted-and-deleted inside the range
+    //      emits NOTHING (the consumer never saw it exist), and an
+    //      upsert identical to the pre-image emits nothing (no-op
+    //      churn never reaches the consumer). The (1, 2] window
+    //      exercises resurrection-as-I (%47-deleted then %13-upserted)
+    //      and shadowed-delete suppression (%59 keys already
+    //      %47-tombstoned at v1). At 100 TB: the feed is day-scale —
+    //      the log resolves map-side, pre-images cost ONE lake scan
+    //      restricted through a broadcast of the touched keys (the
+    //      lake never shuffles), and the consumer applies |changes|
+    //      work instead of re-reading the table. ----
+    Q(
+      "q50_change_feed",
+      (s, dir) => changeFeed(s, dir, v1 = 1, v2 = 2),
+      Some(s"""
+        WITH $cdcLogCtesSql,
+        rng AS (
+          SELECT l.k,
+                 max_by(l.act, l.b) AS act,
+                 max_by(l.o_orderstatus, l.b) AS o_orderstatus,
+                 max_by(l.price, l.b) AS price
+          FROM logs l WHERE l.b > 1 AND l.b <= 2
+          GROUP BY 1),
+        resolved1 AS (
+          SELECT l.k,
+                 max_by(l.act, l.b) AS act,
+                 max_by(l.o_orderstatus, l.b) AS o_orderstatus,
+                 max_by(l.price, l.b) AS price
+          FROM logs l WHERE l.b <= 1
+          GROUP BY 1),
+        state1 AS (
+          SELECT b.k, b.o_orderstatus, b.price FROM base b
+          WHERE NOT EXISTS (SELECT 1 FROM resolved1 r WHERE r.k = b.k)
+          UNION ALL
+          SELECT k, o_orderstatus, price FROM resolved1 WHERE act = 'U'),
+        pre AS (
+          SELECT s.k, s.o_orderstatus AS pre_status, s.price AS pre_price
+          FROM state1 s JOIN rng USING (k)),
+        feed AS (
+          SELECT r.k,
+                 CASE WHEN r.act = 'D' AND p.pre_price IS NOT NULL THEN 'D'
+                      WHEN r.act = 'U' AND p.pre_price IS NULL THEN 'I'
+                      WHEN r.act = 'U' AND (r.price <> p.pre_price
+                             OR r.o_orderstatus <> p.pre_status) THEN 'U'
+                 END AS op,
+                 r.o_orderstatus, CAST(r.price AS DOUBLE) AS price,
+                 p.pre_status, CAST(p.pre_price AS DOUBLE) AS pre_price
+          FROM rng r LEFT JOIN pre p USING (k))
+        SELECT k, op, o_orderstatus, price, pre_status, pre_price
+        FROM feed WHERE op IS NOT NULL"""),
+    ),
   )
 
   /** q38's lake/delta boundary: the last ~7 months of the orders range
@@ -918,6 +980,49 @@ object Advanced {
     lake.join(broadcast(resolved.select(col("k"))), Seq("k"), "left_anti")
       .unionByName(resolved.filter(col("act") === "U")
         .select(col("k"), col("o_orderstatus"), col("price")))
+
+  /** q50's net change feed over (`v1`, `v2`]: the final in-range action
+    * per touched key ([[resolveLog]] — the ONE resolution convention),
+    * pre-images at `v1` for only those keys, classified I/U/D with
+    * no-ops suppressed. The pre-image read costs one as-of-`v1` lake
+    * scan restricted through a broadcast of the touched keys — the
+    * 100 TB side never shuffles; everything else is log-sized. The
+    * classification itself lives in [[changeFeedOf]] so the spec can
+    * drive it with crafted resolved/pre frames (the identical-upsert
+    * suppression branch has no natural instance in the %-rule feed).
+    */
+  private[graft] def changeFeed(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      v1: Int, v2: Int): org.apache.spark.sql.DataFrame = {
+    val rng = resolveLog(
+      cdcLogs(s, dir).filter(col("b") > v1 && col("b") <= v2))
+    val pre = asOfState(s, dir, v1).drop("v")
+      .join(broadcast(rng.select(col("k"))), Seq("k"))
+      .select(col("k"), col("o_orderstatus").as("pre_status"),
+        col("price").as("pre_price"))
+    changeFeedOf(rng, pre)
+  }
+
+  /** The change-feed classification: `rng` is the resolved final action
+    * per touched key `(k, act, o_orderstatus, price)`, `pre` the
+    * pre-images `(k, pre_status, pre_price)` of a SUBSET of those keys
+    * (absent = key did not exist at the feed's start). D-of-absent
+    * (created and destroyed inside the range) and identical re-upserts
+    * emit nothing — the net-effect contract.
+    */
+  private[graft] def changeFeedOf(
+      rng: org.apache.spark.sql.DataFrame,
+      pre: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    rng.join(pre, Seq("k"), "left")
+      .withColumn("op",
+        when(col("act") === "D" && col("pre_price").isNotNull, "D")
+          .when(col("act") === "U" && col("pre_price").isNull, "I")
+          .when(col("act") === "U" && (col("price") =!= col("pre_price")
+            || col("o_orderstatus") =!= col("pre_status")), "U"))
+      .filter(col("op").isNotNull)
+      .select(col("k"), col("op"), col("o_orderstatus"),
+        col("price").cast("double").as("price"),
+        col("pre_status"), col("pre_price").cast("double").as("pre_price"))
 
   /** q47's compacted base: the log's batches ≤ `cp` folded into the
     * frozen lake through [[mergeResolved]] — by construction EXACTLY the

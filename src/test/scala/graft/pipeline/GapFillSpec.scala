@@ -52,4 +52,48 @@ class GapFillSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"the grid must come from a broadcast 1-row bounds join + sequence explode:\n${p.take(2500)}")
   }
+
+  // ---- e17: linear interpolation over the same grid ----
+
+  private def runInterp = graft.queries.Registry.all
+    .find(_.name == "e17_interp").get.run(spark, dir)
+
+  test("e17 interpolates interior gaps, keeps observed sums, never extrapolates") {
+    val locf = run.collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val byType = runInterp.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .groupBy(_._1)
+    var interiorGaps = 0
+    byType.values.foreach { series =>
+      val s = series.sortBy(_._2)
+      val obs = s.filter(_._3 > 0L)
+      val (firstObs, lastObs) = (obs.head._2, obs.last._2)
+      s.foreach { case (ty, h, n, v) =>
+        if (n > 0L) {
+          assert(v === locf((ty, h)), s"$ty@$h: observed hour must carry its own sum")
+        } else if (h < firstObs || h > lastObs) {
+          assert(v.isEmpty, s"$ty@$h: outside the observed envelope must stay NULL")
+        } else {
+          interiorGaps += 1
+          val (ph, pv) = obs.filter(_._2 < h).last match { case (_, hh, _, vv) => (hh, vv.get) }
+          val (nh, nv) = obs.find(_._2 > h).get match { case (_, hh, _, vv) => (hh, vv.get) }
+          val expect = pv + (nv - pv) * ((h - ph).toDouble / (nh - ph).toDouble)
+          assert(v.contains(expect),
+            s"$ty@$h: interior gap must be the exact time-weighted blend")
+        }
+      }
+    }
+    assert(interiorGaps > 0, "the fixture must exercise interior gaps")
+  }
+
+  test("e17 shares e16's no-cross-product plan shape") {
+    val df = runInterp
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"e17 must keep the calendar-sized grid plan:\n${p.take(2500)}")
+  }
 }
