@@ -1077,6 +1077,11 @@ object Similarity {
     retrainCells(s, dir)
     s12Members(s, dir)
     retrainedCentroids(s, dir)
+    // s13's PRE-state: the base serving layout the fold rewrites is
+    // lake-resident files (the delta routing comes via s12Members
+    // above); the compaction itself stays in-cell — it IS the
+    // operator being measured
+    s13BaseLayoutPath(s, dir)
     ()
   }
 
@@ -1444,11 +1449,28 @@ object Similarity {
         ${twoLevelAsgSql("d", cN, "d", "dasg")}"""
   }
 
-  private def s10OracleSql: String = {
+  /** Nibble-packing of a `(vec_id, sub, cid)` assignment into the s6/s7
+    * 8-byte code, in DuckDB. Two's-complement: the sub=15 nibble holds
+    * bits 60..63 incl. the sign bit, so its contribution is signed
+    * ((cid-16)·2^60 for cid >= 8) — a plain cid·2^60 multiply overflows
+    * INT64 where Spark's shiftleft wraps. ONE spelling shared by the
+    * s10 (delta codes) and s13 (base codes) oracles.
+    */
+  private def packCodeSql(src: String): String = s"""
+          SELECT vec_id,
+                 CAST(sum((CASE WHEN sub = 15 AND cid >= 8 THEN cid - 16 ELSE cid END)
+                          * (1::BIGINT << CAST(sub * 4 AS INT))) AS BIGINT) AS code
+          FROM $src GROUP BY 1"""
+
+  /** The PQ half of the s10/s13 oracle chain: base slices → trained
+    * codebooks → base assignment (`pasg$PqLloydIters`, from
+    * [[pqCtesSql]]) and the delta's slices → assignment (`dpasg`) →
+    * packed codes (`dcodes`). Shared verbatim so the append gate and
+    * the compaction gate replay the identical quantization.
+    */
+  private def s10PqCtesSql: String = {
     val dl2 = "round(list_dot_product(sl.sv, sl.sv) - 2 * list_dot_product(sl.sv, cb.cv) + list_dot_product(cb.cv, cb.cv), 6)"
-    s"""
-        WITH $s10IvfCtesSql,
-        nv AS (
+    s"""nv AS (
           SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
           FROM e),
         pqslices AS (
@@ -1472,18 +1494,14 @@ object Similarity {
                      ORDER BY $dl2 ASC, cb.cid ASC) AS arn
             FROM dslices sl JOIN pcb$PqLloydIters cb USING (sub))
           WHERE arn = 1),
-        dcodes AS (
-          -- two's-complement packing: the sub=15 nibble holds bits
-          -- 60..63 incl. the sign bit, so its contribution is signed
-          -- ((cid-16)·2^60 for cid >= 8) — a plain cid·2^60 multiply
-          -- overflows INT64 where Spark's shiftleft wraps
-          SELECT vec_id,
-                 CAST(sum((CASE WHEN sub = 15 AND cid >= 8 THEN cid - 16 ELSE cid END)
-                          * (1::BIGINT << CAST(sub * 4 AS INT))) AS BIGINT) AS code
-          FROM dpasg GROUP BY 1)
+        dcodes AS (${packCodeSql("dpasg")})"""
+  }
+
+  private def s10OracleSql: String = s"""
+        WITH $s10IvfCtesSql,
+        $s10PqCtesSql
         SELECT dasg.vec_id, dasg.cid, dcodes.code
         FROM dasg JOIN dcodes USING (vec_id)"""
-  }
 
   /** DuckDB twin of the PQ train + code assignment:
     * slices → seed codebooks → [[PqLloydIters]] × (assign, decimal-exact
@@ -1679,6 +1697,117 @@ object Similarity {
         SELECT m.vec_id, m.cid AS old_cid, u.cid AS new_cid,
                CAST(m.cid <> u.cid AS INT) AS moved
         FROM members m JOIN uasg u USING (vec_id)"""
+
+  // ------------------------------------------------------------- s13
+  /** s13's pre-compaction serving layout: the BASE corpus' `(vec_id,
+    * code)` rows persisted PARTITIONED BY cell id — the physical index
+    * files a lake serves before a delta folds in (s8's layout shape,
+    * built from the s10-frozen artifacts). Routed through
+    * [[graft.sources.Layout.memoLayout]]'s staged publish — one
+    * memoization convention for every on-disk layout twin.
+    */
+  private[graft] def s13BaseLayoutPath(s: SparkSession, dir: String): String =
+    graft.sources.Layout.memoLayout(s, "graft_s13_base", dir) { path =>
+      annAssignFrozen(s, dir, col("vec_id") < s10Boundary(s, dir))
+        .repartition(col("cid"))
+        .write.partitionBy("cid").parquet(path)
+    }
+
+  /** The delta-touched cell ids — the ONLY cells compaction may
+    * rewrite. Bounded by K (index metadata, the q31-documented
+    * driver-side scale), memoized like [[s10Boundary]]: the path
+    * builder and the `rewritten` flag both need it.
+    */
+  private val s13TouchedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Long]]
+
+  private[graft] def s13TouchedCells(s: SparkSession, dir: String): Seq[Long] = {
+    s13TouchedCache.keys.filter(_._1.sparkContext.isStopped).foreach(s13TouchedCache.remove)
+    s13TouchedCache.getOrElseUpdate((s, dir),
+      graft.BoundedCollect.rows(
+        s10DeltaAssigned(s, dir).select(col("cid")).distinct(),
+        s10K(s, dir), "s13 touched cells")
+        .map(_.getLong(0)).sorted)
+  }
+
+  /** s13 kernel: DELTA-TO-BASE INDEX COMPACTION — the lifecycle step
+    * after s10's append: fold the delta's `(vec_id, cid, code)` rows
+    * into the partitioned serving layout, rewriting ONLY the cells the
+    * delta touched (q46's selective-rewrite discipline applied to the
+    * ANN index); untouched cell directories keep their files
+    * byte-identical. Mechanics: clone the base layout, write the
+    * merged rows of the touched cells (base cell files ∪ delta — ONE
+    * job, cid-partitioned into an underscore staging dir Spark
+    * listings ignore), then per touched cell move the new files in
+    * BEFORE deleting the old (no interleaving leaves a cell empty);
+    * the whole tree publishes atomically via memoLayout's staging. At
+    * 100 TB the fold costs |delta| quantization (already paid by the
+    * append) + a rewrite of the touched cells — work proportional to
+    * the day's arrivals, never the index; a full-index rewrite per
+    * merge would be q39's full compaction applied daily to a
+    * corpus-scale artifact.
+    */
+  private[graft] def s13CompactedPath(s: SparkSession, dir: String): String = {
+    val src = s13BaseLayoutPath(s, dir)
+    graft.sources.Layout.memoLayout(s, "graft_s13_compact", dir) { path =>
+      val root = new java.io.File(path)
+      graft.sources.Layout.copyTree(new java.io.File(src), root)
+      val touched = s13TouchedCells(s, dir)
+      val tmp = new java.io.File(root, "_tmp-merge")
+      s.read.parquet(src)
+        .filter(col("cid").isin(touched.map(_.toInt): _*))
+        .withColumn("cid", col("cid").cast("long"))
+        .select(col("vec_id"), col("cid"), col("code"))
+        .unionByName(annDeltaIndex(s, dir))
+        .repartition(col("cid"))
+        .write.partitionBy("cid").mode("overwrite").parquet(tmp.getAbsolutePath)
+      touched.foreach { cid =>
+        // a cell can be delta-born (empty in the base): create its dir
+        val pdir = new java.io.File(root, s"cid=$cid")
+        require(pdir.isDirectory || pdir.mkdirs(), s"s13: cannot create $pdir")
+        val old = graft.sources.Layout.dataFiles(pdir)
+        val fresh = graft.sources.Layout.dataFiles(new java.io.File(tmp, s"cid=$cid"))
+        require(fresh.nonEmpty, s"s13: merged write produced no files for cell $cid")
+        fresh.foreach { f =>
+          val target = new java.io.File(pdir, f.getName)
+          require(f.renameTo(target), s"s13: failed to move ${f.getName} into $pdir")
+        }
+        old.foreach(f => require(f.delete(), s"s13: failed to delete stale $f"))
+      }
+      graft.sources.Layout.deleteTree(tmp)
+      require(new java.io.File(root, "_SUCCESS").createNewFile(),
+        s"s13: failed to mark $path complete")
+    }
+  }
+
+  /** DuckDB twin of s13: base assignments + packed base codes (the
+    * shared PQ chain's `pasg`/`asg` tables) unioned with the delta's
+    * (`dasg`/`dcodes` — the s10 gate's own rows), aggregated per cell
+    * with order-insensitive XOR identity hashes, flagged by
+    * delta-touched cell. A lost base file, a dropped delta row, or a
+    * row landed in the wrong cell splits n, vid_xor, or code_xor of
+    * that cell.
+    */
+  private def s13OracleSql: String = s"""
+        WITH $s10IvfCtesSql,
+        $s10PqCtesSql,
+        dasgm AS MATERIALIZED (SELECT vec_id, cid FROM dasg),
+        bcodes AS (${packCodeSql(s"pasg$PqLloydIters")}),
+        ball AS (
+          SELECT a.vec_id, a.cid, b.code
+          FROM asg$LloydIters a JOIN bcodes b USING (vec_id)
+          UNION ALL
+          SELECT d.vec_id, d.cid, dcodes.code
+          FROM dasgm d JOIN dcodes USING (vec_id)),
+        tc AS (SELECT DISTINCT cid FROM dasgm),
+        agg AS (
+          SELECT cid, count(*) AS n,
+                 bit_xor(${graft.pipeline.Portable.md5LongSql("CAST(vec_id AS VARCHAR)")}) AS vid_xor,
+                 bit_xor(code) AS code_xor
+          FROM ball GROUP BY 1)
+        SELECT agg.cid, agg.n, agg.vid_xor, agg.code_xor,
+               CAST(tc.cid IS NOT NULL AS INT) AS rewritten
+        FROM agg LEFT JOIN tc ON agg.cid = tc.cid"""
 
   def all: Seq[Q] = Seq(
     // ---- s1: brute-force cosine top-k for a fixed query set ----
@@ -2013,6 +2142,33 @@ object Similarity {
           .select(col("vec_id"), col("old_cid"), col("new_cid"),
             (col("old_cid") =!= col("new_cid")).cast("int").as("moved")),
       Some(s12OracleSql),
+    ),
+
+    // ---- s13: delta-to-base index compaction — the step that closes
+    //      the lifecycle s10 opened: the appended delta folds into the
+    //      PHYSICAL cid-partitioned serving layout, rewriting only the
+    //      delta-touched cells (q46's selective-rewrite discipline on
+    //      the ANN index; AnnCompactSpec pins untouched-file byte
+    //      identity and read-equivalence). The gate reads the COMPACTED
+    //      FILES — per cell: row count, XOR of vector-id hashes, XOR
+    //      of PQ codes, and the rewritten flag — so a lost base file,
+    //      a dropped delta row, or a mis-routed cell splits the hash
+    //      against the oracle's independent base∪delta replay. ----
+    Q(
+      "s13_ann_compact",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val touched = s13TouchedCells(s, dir)
+        s.read.parquet(s13CompactedPath(s, dir))
+          .withColumn("cid", col("cid").cast("long"))
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n"),
+            bit_xor(graft.pipeline.Portable.md5Long(col("vec_id").cast("string")))
+              .as("vid_xor"),
+            bit_xor(col("code")).as("code_xor"))
+          .withColumn("rewritten", col("cid").isin(touched: _*).cast("int"))
+      },
+      Some(s13OracleSql),
     ),
 
     // ---- s9: metadata-filtered vector search (see [[knnFiltered]]) —

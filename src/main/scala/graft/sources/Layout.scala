@@ -55,7 +55,7 @@ object Layout {
     * final path exists only complete, and a crashed attempt's staging
     * debris is wiped on the next call.
     */
-  private def memoLayout(s: SparkSession, name: String, dir: String)(
+  private[graft] def memoLayout(s: SparkSession, name: String, dir: String)(
       write: String => Unit): String = {
     val path = s"${layoutRoot(s)}/${name}_${Scratch.pathKey(dir)}"
     this.synchronized {
@@ -171,7 +171,7 @@ object Layout {
   private[graft] val CompactFileThreshold = 4
 
   /** Parquet data files of a partition directory (markers excluded). */
-  private def dataFiles(d: java.io.File): Array[java.io.File] = {
+  private[graft] def dataFiles(d: java.io.File): Array[java.io.File] = {
     val fs = d.listFiles()
     if (fs == null) Array.empty
     else fs.filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -242,7 +242,7 @@ object Layout {
     }
   }
 
-  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+  private[graft] def copyTree(src: java.io.File, dst: java.io.File): Unit = {
     dst.mkdirs()
     src.listFiles().foreach { f =>
       val t = new java.io.File(dst, f.getName)
@@ -253,7 +253,7 @@ object Layout {
     }
   }
 
-  private def deleteTree(f: java.io.File): Unit = {
+  private[graft] def deleteTree(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteTree)
     f.delete()
   }

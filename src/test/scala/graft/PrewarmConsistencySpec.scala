@@ -25,7 +25,10 @@ class PrewarmConsistencySpec extends SparkSpec {
     // round 8: m7/m8's shared canonical-thumbnail table (m78.thumb|dir)
     // and s12's flagged-member table (s12.members|dir) over the s10
     // artifacts
-    "m7_resize_neardup", "m8_phash_neardup", "s12_ann_retrain")
+    "m7_resize_neardup", "m8_phash_neardup", "s12_ann_retrain",
+    // round 8 second wave: s13's base layout (graft_s13_base files)
+    // joined the prewarm set
+    "s13_ann_compact")
 
   private def release(): Unit = {
     graft.pipeline.Materialized.releaseMatching(_.endsWith(s"|$dir"))
