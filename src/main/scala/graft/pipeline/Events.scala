@@ -459,8 +459,9 @@ object Events {
     //      shape: the sparse hourly table is calendar-sized (map-side
     //      partial agg from the corpus — materialized: the grid join
     //      and the bounds row both read it); the grid is types ×
-    //      calendar built by a broadcast 1-row bounds join + sequence
-    //      explode (never a corpus-sized cross product); the LOCF
+    //      calendar built by an unbounded window over that tiny table
+    //      + sequence explode (never a corpus-sized cross product —
+    //      see denseHourlyGrid); the LOCF
     //      window partitions by type over calendar-length series. At
     //      100 TB the grid is STILL just |types| × |hours| — the
     //      corpus only ever passes through the first aggregate. ----

@@ -225,6 +225,7 @@ object Similarity {
     maxBlockCache.keys.filter(_._1 eq s).foreach(maxBlockCache.remove)
     corpusCountCache.keys.filter(_._1 eq s).foreach(corpusCountCache.remove)
     s10BoundaryCache.keys.filter(_._1 eq s).foreach(s10BoundaryCache.remove)
+    s13TouchedCache.keys.filter(_._1 eq s).foreach(s13TouchedCache.remove)
   }
 
   /** Memoized corpus row count per (session, dir) — the one scalar the
@@ -1762,17 +1763,11 @@ object Similarity {
         .repartition(col("cid"))
         .write.partitionBy("cid").mode("overwrite").parquet(tmp.getAbsolutePath)
       touched.foreach { cid =>
-        // a cell can be delta-born (empty in the base): create its dir
-        val pdir = new java.io.File(root, s"cid=$cid")
-        require(pdir.isDirectory || pdir.mkdirs(), s"s13: cannot create $pdir")
-        val old = graft.sources.Layout.dataFiles(pdir)
-        val fresh = graft.sources.Layout.dataFiles(new java.io.File(tmp, s"cid=$cid"))
-        require(fresh.nonEmpty, s"s13: merged write produced no files for cell $cid")
-        fresh.foreach { f =>
-          val target = new java.io.File(pdir, f.getName)
-          require(f.renameTo(target), s"s13: failed to move ${f.getName} into $pdir")
-        }
-        old.foreach(f => require(f.delete(), s"s13: failed to delete stale $f"))
+        // a cell can be delta-born (empty in the base): swapInFiles
+        // creates its dir
+        graft.sources.Layout.swapInFiles(
+          new java.io.File(root, s"cid=$cid"),
+          new java.io.File(tmp, s"cid=$cid"), "s13")
       }
       graft.sources.Layout.deleteTree(tmp)
       require(new java.io.File(root, "_SUCCESS").createNewFile(),

@@ -775,14 +775,15 @@ object Advanced {
           UNION ALL
           SELECT k, o_orderstatus, price FROM resolved1 WHERE act = 'U'),
         pre AS (
-          SELECT s.k, s.o_orderstatus AS pre_status, s.price AS pre_price
+          SELECT s.k, TRUE AS pre_exists,
+                 s.o_orderstatus AS pre_status, s.price AS pre_price
           FROM state1 s JOIN rng USING (k)),
         feed AS (
           SELECT r.k,
-                 CASE WHEN r.act = 'D' AND p.pre_price IS NOT NULL THEN 'D'
-                      WHEN r.act = 'U' AND p.pre_price IS NULL THEN 'I'
-                      WHEN r.act = 'U' AND (r.price <> p.pre_price
-                             OR r.o_orderstatus <> p.pre_status) THEN 'U'
+                 CASE WHEN r.act = 'D' AND p.pre_exists THEN 'D'
+                      WHEN r.act = 'U' AND p.pre_exists IS NULL THEN 'I'
+                      WHEN r.act = 'U' AND (r.price IS DISTINCT FROM p.pre_price
+                             OR r.o_orderstatus IS DISTINCT FROM p.pre_status) THEN 'U'
                  END AS op,
                  r.o_orderstatus, CAST(r.price AS DOUBLE) AS price,
                  p.pre_status, CAST(p.pre_price AS DOUBLE) AS pre_price
@@ -994,8 +995,12 @@ object Advanced {
   private[graft] def changeFeed(
       s: org.apache.spark.sql.SparkSession, dir: String,
       v1: Int, v2: Int): org.apache.spark.sql.DataFrame = {
-    val rng = resolveLog(
-      cdcLogs(s, dir).filter(col("b") > v1 && col("b") <= v2))
+    // materialized: the resolved range actions feed TWO branches (the
+    // broadcast key fetch and the classification join) and shared
+    // subtrees get no exchange reuse — without this the log max_by
+    // runs twice per read
+    val rng = graft.pipeline.Materialized(s"q50.rng$v1-$v2|$dir",
+      resolveLog(cdcLogs(s, dir).filter(col("b") > v1 && col("b") <= v2)))
     val pre = asOfState(s, dir, v1).drop("v")
       .join(broadcast(rng.select(col("k"))), Seq("k"))
       .select(col("k"), col("o_orderstatus").as("pre_status"),
@@ -1008,17 +1013,24 @@ object Advanced {
     * pre-images `(k, pre_status, pre_price)` of a SUBSET of those keys
     * (absent = key did not exist at the feed's start). D-of-absent
     * (created and destroyed inside the range) and identical re-upserts
-    * emit nothing — the net-effect contract.
+    * emit nothing — the net-effect contract. Existence is an EXPLICIT
+    * join-presence flag, never pre_price nullness (the schema permits
+    * a NULL price on a live row; only the fixture guarantees
+    * otherwise), and image comparison is null-safe for the same
+    * reason.
     */
   private[graft] def changeFeedOf(
       rng: org.apache.spark.sql.DataFrame,
       pre: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    rng.join(pre, Seq("k"), "left")
+    // pre is touched-keys-scale by contract: broadcast it explicitly
+    // so even the pre-AQE plan never sort-merges (the cached rng's
+    // unknown stats would otherwise plan an initial SMJ)
+    rng.join(broadcast(pre.withColumn("pre_exists", lit(true))), Seq("k"), "left")
       .withColumn("op",
-        when(col("act") === "D" && col("pre_price").isNotNull, "D")
-          .when(col("act") === "U" && col("pre_price").isNull, "I")
-          .when(col("act") === "U" && (col("price") =!= col("pre_price")
-            || col("o_orderstatus") =!= col("pre_status")), "U"))
+        when(col("act") === "D" && col("pre_exists").isNotNull, "D")
+          .when(col("act") === "U" && col("pre_exists").isNull, "I")
+          .when(col("act") === "U" && (!(col("price") <=> col("pre_price"))
+            || !(col("o_orderstatus") <=> col("pre_status"))), "U"))
       .filter(col("op").isNotNull)
       .select(col("k"), col("op"), col("o_orderstatus"),
         col("price").cast("double").as("price"),

@@ -177,6 +177,27 @@ object Layout {
     else fs.filter(f => f.isFile && f.getName.endsWith(".parquet"))
   }
 
+  /** Swap a rewritten partition's files into place: the fresh data
+    * files move from `tmp` into `pdir` BEFORE the old ones are deleted
+    * (no interleaving leaves the directory empty), and every
+    * rename/delete is checked — a silently failed swap would serve a
+    * partition with lost rows. ONE spelling shared by q46's selective
+    * compaction and s13's ANN cell fold: the crash-safety choreography
+    * must not drift between call sites.
+    */
+  private[graft] def swapInFiles(
+      pdir: java.io.File, tmp: java.io.File, tag: String): Unit = {
+    require(pdir.isDirectory || pdir.mkdirs(), s"$tag: cannot create $pdir")
+    val old = dataFiles(pdir)
+    val fresh = dataFiles(tmp)
+    require(fresh.nonEmpty, s"$tag: rewrite produced no files for $pdir")
+    fresh.foreach { f =>
+      val target = new java.io.File(pdir, f.getName)
+      require(f.renameTo(target), s"$tag: failed to move ${f.getName} into $pdir")
+    }
+    old.foreach(f => require(f.delete(), s"$tag: failed to delete stale $f"))
+  }
+
   /** Mixed-health twin of `events`: even-length type names arrive as
     * ingest debris ([[FragmentCount]] files per partition), odd-length
     * ones were written compact — the BEFORE state q46's planner must
@@ -229,12 +250,7 @@ object Layout {
           .repartition(1)
           .write.option("maxRecordsPerFile", TargetRowsPerFile)
           .mode("overwrite").parquet(tmp.getAbsolutePath)
-        val old = dataFiles(pdir)
-        dataFiles(tmp).foreach { f =>
-          val target = new java.io.File(pdir, f.getName)
-          require(f.renameTo(target), s"q46: failed to move ${f.getName} into $pdir")
-        }
-        old.foreach(f => require(f.delete(), s"q46: failed to delete stale $f"))
+        swapInFiles(pdir, tmp, "q46")
         deleteTree(tmp)
       }
       require(new java.io.File(root, "_SUCCESS").createNewFile(),

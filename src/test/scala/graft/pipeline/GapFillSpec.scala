@@ -50,7 +50,7 @@ class GapFillSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"the grid must come from a broadcast 1-row bounds join + sequence explode:\n${p.take(2500)}")
+      s"the grid must come from the windowed bounds + sequence explode, never a cross product:\n${p.take(2500)}")
   }
 
   // ---- e17: linear interpolation over the same grid ----

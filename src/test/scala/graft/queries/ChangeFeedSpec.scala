@@ -21,18 +21,24 @@ class ChangeFeedSpec extends SparkSpec {
       (3L, "U", "F", 30.0), // pre differs in status   -> U
       (4L, "D", "O", 40.0), // existed at v1           -> D
       (5L, "D", "O", 50.0), // absent at v1 (created+destroyed in range) -> suppressed
-      (6L, "U", "O", 60.0)  // identical to pre-image  -> suppressed
+      (6L, "U", "O", 60.0), // identical to pre-image  -> suppressed
+      (7L, "U", "O", 70.0), // pre EXISTS with NULL price -> U, not I
+      (8L, "D", "O", 80.0)  // pre EXISTS with NULL price -> D, not suppressed
     ).toDF("k", "act", "o_orderstatus", "price")
     val pre = Seq(
-      (2L, "O", 19.0),
-      (3L, "O", 30.0),
-      (4L, "O", 40.0),
-      (6L, "O", 60.0)
+      (2L, "O", Some(19.0)),
+      (3L, "O", Some(30.0)),
+      (4L, "O", Some(40.0)),
+      (6L, "O", Some(60.0)),
+      // existence must be a join-presence fact, never price nullness:
+      // a live row with a NULL price is still a live row
+      (7L, "O", None: Option[Double]),
+      (8L, "O", None: Option[Double])
     ).toDF("k", "pre_status", "pre_price")
     val out = Advanced.changeFeedOf(rng, pre).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(out === Map(1L -> "I", 2L -> "U", 3L -> "U", 4L -> "D"),
-      "exactly the four net changes, nothing for keys 5 (D-of-absent) and 6 (no-op upsert)")
+    assert(out === Map(1L -> "I", 2L -> "U", 3L -> "U", 4L -> "D", 7L -> "U", 8L -> "D"),
+      "exactly the six net changes, nothing for keys 5 (D-of-absent) and 6 (no-op upsert)")
   }
 
   test("fixture: resurrection emits I, shadowed delete emits nothing") {
