@@ -376,6 +376,46 @@ object Curation {
                     ELSE 'test' END AS split
         FROM hh"""),
     ),
+
+    // ---- p7: TEMPERATURE-SMOOTHED MIXTURE ALLOCATION — the step
+    //      between t9's observed domain shares and p5's hard caps:
+    //      allocate a fixed document budget across sources with
+    //      α = 0.5 temperature (weight ∝ n^α — the standard smoothing
+    //      that keeps crawl-scale domains from drowning small
+    //      high-quality ones; quotas MAY exceed a small domain's
+    //      inventory, which is exactly the oversampling-epochs
+    //      behavior trainers run). Arithmetic is engineered for
+    //      cross-engine exactness: weights become INTEGER micro-units
+    //      via floor(sqrt(n)·10⁶ + 0.5) (sqrt and floor are
+    //      IEEE-exact in both engines; a round() spelling diverges on
+    //      shortest-repr boundaries), and the budget splits by
+    //      integer largest-remainder — base = B·w div ΣW, the
+    //      deficit's +1s ranked by integer remainder (source
+    //      tie-break) — so Σ quota = B EXACTLY and no float total
+    //      ever forms. Scale shape: one map-side-combinable count per
+    //      source, then |domains|-row window arithmetic — nothing
+    //      after the first aggregate scales with the corpus. ----
+    Q(
+      "p7_temperature_mix",
+      (s, dir) => temperatureAlloc(
+        t(s, dir, "documents").groupBy(col("source")).agg(count(lit(1)).as("n_docs"))),
+      Some(s"""
+        WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        w AS (SELECT source, n_docs,
+                     CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS wppm
+              FROM c),
+        tot AS (SELECT sum(wppm) AS tw FROM w),
+        b AS (SELECT source, n_docs, wppm,
+                     ($MixBudget * wppm) // tw AS base,
+                     ($MixBudget * wppm) % tw AS rem
+              FROM w, tot),
+        d AS (SELECT *, $MixBudget - sum(base) OVER () AS deficit,
+                     row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+              FROM b)
+        SELECT source, n_docs, wppm,
+               base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS quota
+        FROM d"""),
+    ),
   )
 
   /** p5's hard per-source document ceiling — binding at every testdata
@@ -383,4 +423,34 @@ object Curation {
     * the cap, not a pass-through.
     */
   val QuotaPerSource = 10L
+
+  /** p7's total mixture budget (documents). Deliberately larger than
+    * small-SF inventories: a temperature-smoothed quota exceeding a
+    * domain's document count is the oversampling-epochs regime, and
+    * the allocation must stay exact there too.
+    */
+  val MixBudget = 1000L
+
+  /** p7's allocation kernel over a `(source, n_docs)` table — exposed
+    * so the spec can drive it with crafted UNEQUAL counts (the
+    * testdata sources are uniform, which exercises conservation but
+    * not the flattening). |domains|-row window arithmetic only.
+    */
+  private[graft] def temperatureAlloc(
+      counts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.orderBy(col("rem").desc, col("source").asc)
+    counts
+      .withColumn("wppm",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      .withColumn("tw", sum(col("wppm")).over(wAll))
+      .withColumn("base", expr(s"(${MixBudget}L * wppm) div tw"))
+      .withColumn("rem", expr(s"(${MixBudget}L * wppm) % tw"))
+      .withColumn("deficit", lit(MixBudget) - sum(col("base")).over(wAll))
+      .withColumn("rk", row_number().over(wRank))
+      .select(col("source"), col("n_docs"), col("wppm"),
+        (col("base") + (col("rk") <= col("deficit")).cast("long")).as("quota"))
+  }
 }
