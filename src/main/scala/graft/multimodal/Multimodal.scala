@@ -2,6 +2,7 @@ package graft.multimodal
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -790,5 +791,105 @@ object Multimodal {
         FROM b CROSS JOIN dims d
         LEFT JOIN cnt c ON c.id = b.id AND c.bucket = d.dim"""),
     ),
+
+    // ---- m10: TEMPORAL FRAME DEDUP (static-segment collapse) — the
+    //      WITHIN-asset counterpart of m5–m9's cross-asset matching:
+    //      real video corpora are dominated by static segments
+    //      (slides, title cards, surveillance stills), and frame-level
+    //      training pipelines collapse consecutive identical frames
+    //      before anything downstream pays per-frame cost. Fixture:
+    //      the video-modality docs get a deterministic repeat
+    //      structure ([[videoHex]] — the leading frame repeated
+    //      (id % 4 + 2)×, both engines build it from the same hex
+    //      algebra), so runs exist at every SF by construction. The
+    //      kernel chunks the payload into [[FrameBytes]] frames (m9's
+    //      hex convention), hashes each (md5, frame-sized), and
+    //      collapses runs with one per-asset lag/cumsum window —
+    //      emitting per asset: total frames, surviving segments, and
+    //      the longest static run (the compression headline). At
+    //      100 TB: frame hashing is map-side, the run windows
+    //      partition by asset (state = one asset's frame list, never
+    //      corpus-wide), and the only shuffle is the id-hash — work
+    //      linear in frames, output linear in assets. ----
+    Q(
+      "m10_temporal_dedup",
+      (s, dir) => {
+        val hw = 2 * FrameBytes
+        val w = Window.partitionBy(col("id")).orderBy(col("fi"))
+        val frames = videoHex(s, dir)
+          .withColumn("n_frames",
+            expr(s"(length(vhx) + ${hw - 1}) div $hw"))
+          .select(col("id"),
+            explode(expr("sequence(0L, n_frames - 1)")).as("fi"), col("vhx"))
+          .withColumn("fh", md5(expr(s"substring(vhx, fi * $hw + 1, $hw)")))
+          .select(col("id"), col("fi"), col("fh"))
+        val runs = frames
+          .withColumn("cut",
+            when(lag(col("fh"), 1).over(w).isNull
+              || col("fh") === lag(col("fh"), 1).over(w), 0L).otherwise(1L))
+          .withColumn("run", sum(col("cut")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("id"), col("run")).agg(count(lit(1)).as("len"))
+        runs.groupBy(col("id"))
+          .agg(sum(col("len")).as("n_frames"),
+            count(lit(1)).as("n_segments"),
+            max(col("len")).as("longest_run"))
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT doc_id AS id, lower(hex(encode(text))) AS hx
+          FROM documents WHERE doc_id % 3 = 2),
+        vv AS (
+          SELECT id,
+                 repeat(substr(hx, 1, ${2 * FrameBytes}), CAST(id % 4 + 2 AS INT))
+                   || substr(hx, ${2 * FrameBytes + 1}) AS vhx
+          FROM v WHERE length(hx) >= ${2 * FrameBytes + 2}),
+        f AS (
+          SELECT id, unnest(generate_series(0,
+                   (length(vhx) + ${2 * FrameBytes - 1}) // ${2 * FrameBytes} - 1)) AS fi,
+                 vhx
+          FROM vv),
+        h AS (
+          SELECT id, fi,
+                 md5(substr(vhx, fi * ${2 * FrameBytes} + 1, ${2 * FrameBytes})) AS fh
+          FROM f),
+        c AS (
+          SELECT id, fi,
+                 CASE WHEN lag(fh) OVER w IS NULL OR fh = lag(fh) OVER w
+                      THEN 0 ELSE 1 END AS cut
+          FROM h WINDOW w AS (PARTITION BY id ORDER BY fi)),
+        r AS (
+          SELECT id, sum(cut) OVER (PARTITION BY id ORDER BY fi
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM c),
+        g AS (SELECT id, run, count(*) AS len FROM r GROUP BY 1, 2)
+        SELECT id, CAST(sum(len) AS BIGINT) AS n_frames,
+               count(*) AS n_segments,
+               CAST(max(len) AS BIGINT) AS longest_run
+        FROM g GROUP BY 1"""),
+    ),
   )
+
+  /** m10's synthetic "video" payloads as lowercase hex: the
+    * video-modality docs (m1's `doc_id % 3` convention) long enough to
+    * donate a full leading frame get that frame REPEATED
+    * `id % 4 + 2` times before the rest of the payload — a
+    * deterministic static-segment structure both engines derive from
+    * the same hex algebra (string repeat + concat; the repeat unit is
+    * exactly one frame, so the copies are frame-aligned by
+    * construction). Hex, not bytes: one spelling shared with m9's
+    * frame hashing, and Spark/DuckDB agree on string ops without
+    * blob-slicing differences.
+    */
+  private[graft] def videoHex(s: SparkSession, dir: String): DataFrame = {
+    val hw = 2 * FrameBytes
+    Tables.t(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id").as("id"),
+        lower(hex(encode(col("text"), "UTF-8"))).as("hx"))
+      .filter(length(col("hx")) >= hw + 2)
+      .select(col("id"),
+        expr(s"concat(repeat(substring(hx, 1, $hw), CAST(id % 4 + 2 AS INT)), substring(hx, ${hw + 1}))")
+          .as("vhx"))
+  }
 }
