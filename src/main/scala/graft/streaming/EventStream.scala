@@ -387,7 +387,7 @@ object EventStream {
   // this (non-serializable) module and drags it into the task closure.
 
   /** Current watermark in micros, or -1 when absent (batch replay). */
-  private def rateWmUs(state: GroupState[RateState]): Long =
+  private def rateWmUs(state: GroupState[_]): Long =
     try state.getCurrentWatermarkMs() * 1000L
     catch { case _: UnsupportedOperationException => -1L }
 
@@ -397,7 +397,7 @@ object EventStream {
     * kill the whole query); the firing's sweep closes everything ready
     * regardless of how tight the clamp landed.
     */
-  private def rateArmTimeout(state: GroupState[RateState], atMs: Long, wmUs: Long): Unit =
+  private def rateArmTimeout(state: GroupState[_], atMs: Long, wmUs: Long): Unit =
     state.setTimeoutTimestamp(math.max(atMs, wmUs / 1000 + 1))
 
   private def rateNextTimeout(
@@ -510,6 +510,164 @@ object EventStream {
             }
             state.update(st)
             rateNextTimeout(state, st, wmUs, idleDays) // no-op in batch runs
+            out.iterator
+          }
+      }
+  }
+
+  // ------------------------------------------------------------- e18
+  final case class GapEv(ts: java.sql.Timestamp, event_type: String, value: Option[Double])
+
+  /** Per-open-hour accumulator: row count, exact cent sum of the
+    * non-null values (each value rounded to 2 decimals HALF_UP first —
+    * the same per-value Cast-to-DECIMAL(30,2) the batch dsum performs),
+    * and whether any non-null value arrived (n > 0 with no values is a
+    * LOCF gap, exactly e16's sv-null rule).
+    */
+  final case class GapHourAgg(n: Long, cents: Long, saw: Boolean)
+
+  final case class GapState(
+      open: Map[Long, GapHourAgg],
+      lastEmittedUs: Long, // last grid hour emitted; MinValue before any
+      carryCents: Long, hasCarry: Boolean, // the LOCF carry
+      lastObsUs: Long, // max observed event hour (emission cap)
+      lastUs: Long) // max raw event time (idle horizon)
+
+  final case class GapOut(
+      event_type: String, hour_us: Long, n: Long, locf_value: Option[Double])
+
+  /** Spark's Cast(double → DECIMAL(30,2)) as exact integer cents — the
+    * state must sum what the batch twin sums or the emitted doubles
+    * split the shared oracle hash.
+    */
+  private def gapCents(v: Double): Long =
+    (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+
+  /** Emit every grid hour that is (a) final under the event-time
+    * watermark, (b) not past the last OBSERVED hour (the resampler
+    * fills interior gaps; it never invents an unbounded zero tail for a
+    * series that went quiet — those hours emit later, when an
+    * observation arrives and proves the series continued), and (c)
+    * contiguous with what was already emitted. Batch replay
+    * (`isStream = false`): everything through the last observed hour
+    * flushes — exactly the per-type dense grid the oracle computes.
+    */
+  private def gapSweep(
+      etype: String, st0: GapState, wmUs: Long, isStream: Boolean): (GapState, Seq[GapOut]) = {
+    if (st0.open.isEmpty && st0.lastEmittedUs == Long.MinValue) return (st0, Nil)
+    val closable =
+      if (!isStream) st0.lastObsUs
+      else if (wmUs < 0) Long.MinValue
+      else math.min(
+        Math.floorDiv(wmUs - HourUsLen, HourUsLen) * HourUsLen, st0.lastObsUs)
+    var cur = st0
+    val out = Seq.newBuilder[GapOut]
+    var h =
+      if (cur.lastEmittedUs == Long.MinValue) cur.open.keys.min
+      else cur.lastEmittedUs + HourUsLen
+    while (h <= closable) {
+      cur.open.get(h) match {
+        case Some(GapHourAgg(n, c, true)) =>
+          cur = cur.copy(carryCents = c, hasCarry = true)
+          out += GapOut(etype, h, n, Some(c.toDouble / 100.0))
+        case Some(GapHourAgg(n, _, false)) =>
+          out += GapOut(etype, h, n,
+            if (cur.hasCarry) Some(cur.carryCents.toDouble / 100.0) else None)
+        case None =>
+          out += GapOut(etype, h, 0L,
+            if (cur.hasCarry) Some(cur.carryCents.toDouble / 100.0) else None)
+      }
+      cur = cur.copy(open = cur.open - h, lastEmittedUs = h)
+      h += HourUsLen
+    }
+    (cur, out.result())
+  }
+
+  /** Arm the next wake-up: while grid hours await closing, at the
+    * moment the watermark can close the next one; otherwise at the
+    * idle horizon (evict a series that stopped for `idleDays`).
+    */
+  private def gapArm(
+      state: GroupState[GapState], st: GapState, wmUs: Long, idleDays: Int): Unit = {
+    val nextH =
+      if (st.lastEmittedUs == Long.MinValue)
+        st.open.keys.minOption.getOrElse(Long.MaxValue / 2)
+      else st.lastEmittedUs + HourUsLen
+    val pending = nextH <= st.lastObsUs
+    rateArmTimeout(state,
+      if (pending) (nextH + HourUsLen) / 1000
+      else st.lastUs / 1000 + idleDays.toLong * 86400L * 1000,
+      wmUs)
+  }
+
+  /** Streaming twin of the e16/e17 resample family, per-series form
+    * (e18): per event type, a [[flatMapGroupsWithState]] emits the
+    * DENSE hourly grid — observed hours carry their exact dsum, gap
+    * hours emit n = 0 with the last observed sum carried forward —
+    * as the EVENT-TIME WATERMARK finalizes each hour. The emission
+    * contract live and batch share: rows appear in contiguous hour
+    * order per type, from the type's first observed hour through
+    * min(watermark-final, last observed) — a live run's output is
+    * always a PREFIX of the batch replay's per-type series
+    * (EventStreamSpec pins that equality on a real withWatermark
+    * stream). Streaming state is the LOCF carry + the open (not yet
+    * watermark-final) hours' counters — calendar-bounded, never
+    * event-bounded. Batch replay (watermarks absent) flushes the full
+    * per-type grid, which is exactly what the shared DuckDB oracle
+    * recomputes. Hour buckets are UTC-floored like the rest of the
+    * family; the same session-timezone contract as [[rateAnomaly]] is
+    * asserted. At 100 TB: one shuffle on event_type; per-type state is
+    * tens of longs however large the stream.
+    */
+  def gapFill(events: DataFrame, idleDays: Int = 7): Dataset[GapOut] = {
+    import events.sparkSession.implicits._
+    val sessionZone = java.time.ZoneId.of(
+      events.sparkSession.conf.get("spark.sql.session.timeZone"))
+    require(sessionZone.getRules.isFixedOffset
+      && sessionZone.getRules.getOffset(java.time.Instant.EPOCH) == java.time.ZoneOffset.UTC,
+      "gapFill buckets hours in UTC; set spark.sql.session.timeZone to a " +
+        s"UTC-equivalent zone (got $sessionZone) so the e16-family date_trunc twin agrees")
+    val isStream = events.isStreaming
+    events.select(col("ts"), col("event_type"), col("value")).as[GapEv]
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[GapState, GapOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (etype: String, evs: Iterator[GapEv], state: GroupState[GapState]) =>
+          val wmUs = rateWmUs(state)
+          if (state.hasTimedOut) {
+            val st0 = state.get
+            val (st2, out) = gapSweep(etype, st0, wmUs, isStream = true)
+            if (out.isEmpty && st2.open.isEmpty && st2.lastEmittedUs >= st2.lastObsUs) {
+              state.remove() // idle horizon, series fully drained
+              Iterator.empty
+            } else {
+              state.update(st2)
+              gapArm(state, st2, wmUs, idleDays)
+              out.iterator
+            }
+          } else {
+            var st = state.getOption.getOrElse(
+              GapState(Map.empty, Long.MinValue, 0L, false, Long.MinValue, Long.MinValue))
+            for (e <- evs) { // streaming iteration: no group-sized buffer
+              val us = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+              val h = Math.floorDiv(us, HourUsLen) * HourUsLen
+              // sub-watermark stragglers for already-emitted hours are
+              // filtered by Spark; belt-and-braces drop
+              if (h > st.lastEmittedUs || st.lastEmittedUs == Long.MinValue) {
+                val prev = st.open.getOrElse(h, GapHourAgg(0L, 0L, saw = false))
+                val agg = e.value match {
+                  case Some(v) => GapHourAgg(prev.n + 1, prev.cents + gapCents(v), saw = true)
+                  case None => prev.copy(n = prev.n + 1)
+                }
+                st = st.copy(open = st.open.updated(h, agg),
+                  lastObsUs = math.max(st.lastObsUs, h))
+              }
+              st = st.copy(lastUs = math.max(st.lastUs, us))
+            }
+            val (st2, out) = gapSweep(etype, st, wmUs, isStream)
+            state.update(st2)
+            if (isStream) gapArm(state, st2, wmUs, idleDays)
             out.iterator
           }
       }

@@ -266,5 +266,45 @@ object StreamTwins {
                bit_xor(${graft.pipeline.Portable.md5LongSql("CAST(k AS VARCHAR)")}) AS key_xor
         FROM merged GROUP BY 1"""),
     ),
+
+    // ---- e18: batch run of the gapFill state machine — the streaming
+    //      resampler twin of the e16 family, per-series form: each
+    //      type's DENSE hourly grid from its first to its last observed
+    //      hour, gaps explicit (n = 0) with the last observed dsum
+    //      carried forward. In batch the watermark is absent, so the
+    //      end-of-input flush emits the complete per-type grid — which
+    //      is exactly what the oracle recomputes (per-type
+    //      generate_series + LOCF window). The live prefix property
+    //      (stream output = a contiguous prefix of this series per
+    //      type) is pinned in EventStreamSpec against a real
+    //      withWatermark MemoryStream. Scale shape: one shuffle on
+    //      event_type; state = the LOCF carry + open-hour counters,
+    //      calendar-bounded. ----
+    Q(
+      "e18_stream_gapfill",
+      (s, dir) =>
+        EventStream.gapFill(
+          t(s, dir, "events").select(col("ts"), col("event_type"), col("value")))
+          .toDF(),
+      Some("""
+        WITH h AS MATERIALIZED (
+          SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+                 count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sv
+          FROM events GROUP BY 1, 2),
+        b AS (SELECT event_type, min(hour_us) AS mn, max(hour_us) AS mx
+              FROM h GROUP BY 1),
+        grid AS (SELECT event_type,
+                        unnest(generate_series(mn, mx, 3600000000)) AS hour_us
+                 FROM b),
+        j AS (SELECT g.event_type, g.hour_us, coalesce(h.n, 0) AS n, h.sv
+              FROM grid g LEFT JOIN h
+                ON g.event_type = h.event_type AND g.hour_us = h.hour_us)
+        SELECT event_type, hour_us, n,
+               last_value(sv IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY hour_us ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+        FROM j"""),
+    ),
   )
 }

@@ -247,6 +247,55 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("gapFill live: contiguous prefix of the batch grid, gaps carried, no invented tail") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String, Option[Double])]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val query = EventStream.gapFill(df)
+      .writeStream.format("memory").queryName("gapfill")
+      .outputMode("append").start()
+    try {
+      // A: hours 0 and 3 (interior gap 1–2) · B: hour 1 only ·
+      // D: one NULL-value event at hour 0 (n = 1, no LOCF value ever)
+      val feed = Seq(
+        (ts(10), "A", Some(2.5)), (ts(20), "A", Some(1.25)),
+        (ts(185), "A", Some(4.0)),
+        (ts(90), "B", Some(7.0)),
+        (ts(30), "D", None: Option[Double]))
+      mem.addData(feed: _*)
+      query.processAllAvailable()
+      // C at hour 20 pushes the watermark to 18:00 — far past A/B/D —
+      // while its own hour stays open (no invented rows for C)
+      mem.addData((ts(20 * 60), "C", Some(1.0)))
+      query.processAllAvailable()
+      val hr = (i: Int) => specEpochUs + i.toLong * 3600L * 1000000L
+      val out = spark.table("gapfill").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+      assert(out == Set(
+        ("A", hr(0), 2L, Some(3.75)),
+        ("A", hr(1), 0L, Some(3.75)), // gap: LOCF carries hour 0's sum
+        ("A", hr(2), 0L, Some(3.75)),
+        ("A", hr(3), 1L, Some(4.0)),
+        ("B", hr(1), 1L, Some(7.0)),
+        ("D", hr(0), 1L, None)), // observed hour, no value ever: NULL, not 0
+        s"live grid mismatch: $out")
+      // prefix property: the live rows equal the batch replay of the
+      // same feed restricted to each type's emitted range
+      val batch = EventStream.gapFill(
+        (feed :+ ((ts(20 * 60), "C", Some(1.0)): (Timestamp, String, Option[Double])))
+          .toDF("ts", "event_type", "value"))
+        .collect()
+        .map(g => (g.event_type, g.hour_us, g.n, g.locf_value))
+      val emittedMax = out.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).max }
+      val batchPrefix = batch.filter(r =>
+        emittedMax.get(r._1).exists(r._2 <= _)).toSet
+      assert(out == batchPrefix,
+        "live emission must be exactly the batch series' per-type prefix")
+    } finally query.stop()
+  }
+
   test("file-source stream over the events parquet matches the batch aggregate") {
     val src = java.nio.file.Files.createTempDirectory("graft-stream-src")
     java.nio.file.Files.copy(
