@@ -22,7 +22,11 @@ class ContractSpec extends AnyFunSuite {
 
   test("oracle SQL references only driver testdata tables") {
     val known = Tables.names.toSet
-    SparkEntry.oracleSql.foreach { case (name, sql) =>
+    SparkEntry.oracleSql.foreach { case (name, rawSql) =>
+      // `x IS [NOT] DISTINCT FROM y` is an OPERATOR (q50's null-safe
+      // image comparison), not a table reference — strip it before the
+      // FROM/JOIN scan or the operand after it reads as a table name
+      val sql = rawSql.replaceAll("(?i)is\\s+(not\\s+)?distinct\\s+from", "<=>")
       val froms = "(?i)(?:from|join)\\s+([a-z_][a-z0-9_]*)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = froms -- known -- Set("unnest") // CTE names resolve first
