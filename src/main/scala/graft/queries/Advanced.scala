@@ -791,6 +791,169 @@ object Advanced {
         SELECT k, op, o_orderstatus, price, pre_status, pre_price
         FROM feed WHERE op IS NOT NULL"""),
     ),
+
+    // ---- q51: EQUALITY-DELETE read — the third lake delete mechanism,
+    //      completing the taxonomy (q41/q43 delete by KEY row images,
+    //      q48 by (file, position); Iceberg v2 equality deletes carry
+    //      COLUMN VALUES and apply at read time to every matching row
+    //      in data files with a LOWER sequence number). Two delete
+    //      files exercise both real shapes: seq-2 equality on the row
+    //      key (a day's key-targeted deletes, written without knowing
+    //      where the rows live — no scan at delete time, which is the
+    //      whole point), and seq-4 equality on o_custkey (the GDPR
+    //      "erase this customer everywhere" shape — one delete row
+    //      fans out to every matching order). The SEQUENCE SCOPING is
+    //      the semantics under test: a seq-3 append file resurrects
+    //      half the seq-2-deleted keys, and those rows SURVIVE the
+    //      key delete (2 < 3 — the delete predates the data) while
+    //      still dying to the seq-4 customer erase (3 < 4). An
+    //      unscoped anti-join gets every resurrected row wrong. The
+    //      read is two chained broadcast anti-joins with the
+    //      seq-comparison folded into the join condition: delete
+    //      files are day-scale metadata against a lake that never
+    //      reshuffles — delete cost stays proportional to deletes,
+    //      zero rewrite amplification, and (unlike q48) no per-file
+    //      position bookkeeping at write time. Gate: per-(seq, status)
+    //      count/sum/key-XOR, so base-vs-appended survivors split
+    //      independently and any scoping error lands in a hash. ----
+    Q(
+      "q51_equality_delete",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        eqDeleteRead(s, dir).groupBy(col("seq"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            graft.Agg.dsum(col("price")).as("sum_price"),
+            bit_xor(graft.pipeline.Portable.md5Long(col("k").cast("string")))
+              .as("key_xor"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus,
+                 o_totalprice AS price, 1 AS seq
+          FROM orders),
+        appended AS (
+          SELECT k, c, o_orderstatus, price + 50.0 AS price, 3 AS seq
+          FROM base WHERE k % 46 = 0),
+        data AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        del_k AS (SELECT k, 2 AS dseq FROM base WHERE k % 23 = 0),
+        del_c AS (SELECT DISTINCT c, 4 AS dseq FROM base WHERE c % 97 = 0)
+        SELECT seq, o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS sum_price,
+               bit_xor(${graft.pipeline.Portable.md5LongSql("CAST(k AS VARCHAR)")}) AS key_xor
+        FROM data d
+        WHERE NOT EXISTS (
+                SELECT 1 FROM del_k WHERE del_k.k = d.k AND d.seq < del_k.dseq)
+          AND NOT EXISTS (
+                SELECT 1 FROM del_c WHERE del_c.c = d.c AND d.seq < del_c.dseq)
+        GROUP BY 1, 2"""),
+    ),
+
+    // ---- q52: SNAPSHOT EXPIRY + VACUUM — the lifecycle piece q47's
+    //      log checkpoint does not cover: the FILE layer. A CoW lake
+    //      is snapshots referencing immutable files; rewrites leave
+    //      old files referenced only by old snapshots, and storage is
+    //      reclaimed by expiring snapshots below the retention floor
+    //      then deleting ORPHANS (files no retained manifest
+    //      references). Model: the CDC lake sharded into key-hash
+    //      files (fid = k % 251), each log batch CoW-rewriting exactly
+    //      the files holding touched keys (file content at (b, f) =
+    //      the as-of-b state restricted to f — the one resolution
+    //      convention again), manifests as newest-rewrite-≤-v per
+    //      file. Expire v0, retain {v1, v2}: live = manifest(1) ∪
+    //      manifest(2), orphans = allFiles − live (provably the
+    //      v0 files whose fid batch 1 rewrote). The gate reads v1 AND
+    //      v2 through the file layer twice — pre-vacuum (all files
+    //      present) and post-vacuum (only live files present) — plus
+    //      the orphan inventory (count + file-id XOR); the oracle
+    //      emits the independently-resolved states under both labels,
+    //      so an over-deleting vacuum (a live file removed) splits the
+    //      post path's hashes and an under-deleting one splits the
+    //      inventory row. At 100 TB: manifests and the file inventory
+    //      are metadata (≤ 3·251 entries here; file-count-scale, never
+    //      row-scale — every join against them broadcasts), the vacuum
+    //      decision never reads data files at all, and reads scan only
+    //      the files their manifest names. The retention trade is
+    //      explicit: v0 becomes unreadable the moment its exclusive
+    //      files go (SnapshotExpirySpec pins exactly which rows die). ----
+    Q(
+      "q52_snapshot_expiry",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val af = snapAllFiles(s, dir)
+        val live = snapLive(af)
+        val reads = Seq(1, 2).flatMap { v =>
+          Seq("pre" -> af, "post" -> live).map { case (path, present) =>
+            snapRead(s, dir, v, present)
+              .select(lit(path).as("path"), lit(v).as("v"), col("o_orderstatus"),
+                col("k"), col("price"))
+          }
+        }.reduce(_ unionByName _)
+        val agg = reads.groupBy(col("path"), col("v"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            graft.Agg.dsum(col("price")).as("sum_price"),
+            bit_xor(graft.pipeline.Portable.md5Long(col("k").cast("string")))
+              .as("key_xor"))
+        val orph = snapOrphans(af).agg(count(lit(1)).as("n"),
+            coalesce(bit_xor(graft.pipeline.Portable.md5Long(
+              concat_ws("-", col("b"), col("fid")))), lit(0L)).as("key_xor"))
+          .select(lit("orphans").as("path"), lit(0).as("v"),
+            lit("*").as("o_orderstatus"), col("n"),
+            lit(0.0).as("sum_price"), col("key_xor"))
+        agg.unionByName(orph)
+      },
+      Some(s"""
+        WITH $cdcLogCtesSql,
+        basefids AS (SELECT DISTINCT k % 251 AS fid FROM base),
+        t1 AS (SELECT DISTINCT k % 251 AS fid FROM logs WHERE b = 1),
+        t2 AS (SELECT DISTINCT k % 251 AS fid FROM logs WHERE b = 2),
+        allfiles AS (
+          SELECT 0 AS b, fid FROM basefids
+          UNION ALL SELECT 1, fid FROM t1
+          UNION ALL SELECT 2, fid FROM t2),
+        live AS (
+          SELECT fid, max(b) AS b FROM allfiles WHERE b <= 1 GROUP BY fid
+          UNION
+          SELECT fid, max(b) AS b FROM allfiles WHERE b <= 2 GROUP BY fid),
+        orphans AS (
+          SELECT b, fid FROM allfiles
+          EXCEPT
+          SELECT b, fid FROM live),
+        resolved1 AS (
+          SELECT l.k, max_by(l.act, l.b) AS act,
+                 max_by(l.o_orderstatus, l.b) AS o_orderstatus,
+                 max_by(l.price, l.b) AS price
+          FROM logs l WHERE l.b <= 1 GROUP BY 1),
+        resolved2 AS (
+          SELECT l.k, max_by(l.act, l.b) AS act,
+                 max_by(l.o_orderstatus, l.b) AS o_orderstatus,
+                 max_by(l.price, l.b) AS price
+          FROM logs l WHERE l.b <= 2 GROUP BY 1),
+        state1 AS (
+          SELECT b.k, b.o_orderstatus, b.price FROM base b
+          WHERE NOT EXISTS (SELECT 1 FROM resolved1 r WHERE r.k = b.k)
+          UNION ALL
+          SELECT k, o_orderstatus, price FROM resolved1 WHERE act = 'U'),
+        state2 AS (
+          SELECT b.k, b.o_orderstatus, b.price FROM base b
+          WHERE NOT EXISTS (SELECT 1 FROM resolved2 r WHERE r.k = b.k)
+          UNION ALL
+          SELECT k, o_orderstatus, price FROM resolved2 WHERE act = 'U'),
+        reads AS (
+          SELECT 1 AS v, k, o_orderstatus, price FROM state1
+          UNION ALL
+          SELECT 2 AS v, k, o_orderstatus, price FROM state2),
+        paths AS (SELECT 'pre' AS path UNION ALL SELECT 'post')
+        SELECT p.path, r.v, r.o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(r.price AS DECIMAL(30,2))) AS DOUBLE) AS sum_price,
+               bit_xor(${graft.pipeline.Portable.md5LongSql("CAST(r.k AS VARCHAR)")}) AS key_xor
+        FROM reads r CROSS JOIN paths p GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT 'orphans', 0, '*', count(*),
+               0.0,
+               coalesce(bit_xor(${graft.pipeline.Portable.md5LongSql(
+                 "CAST(b AS VARCHAR) || '-' || CAST(fid AS VARCHAR)")}), 0)
+        FROM orphans"""),
+    ),
   )
 
   /** q38's lake/delta boundary: the last ~7 months of the orders range
@@ -1074,5 +1237,133 @@ object Advanced {
     val base = checkpointBase(s, dir, cp)
     if (v == cp) base
     else mergeResolved(base, resolveLog(truncatedLog(s, dir, cp).filter(col("b") <= v)))
+  }
+
+  /** q51's data files `(k, c, o_orderstatus, price, seq)`: the orders
+    * lake as seq-1 files plus a seq-3 APPEND file re-inserting every
+    * 46th key at +50 — deliberately a subset of the seq-2 equality
+    * delete's key set (%46 ⊂ %23), so every appended row exists only
+    * because sequence scoping protects it.
+    */
+  private[graft] def eqDataFiles(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_custkey").as("c"),
+      col("o_orderstatus"), col("o_totalprice").as("price"), lit(1).as("seq"))
+    base.unionByName(
+      base.filter(pmod(col("k"), lit(46)) === 0)
+        .withColumn("price", col("price") + lit(50.0))
+        .withColumn("seq", lit(3)))
+  }
+
+  /** q51's seq-2 equality-delete file on the row key: every 23rd key,
+    * written as VALUES (`dk`) with the file's sequence number — no
+    * positions, no scan at delete time. Day-scale metadata.
+    */
+  private[graft] def eqDeleteKeys(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(23)) === 0)
+      .select(col("o_orderkey").as("dk"), lit(2).as("dseq"))
+
+  /** q51's seq-4 equality-delete file on o_custkey — the GDPR "erase
+    * this customer" shape: one delete row per erased customer (distinct
+    * %97 custkeys) fans out to every matching order at read time,
+    * INCLUDING rows appended after the key-delete (3 < 4).
+    */
+  private[graft] def eqDeleteCusts(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "orders")
+      .filter(pmod(col("o_custkey"), lit(97)) === 0)
+      .select(col("o_custkey").as("dc"), lit(4).as("dseq")).distinct()
+
+  /** The q51 equality-delete READ: two chained broadcast anti-joins,
+    * each with the Iceberg scoping rule folded into the join condition —
+    * a data row dies to a delete row iff the values match AND the data
+    * file's sequence number is strictly below the delete file's. The
+    * lake side never reshuffles; both delete sides are broadcast
+    * metadata.
+    */
+  private[graft] def eqDeleteRead(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val data = eqDataFiles(s, dir)
+    val delK = eqDeleteKeys(s, dir)
+    val afterK = data.join(broadcast(delK),
+      data("k") === delK("dk") && data("seq") < delK("dseq"), "left_anti")
+    val delC = eqDeleteCusts(s, dir)
+    afterK.join(broadcast(delC),
+      afterK("c") === delC("dc") && afterK("seq") < delC("dseq"), "left_anti")
+  }
+
+  /** q52's file-sharding modulus: prime, and coprime to every CDC feed
+    * modulus (%47/%20/%31/%59/%13), so touched keys spread evenly over
+    * files instead of aliasing into a subset.
+    */
+  private[graft] val SnapFidMod = 251
+
+  /** q52's file inventory `(b, fid)` — every file any snapshot ≤ 2 ever
+    * referenced: the base shards at batch 0 plus, per log batch, the
+    * files its touched keys CoW-rewrote (inserts create their target
+    * file if the fid is new — the same max-over-candidates manifest
+    * algebra covers both). Metadata-scale by construction (≤ 3·[[SnapFidMod]]
+    * rows) and session-materialized: the inventory feeds manifests,
+    * the live set, orphans, and four reads in one gate query.
+    */
+  private[graft] def snapAllFiles(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.pipeline.Materialized.getOrBuild(s, s"q52.files|$dir") {
+      val baseFids = cdcLake(s, dir)
+        .select(pmod(col("k"), lit(SnapFidMod)).as("fid")).distinct()
+        .select(lit(0).as("b"), col("fid"))
+      val touched = cdcLogs(s, dir)
+        .select(col("b"), pmod(col("k"), lit(SnapFidMod)).as("fid")).distinct()
+      baseFids.unionByName(touched)
+    }
+
+  /** Snapshot v's manifest: per file the NEWEST rewrite ≤ v. */
+  private[graft] def snapManifest(
+      allFiles: org.apache.spark.sql.DataFrame, v: Int): org.apache.spark.sql.DataFrame =
+    allFiles.filter(col("b") <= v).groupBy(col("fid")).agg(max(col("b")).as("b"))
+
+  /** Files any RETAINED snapshot (v1, v2) references — the vacuum's
+    * keep set.
+    */
+  private[graft] def snapLive(
+      allFiles: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    snapManifest(allFiles, 1).unionByName(snapManifest(allFiles, 2)).distinct()
+
+  /** The vacuum's DELETE set: inventory minus live — provably the v0
+    * files whose fid batch 1 rewrote (SnapshotExpirySpec pins that
+    * identity). Anti-join over two metadata-scale frames.
+    */
+  private[graft] def snapOrphans(
+      allFiles: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    allFiles.join(broadcast(snapLive(allFiles)), Seq("b", "fid"), "left_anti")
+
+  /** Read snapshot `v` THROUGH the file layer against the files
+    * physically `present`: manifest entries restricted to present
+    * files, dispatched per batch to that batch's state restricted to
+    * the named fids (file content at (b, f) is the as-of-b state of
+    * shard f — [[asOfState]], the one resolution convention). With all
+    * files present this provably equals `asOfState(v)`; after a vacuum
+    * it equals it iff no live file was deleted — which is exactly what
+    * the gate hashes. The per-batch fid sets broadcast (file-count
+    * metadata); the states are session-materialized fid-tagged tables,
+    * so four reads in one gate cost four cache scans, not twelve lake
+    * resolutions.
+    */
+  private[graft] def snapRead(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      v: Int, present: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val files = snapManifest(snapAllFiles(s, dir), v)
+      .join(present, Seq("b", "fid"), "left_semi")
+    (0 to v).map { b =>
+      val stateF = graft.pipeline.Materialized.getOrBuild(s, s"q52.state$b|$dir") {
+        asOfState(s, dir, b).drop("v")
+          .withColumn("fid", pmod(col("k"), lit(SnapFidMod)))
+      }
+      stateF.join(broadcast(files.filter(col("b") === b).select(col("fid"))),
+        Seq("fid"), "left_semi")
+    }.reduce(_ unionByName _).drop("fid")
   }
 }
