@@ -527,6 +527,78 @@ object Text {
               FROM scored)
         WHERE rk <= $TfidfTopK"""),
     ),
+
+    // ---- t13: CCNet-style LM-score BUCKETING — the corpus-partitioning
+    //      step after scoring: per LANGUAGE, rank documents by how
+    //      well a corpus LM "expects" them and split head/middle/tail
+    //      (CCNet's per-language perplexity terciles; downstream
+    //      training samples the head, subsamples the middle, drops or
+    //      audits the tail). The score is t6's avg_df — mean corpus
+    //      frequency of the doc's bigrams, the bigram-LM stand-in for
+    //      (inverse) perplexity: integral sums + ONE IEEE division per
+    //      doc, bit-identical in both engines. The CUT is rank-based
+    //      (ntile over a (score, doc_id) total order), NOT value-based:
+    //      a quantile-value cut puts knife-edge docs on a float
+    //      boundary where engines may disagree in the last ulp, while
+    //      ntile's integer row arithmetic is exact in both. Shape: the
+    //      window input is the per-doc SCORE table (|docs| rows — the
+    //      corpus-scale bigram work is one shared materialized index,
+    //      amortized across t6/t13), partitioned by language. At 100 TB
+    //      per-language ntile serializes each language into one sort
+    //      task; the scale path keeps the same contract with a
+    //      range-partitioned two-pass rank (partition counts →
+    //      per-partition rank offsets), which this rank-based contract
+    //      — unlike a value cut — makes drop-in. Gate: per-(lang,
+    //      bucket) doc count, doc-id XOR (exact membership), and the
+    //      bucket's pooled avg_df, so one doc in the wrong tercile
+    //      splits two hashes. ----
+    Q(
+      "t13_ppl_bucket",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val b = bigramIndex(s, dir)
+        val freq = b.groupBy("h").agg(count(lit(1)).as("c"))
+        val scores = b.join(freq, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sum_df"))
+          .withColumn("score", col("sum_df").cast("double") / col("n_bigrams"))
+        val withLang = scores.join(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("score").desc, col("doc_id").asc)
+        withLang
+          .withColumn("bucket", ntile(3).over(w)) // 1 = head (most expected)
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            bit_xor(md5Long(col("doc_id").cast("string"))).as("doc_xor"),
+            round(sum(col("sum_df")).cast("double") / sum(col("n_bigrams")), 6)
+              .as("avg_df"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+        b AS (
+          SELECT doc_id, ${md5LongSql("ws[i] || ' ' || ws[i+1]")} AS h
+          FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
+                FROM w WHERE len(ws) >= 2)),
+        freq AS (SELECT h, count(*) AS c FROM b GROUP BY 1),
+        per AS (
+          SELECT doc_id, count(*) AS n_bigrams, CAST(sum(c) AS BIGINT) AS sum_df
+          FROM b JOIN freq USING (h) GROUP BY 1),
+        sc AS (
+          SELECT d.lang, p.doc_id, p.n_bigrams, p.sum_df,
+                 p.sum_df / CAST(p.n_bigrams AS DOUBLE) AS score
+          FROM per p JOIN documents d USING (doc_id)),
+        bk AS (
+          SELECT lang, doc_id, n_bigrams, sum_df,
+                 ntile(3) OVER (PARTITION BY lang
+                                ORDER BY score DESC, doc_id ASC) AS bucket
+          FROM sc)
+        SELECT lang, bucket, count(*) AS n_docs,
+               bit_xor(${md5LongSql("CAST(doc_id AS VARCHAR)")}) AS doc_xor,
+               round(sum(sum_df) / CAST(sum(n_bigrams) AS DOUBLE), 6) AS avg_df
+        FROM bk GROUP BY 1, 2"""),
+    ),
   )
 
   /** t12's per-document keyword budget. */
