@@ -221,6 +221,28 @@ object GraftFunctions {
           s"byte_simhash: nbits must be in (0, 60] (the portable-hash width), got $nbits")
         ByteSimhash(exprs.head, nbits)
       }),
+    (
+      FunctionIdentifier("pcm_gen"),
+      new ExpressionInfo(classOf[PcmGen].getName, "pcm_gen"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3, "pcm_gen(id, n_frames, frame)")
+        val frame = literalInt(exprs(2), "pcm_gen", "frame")
+        require(frame > 0, s"pcm_gen: frame must be positive, got $frame")
+        PcmGen(exprs.head, exprs(1), frame)
+      }),
+    (
+      FunctionIdentifier("audio_stats"),
+      new ExpressionInfo(classOf[AudioStats].getName, "audio_stats"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3, "audio_stats(payload, frame, silence)")
+        val frame = literalInt(exprs(1), "audio_stats", "frame")
+        require(frame > 0, s"audio_stats: frame must be positive, got $frame")
+        val silence = exprs(2)
+        require(silence.foldable, s"audio_stats: silence must be a literal, got $silence")
+        val sv = silence.eval()
+        require(sv != null, "audio_stats: silence must not be NULL")
+        AudioStats(exprs.head, frame, sv.asInstanceOf[Number].longValue())
+      }),
   )
 
   def register(spark: SparkSession): Unit =

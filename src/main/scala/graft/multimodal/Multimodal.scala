@@ -868,7 +868,99 @@ object Multimodal {
                CAST(max(len) AS BIGINT) AS longest_run
         FROM g GROUP BY 1"""),
     ),
+
+    // ---- m11: AUDIO DSP features — the audio modality gets its own
+    //      kernel pair, not repurposed image machinery: `pcm_gen`
+    //      synthesizes per-asset PCM-8 waveforms with real temporal
+    //      structure (silent frames interleaved with full-swing tone
+    //      frames — (id·7+f) mod 4 picks the quiet ones), and
+    //      `audio_stats` extracts the features an audio curation
+    //      pipeline gates on in ONE fused pass over the raw bytes:
+    //      per-frame energy, silent-frame count (the VAD gate —
+    //      speech/music datasets drop mostly-silent clips),
+    //      first-peak frame (clip alignment), midline zero-crossings
+    //      (the classic spectral-brightness proxy), total energy.
+    //      Order-dependent features — a histogram (m3/byte_hist)
+    //      cannot recover energy LOCALITY or sign changes; that is
+    //      why this is a new kernel and not column algebra over
+    //      byte_hist. At 100 TB: both kernels are codegen'd map work
+    //      with constant per-row state (six longs), so hour-long
+    //      streams pass through at memory bandwidth with zero
+    //      shuffle, zero per-sample rows; the DuckDB oracle replays
+    //      the closed-form samples and re-derives every feature
+    //      independently (frame energies via group-by, crossings via
+    //      lag over sample order). ----
+    Q(
+      "m11_audio_features",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(3)) === 1) // the audio slice
+          .select(col("doc_id").as("id"),
+            (pmod(col("doc_id"), lit(20)) + 4).cast("int").as("nf"))
+          .withColumn("st", call_function("audio_stats",
+            call_function("pcm_gen", col("id"), col("nf"), lit(FrameBytes)),
+            lit(FrameBytes), lit(SilenceEnergy)))
+          .select(col("id"),
+            element_at(col("st"), 1).as("n_frames"),
+            element_at(col("st"), 2).as("n_silent"),
+            element_at(col("st"), 3).as("peak_frame"),
+            element_at(col("st"), 4).as("peak_energy"),
+            element_at(col("st"), 5).as("zero_crossings"),
+            element_at(col("st"), 6).as("total_energy"),
+            round(element_at(col("st"), 2).cast("double")
+              / element_at(col("st"), 1), 6).as("silence_ratio"))
+      },
+      Some(s"""
+        WITH a AS (
+          SELECT doc_id AS id, CAST(doc_id % 20 + 4 AS INT) AS nf
+          FROM documents WHERE doc_id % 3 = 1),
+        s AS (
+          SELECT id, nf, i, i // $FrameBytes AS f,
+                 CASE WHEN (id * 7 + (i // $FrameBytes)) % 4 = 0
+                      THEN 128 + (i * 3) % 5 - 2
+                      ELSE (id * 31 + i * 13) % 256 END AS v
+          FROM (SELECT id, nf, unnest(generate_series(0, nf * $FrameBytes - 1)) AS i
+                FROM a)),
+        fe AS (
+          SELECT id, f, CAST(sum((v - 128) * (v - 128)) AS BIGINT) AS e
+          FROM s GROUP BY 1, 2),
+        zc AS (
+          SELECT id,
+                 CAST(sum(CASE WHEN lv IS NOT NULL AND (v < 128) <> (lv < 128)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+          FROM (SELECT id, v, lag(v) OVER (PARTITION BY id ORDER BY i) AS lv
+                FROM s)
+          GROUP BY 1),
+        me AS (SELECT id, max(e) AS mx FROM fe GROUP BY 1),
+        pk AS (
+          SELECT fe.id, min(fe.f) AS peak_frame
+          FROM fe JOIN me ON fe.id = me.id AND fe.e = me.mx
+          GROUP BY 1),
+        ag AS (
+          SELECT id, count(*) AS n_frames,
+                 CAST(sum(CASE WHEN e < $SilenceEnergy THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_silent,
+                 CAST(sum(e) AS BIGINT) AS total_energy
+          FROM fe GROUP BY 1)
+        SELECT ag.id, ag.n_frames, ag.n_silent,
+               CAST(pk.peak_frame AS BIGINT) AS peak_frame,
+               me.mx AS peak_energy,
+               zc.zero_crossings, ag.total_energy,
+               round(ag.n_silent / CAST(ag.n_frames AS DOUBLE), 6) AS silence_ratio
+        FROM ag JOIN me ON ag.id = me.id
+                JOIN pk ON ag.id = pk.id
+                JOIN zc ON ag.id = zc.id"""),
+    ),
   )
+
+  /** m11's VAD silence gate: a frame whose energy Σ(s−128)² falls below
+    * this is silent. Sits far above the synthetic quiet-frame ceiling
+    * (±2 wobble → ≤ 4·[[FrameBytes]] = 256) and far below any tone
+    * frame (full-swing samples ≈ 5461·[[FrameBytes]]), so the gate is
+    * robust, not knife-edge.
+    */
+  val SilenceEnergy = 1000L
 
   /** m10's synthetic "video" payloads as lowercase hex: the
     * video-modality docs (m1's `doc_id % 3` convention) long enough to
