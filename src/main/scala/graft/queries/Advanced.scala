@@ -954,6 +954,82 @@ object Advanced {
                  "CAST(b AS VARCHAR) || '-' || CAST(fid AS VARCHAR)")}), 0)
         FROM orphans"""),
     ),
+
+    // ---- q53: ANALYZE-style column statistics — the table-stats
+    //      collection every cost-based optimizer feeds on (row count,
+    //      per-column null count, NDV, min/max): the metadata that
+    //      decides broadcast-vs-shuffle joins, join order, and skew
+    //      handling on a 100 TB cluster. ONE scan computes all five
+    //      columns' stats (count/min/max partial-aggregate map-side;
+    //      the multi-distinct NDVs share a single Expand), then a
+    //      `stack` unpivots the 1-row aggregate into the per-column
+    //      stats table — the scan cost is paid once however many
+    //      columns are profiled. NDV here is EXACT (the oracle needs a
+    //      hashable truth); the documented scale path for high-card
+    //      columns is q26's HLL sketch — same plan shape, partial
+    //      sketches merged map-side — while low-card NDVs collapse in
+    //      the partials either way. Min/max render engine-portably:
+    //      timestamps as epoch micros, integral-valued doubles through
+    //      a bigint cast — a raw double/timestamp→string cast is
+    //      formatting-dependent and would split the hash without any
+    //      real divergence. ----
+    Q(
+      "q53_table_stats",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("l_quantity"),
+          col("l_returnflag"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("l_shipdate_us"))
+        val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+          "l_returnflag", "l_shipdate_us")
+        val measures = cols.flatMap(c => Seq(
+          count(col(c)).as(s"c_$c"),
+          countDistinct(col(c)).as(s"d_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c")))
+        li.agg(count(lit(1)).as("n"), measures: _*)
+          .selectExpr("n",
+            s"stack(${cols.length}, " + cols.map(c =>
+              s"'$c', c_$c, d_$c, mn_$c, mx_$c").mkString(", ") +
+              ") as (col_name, n_notnull, ndv, min_s, max_s)")
+          .select(col("col_name"), col("n").as("n_rows"),
+            (col("n") - col("n_notnull")).as("n_null"),
+            col("ndv"), col("min_s"), col("max_s"))
+      },
+      Some(s"""
+        WITH li AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(l_quantity AS BIGINT) AS l_quantity,
+                 l_returnflag, epoch_us(l_shipdate) AS l_shipdate_us
+          FROM lineitem)
+        SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+               count(*) - count(l_orderkey) AS n_null,
+               count(DISTINCT l_orderkey) AS ndv,
+               CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+               CAST(max(l_orderkey) AS VARCHAR) AS max_s
+        FROM li
+        UNION ALL
+        SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber),
+               count(DISTINCT l_linenumber),
+               CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+        FROM li
+        UNION ALL
+        SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+               count(DISTINCT l_quantity),
+               CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+        FROM li
+        UNION ALL
+        SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+               count(DISTINCT l_returnflag),
+               min(l_returnflag), max(l_returnflag)
+        FROM li
+        UNION ALL
+        SELECT 'l_shipdate_us', count(*), count(*) - count(l_shipdate_us),
+               count(DISTINCT l_shipdate_us),
+               CAST(min(l_shipdate_us) AS VARCHAR), CAST(max(l_shipdate_us) AS VARCHAR)
+        FROM li"""),
+    ),
   )
 
   /** q38's lake/delta boundary: the last ~7 months of the orders range

@@ -1,0 +1,44 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q53 ANALYZE-style column stats: the contracts behind the gate — the
+  * stats agree with directly-computed truths, every profiled column
+  * appears exactly once, and the plan pays ONE lineitem scan with the
+  * multi-distinct NDVs sharing a single Expand.
+  */
+class TableStatsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def stats = Advanced.all.find(_.name == "q53_table_stats").get.run(spark, dir)
+
+  test("stats agree with directly computed truths") {
+    val li = graft.Tables.t(spark, dir, "lineitem")
+    val truth = li.agg(count(lit(1)), countDistinct(col("l_returnflag")),
+      min(col("l_orderkey")), max(col("l_orderkey"))).collect()(0)
+    val byCol = stats.collect().map(r => r.getString(0) -> r).toMap
+    assert(byCol.size == 5, "five profiled columns")
+    val rf = byCol("l_returnflag")
+    assert(rf.getAs[Long]("n_rows") == truth.getLong(0))
+    assert(rf.getAs[Long]("ndv") == truth.getLong(1))
+    assert(rf.getAs[Long]("n_null") == 0L)
+    val ok = byCol("l_orderkey")
+    assert(ok.getAs[String]("min_s") == truth.getLong(2).toString)
+    assert(ok.getAs[String]("max_s") == truth.getLong(3).toString)
+    // a key-like column's NDV is near the row count; a flag's is tiny
+    assert(ok.getAs[Long]("ndv") > rf.getAs[Long]("ndv") * 10)
+  }
+
+  test("one scan profiles all columns; the multi-distinct NDVs share one Expand") {
+    val df = stats
+    df.collect()
+    // under AQE the rendering appends the pre-adaptive "Initial Plan" —
+    // audit only the final plan section or every operator double-counts
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"stats collection must pay exactly one table scan:\n${p.take(2000)}")
+    assert("Expand".r.findAllIn(p).size == 1,
+      s"the distinct aggregates must share a single Expand:\n${p.take(2000)}")
+  }
+}
