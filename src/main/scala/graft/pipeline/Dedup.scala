@@ -951,6 +951,59 @@ object Dedup {
                wrn.doc_id = keep.keep_id AS kept
         FROM wrn JOIN keep USING (root)"""),
     ),
+
+    // ---- d14: SOFT dedup — the reweighting alternative to d13's
+    //      hard survivorship: instead of dropping near-duplicates,
+    //      every document keeps a SAMPLING WEIGHT 1/|its cluster|
+    //      (singletons weigh 1), so each duplicated content unit
+    //      contributes exactly one document's worth of training mass
+    //      however many copies exist. This is the knob real pipelines
+    //      reach for when copies carry signal (popular ≠ redundant) —
+    //      hard-dedup and soft-dedup then differ only in whether the
+    //      weight multiplies sampling probability or membership.
+    //      Weights are EXACT integer micro-units (1 000 000 div k):
+    //      order-insensitive long sums both engines reproduce
+    //      bit-for-bit — a float 1/k summed under Spark's partial
+    //      aggregation would drift in the last ulp and split the hash
+    //      (s11's ppm discipline). Scale shape: cluster sizes compute
+    //      on the dup-members-only component table (near-dup-scale,
+    //      built once per session by d6), the per-doc weight table
+    //      BROADCASTS against the corpus — the 100 TB side never
+    //      shuffles for the join; the per-source roll-up is one
+    //      map-side-combined aggregate. Gate: per-source doc count,
+    //      downweighted count, and effective mass in ppm — one doc
+    //      with a wrong cluster size splits eff_ppm exactly. ----
+    Q(
+      "d14_soft_dedup",
+      (s, dir) => {
+        val cc = dupComponents(s, dir)
+        val sizes = cc.groupBy("root").agg(count(lit(1)).as("k"))
+        val weights = cc.join(sizes, "root")
+          .select(col("doc_id"), expr("1000000L div k").as("w_ppm"))
+        t(s, dir, "documents").select(col("doc_id"), col("source"))
+          .join(broadcast(weights), Seq("doc_id"), "left_outer")
+          .withColumn("in_cluster", col("w_ppm").isNotNull)
+          .withColumn("w_ppm", coalesce(col("w_ppm"), lit(1000000L)))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("in_cluster"), 1L).otherwise(0L)).as("n_downweighted"),
+            sum(col("w_ppm")).as("eff_ppm"))
+      },
+      Some(s"""
+        WITH RECURSIVE $lshVerifiedCtes,
+        dup AS (SELECT doc1, doc2 FROM verified WHERE is_dup),
+        ${Cluster.componentsCtes("dup")},
+        ks AS (SELECT root, count(*) AS k FROM cc_roots GROUP BY 1),
+        wts AS (
+          SELECT doc_id, 1000000 // k AS w_ppm
+          FROM cc_roots JOIN ks USING (root))
+        SELECT d.source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN w.w_ppm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_downweighted,
+               CAST(sum(coalesce(w.w_ppm, 1000000)) AS BIGINT) AS eff_ppm
+        FROM documents d LEFT JOIN wts w USING (doc_id)
+        GROUP BY 1"""),
+    ),
   )
 
   /** d9/d11's eval side: distinct `(h, eval_id)` spans of the stand-in
