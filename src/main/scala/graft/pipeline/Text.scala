@@ -599,6 +599,79 @@ object Text {
                round(sum(sum_df) / CAST(sum(n_bigrams) AS DOUBLE), 6) AS avg_df
         FROM bk GROUP BY 1, 2"""),
     ),
+
+    // ---- t14: rule-attribution quality funnel — Gopher-style filter
+    //      rules applied as an ORDERED WATERFALL, each dropped doc
+    //      attributed to the FIRST rule that fired. t2 scores
+    //      documents; t14 is the observability twin every production
+    //      filter stack needs: per-(source, rule) kill counts and the
+    //      token mass each rule removes, so a rule that silently eats
+    //      a source shows up as one row. All rule predicates are
+    //      INTEGER inequalities (top_c*5 >= nw, not ratio >= 0.2): no
+    //      float compare sits on a knife edge, so Spark and DuckDB
+    //      agree on every boundary doc. Rules are corpus-calibrated
+    //      (length tails, stopword-poor ~10%, repetition tail ~2%,
+    //      ~80% kept); r2 is deliberately non-firing here — a funnel
+    //      must report a rule's ABSENCE as zero rows, not lose it.
+    //      One corpus scan, all rule features fused in one projection
+    //      (the repetition max-run rides t7's sorted-array fold, so
+    //      even the heaviest feature is per-row map work), one
+    //      map-side-combinable aggregate — at 100 TB this is
+    //      scan-bound map work plus a 20-source × 5-bucket shuffle,
+    //      i.e. free. ----
+    Q(
+      "t14_rule_attrition",
+      (s, dir) => {
+        // max adjacent-run length over the sorted word array = the top
+        // word's occurrence count (t7's fold, maxrun only)
+        val topC = expr(
+          """aggregate(array_sort(split(lower(trim(text)), '\\s+')),
+               named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'maxrun', 0L),
+               (a, x) -> named_struct(
+                 'prev', x,
+                 'run', IF(x <=> a.prev, a.run + 1L, 1L),
+                 'maxrun', GREATEST(a.maxrun, IF(x <=> a.prev, a.run + 1L, 1L))),
+               a -> a.maxrun)""")
+        val nStop = regexp_count(lower(col("text")),
+          lit("\\b(the|a|is|of|and|to|in)\\b")).cast("long")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            nWords(col("text")).cast("long").as("nw"),
+            nStop.as("ns"), topC.as("top_c"))
+          .withColumn("kill_rule",
+            when(col("nw") < Curation.MinWords, "r1_too_short")
+              .when(col("nw") > Curation.MaxWords, "r2_too_long")
+              .when(col("ns") * 50L < col("nw"), "r3_stopword_poor")
+              .when(col("top_c") * 5L >= col("nw"), "r4_repetitive")
+              .otherwise("kept"))
+          .groupBy(col("source"), col("kill_rule"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words_t"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, source, ${wordsSql("text")} AS ws,
+                 CAST(len(regexp_extract_all(lower(text), '\\b(the|a|is|of|and|to|in)\\b')) AS BIGINT) AS ns
+          FROM documents),
+        f AS (
+          SELECT doc_id, any_value(source) AS source, any_value(ns) AS ns,
+                 CAST(any_value(len(ws)) AS BIGINT) AS nw,
+                 CAST(max(c) AS BIGINT) AS top_c
+          FROM (SELECT doc_id, source, ns, ws, wd, count(*) AS c
+                FROM (SELECT doc_id, source, ns, ws, unnest(ws) AS wd FROM w)
+                GROUP BY doc_id, source, ns, ws, wd)
+          GROUP BY doc_id),
+        k AS (
+          SELECT source, nw,
+                 CASE WHEN nw < ${Curation.MinWords} THEN 'r1_too_short'
+                      WHEN nw > ${Curation.MaxWords} THEN 'r2_too_long'
+                      WHEN ns * 50 < nw THEN 'r3_stopword_poor'
+                      WHEN top_c * 5 >= nw THEN 'r4_repetitive'
+                      ELSE 'kept' END AS kill_rule
+          FROM f)
+        SELECT source, kill_rule, count(*) AS n_docs,
+               CAST(sum(nw) AS BIGINT) AS n_words_t
+        FROM k GROUP BY 1, 2"""),
+    ),
   )
 
   /** t12's per-document keyword budget. */
