@@ -416,7 +416,99 @@ object Curation {
                base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS quota
         FROM d"""),
     ),
+
+    // ---- p8: DOMAIN RANK — a link-analysis curation prior (the
+    //      CommonCrawl-style "domain PageRank" quality signal) over
+    //      the SYNDICATION graph the dedup stage already discovered:
+    //      two sources are linked iff some near-dup cluster (d6)
+    //      contains documents from both — content flowing between
+    //      domains is the only link structure a text corpus carries.
+    //      PageRank (d=0.85, 8 fixed iterations) runs in EXACT INTEGER
+    //      ppm arithmetic: rank starts at 1e6 div N, each step is
+    //      base + (85·Σ contrib) div 100 with contrib = rank div
+    //      outdeg — floor division at every site, so Spark and DuckDB
+    //      (whose oracle unrolls the 8 iterations as generated CTEs)
+    //      agree bit-for-bit; dangling-node mass is deliberately NOT
+    //      redistributed (documented leak, identical both engines).
+    //      Scale shape: the one corpus-scale piece is cluster→source
+    //      projection (rides the materialized d6 component table); the
+    //      graph itself is DOMAIN-cardinality, localCheckpointed so 8
+    //      iterations of tiny join+agg never re-touch the corpus. At
+    //      100 TB: same split — corpus work once, fixed-point on a
+    //      graph bounded by |domains|, exactly how crawl-scale rank
+    //      pipelines run. ----
+    Q(
+      "p8_domain_rank",
+      (s, dir) => {
+        val docSrc = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        val cs = Dedup.dupComponents(s, dir).join(docSrc, "doc_id")
+          .select(col("root"), col("source")).distinct()
+        val edges = cs.as("a").join(cs.as("b"), Seq("root"))
+          .filter(col("a.source") =!= col("b.source"))
+          .select(col("a.source").as("src"), col("b.source").as("dst"))
+          .distinct().localCheckpoint()
+        val outdeg = edges.groupBy("src")
+          .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+        val nodes = docSrc.select("source").distinct().localCheckpoint()
+        val n = graft.BoundedCollect.rows(
+          nodes.agg(count(lit(1)).as("n")), 1, "p8 domain count").head.getLong(0)
+        val base = 150000L / n // (1-d) mass share, exact floor div
+        var r = nodes.select(col("source"), lit(1000000L / n).as("r_ppm"))
+        for (_ <- 1 to DomainRankIters) {
+          val contrib = r.join(outdeg.withColumnRenamed("src", "source"), Seq("source"))
+            .select(col("source").as("src"), expr("r_ppm div outdeg").as("c"))
+          val inflow = edges.join(contrib, Seq("src"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+          r = nodes.join(inflow.withColumnRenamed("dst", "source"), Seq("source"), "left_outer")
+            .select(col("source"),
+              (lit(base) + expr("(85 * coalesce(inflow, 0L)) div 100")).as("r_ppm"))
+        }
+        r.join(outdeg.withColumnRenamed("src", "source"), Seq("source"), "left_outer")
+          .select(col("source"), col("r_ppm").as("rank_ppm"),
+            coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      },
+      Some {
+        val iters = (1 to DomainRankIters).map { i =>
+          s"""r$i AS (
+          SELECT n.source,
+                 (SELECT 150000 // n_src FROM nn)
+                   + (85 * coalesce(inf.s, 0)) // 100 AS r_ppm
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS source, sum(r.r_ppm // od.outdeg) AS s
+            FROM edges e JOIN r${i - 1} r ON r.source = e.src
+                         JOIN od ON od.src = e.src
+            GROUP BY 1) inf USING (source))"""
+        }.mkString(",\n        ")
+        s"""
+        WITH RECURSIVE ${Dedup.lshVerifiedCtes},
+        dup AS (SELECT doc1, doc2 FROM verified WHERE is_dup),
+        ${Cluster.componentsCtes("dup")},
+        cs AS MATERIALIZED (SELECT DISTINCT c.root, d.source
+               FROM cc_roots c JOIN documents d USING (doc_id)),
+        -- MATERIALIZED: the unrolled iterations reference edges/od 8×
+        -- each; DuckDB inlines single-definition CTEs, which would
+        -- re-run the whole LSH+components pipeline per reference
+        edges AS MATERIALIZED (SELECT DISTINCT a.source AS src, b.source AS dst
+                  FROM cs a JOIN cs b USING (root)
+                  WHERE a.source <> b.source),
+        nodes AS MATERIALIZED (SELECT DISTINCT source FROM documents),
+        nn AS MATERIALIZED (SELECT count(*) AS n_src FROM nodes),
+        od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        r0 AS (SELECT source, 1000000 // n_src AS r_ppm FROM nodes, nn),
+        $iters
+        SELECT n.source, CAST(r.r_ppm AS BIGINT) AS rank_ppm,
+               CAST(coalesce(od.outdeg, 0) AS BIGINT) AS outdeg
+        FROM nodes n JOIN r$DomainRankIters r USING (source)
+             LEFT JOIN od ON od.src = n.source"""
+      },
+    ),
   )
+
+  /** p8's fixed PageRank iteration count — enough for ppm-level
+    * convergence on a domain-cardinality graph, small enough that the
+    * unrolled oracle stays readable.
+    */
+  private[graft] val DomainRankIters = 8
 
   /** p5's hard per-source document ceiling — binding at every testdata
     * SF (25 docs/source at sf0.001, 250 at sf0.1), so the gate exercises
