@@ -88,6 +88,38 @@ case class AudioStats(child: Expression, frame: Int, silence: Long)
     copy(child = newChild)
 }
 
+/** `pcm_requant(payload)` — the audio "re-encode" transform: every
+  * unsigned sample b becomes (b div 2) + 64, i.e. the waveform at half
+  * gain re-centered on the midline. Chosen because it changes EVERY
+  * byte (payload hashes miss) while EXACTLY preserving the perceptual
+  * invariants m12 fingerprints on: the midline-sign class of each
+  * sample (b < 128 ⟺ b/2+64 < 128, so zero_crossings is bit-equal),
+  * the silent/tone classification (energies scale ~¼: quiet frames
+  * stay far under the VAD gate, tone frames far over), and the frame
+  * count. Unsigned-only arithmetic — no floor-vs-truncate division
+  * trap between engines. Map-side, codegen'd, one shift-add per byte.
+  */
+case class PcmRequant(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pcm_requant"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pcm_requant needs binary, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    AudioKernel.requant(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.AudioKernel.requant($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PcmRequant =
+    copy(child = newChild)
+}
+
 object AudioKernel {
   /** Cap on generated waveform size — the generator exists for the
     * synthetic multimodal source; a mistyped frame count must not
@@ -116,6 +148,16 @@ object AudioKernel {
         i += 1
       }
       f += 1
+    }
+    out
+  }
+
+  def requant(bytes: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = (((bytes(i) & 0xff) >>> 1) + 64).toByte
+      i += 1
     }
     out
   }

@@ -231,6 +231,13 @@ object GraftFunctions {
         PcmGen(exprs.head, exprs(1), frame)
       }),
     (
+      FunctionIdentifier("pcm_requant"),
+      new ExpressionInfo(classOf[PcmRequant].getName, "pcm_requant"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "pcm_requant(payload)")
+        PcmRequant(exprs.head)
+      }),
+    (
       FunctionIdentifier("audio_stats"),
       new ExpressionInfo(classOf[AudioStats].getName, "audio_stats"),
       { exprs: Seq[Expression] =>

@@ -952,6 +952,109 @@ object Multimodal {
                 JOIN pk ON ag.id = pk.id
                 JOIN zc ON ag.id = zc.id"""),
     ),
+
+    // ---- m12: RE-ENCODE-INVARIANT audio near-dup — m7's geometry
+    //      story replayed for the audio modality: every asset with
+    //      id ≡ 1 (mod 5) gets a "re-encoded" copy (`pcm_requant`:
+    //      half gain, every byte changed, payload hash misses), and
+    //      variants meet their sources through an equi-join on a
+    //      PERCEPTUAL fingerprint — (n_frames, n_silent,
+    //      zero_crossings) from the SAME m11 `audio_stats` pass —
+    //      whose three fields the transform preserves EXACTLY (sign
+    //      classes and the VAD gate are invariant by construction;
+    //      see PcmRequant). gain_ppm = variant/source total-energy
+    //      ratio in integer ppm (~¼) is the receipt that the BYTES
+    //      differ while the fingerprint holds; n_matches counts
+    //      fingerprint-colliding corpus members (the ambiguity a
+    //      serving dedup tier must disambiguate). Scale shape: both
+    //      feature passes are map-side codegen kernels; the match is
+    //      a fingerprint-keyed hash join, never all-pairs. ----
+    Q(
+      "m12_audio_neardup",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val off = maxDocId(s, dir) + 1L
+        val orig = t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(3)) === 1)
+          .select(col("doc_id").as("id"),
+            (pmod(col("doc_id"), lit(20)) + 4).cast("int").as("nf"))
+          .withColumn("pcm",
+            call_function("pcm_gen", col("id"), col("nf"), lit(FrameBytes)))
+        val vari = orig.filter(pmod(col("id"), lit(5)) === 1)
+          .select((col("id") + off).as("id"), col("nf"),
+            call_function("pcm_requant", col("pcm")).as("pcm"))
+        val feats = orig.select(col("id"), col("pcm")).unionByName(vari.select(col("id"), col("pcm")))
+          .withColumn("st", call_function("audio_stats",
+            col("pcm"), lit(FrameBytes), lit(SilenceEnergy)))
+          .select(col("id"),
+            element_at(col("st"), 1).as("n_frames"),
+            element_at(col("st"), 2).as("n_silent"),
+            element_at(col("st"), 5).as("zc"),
+            element_at(col("st"), 6).as("te"))
+        val v = feats.filter(col("id") > lit(off - 1L))
+          .select((col("id") - off).as("src_id"), col("id").as("vid"),
+            col("n_frames").as("vnf"), col("n_silent").as("vns"),
+            col("zc").as("vzc"), col("te").as("vte"))
+        val o = feats.filter(col("id") < lit(off))
+        v.join(o,
+            col("vnf") === col("n_frames") && col("vns") === col("n_silent") &&
+              col("vzc") === col("zc"), "left_outer")
+          .groupBy(col("vid"), col("src_id"))
+          .agg(count(col("id")).as("n_matches"),
+            coalesce(max(when(col("id") === col("src_id"), 1).otherwise(0)), lit(0))
+              .as("src_matched"),
+            max(when(col("id") === col("src_id"),
+              expr("vte * 1000000L div te"))).as("gain_ppm"))
+      },
+      Some(s"""
+        WITH a AS (
+          SELECT doc_id AS id, CAST(doc_id % 20 + 4 AS INT) AS nf
+          FROM documents WHERE doc_id % 3 = 1),
+        mk AS (SELECT max(doc_id) + 1 AS off FROM documents),
+        so AS MATERIALIZED (
+          SELECT id, i,
+                 CASE WHEN (id * 7 + (i // $FrameBytes)) % 4 = 0
+                      THEN 128 + (i * 3) % 5 - 2
+                      ELSE (id * 31 + i * 13) % 256 END AS v
+          FROM (SELECT id, nf, unnest(generate_series(0, nf * $FrameBytes - 1)) AS i
+                FROM a)),
+        su AS MATERIALIZED (
+          SELECT id, i, v FROM so
+          UNION ALL
+          SELECT id + (SELECT off FROM mk), i, (v // 2) + 64
+          FROM so WHERE id % 5 = 1),
+        fe AS (
+          SELECT id, i // $FrameBytes AS f,
+                 CAST(sum((v - 128) * (v - 128)) AS BIGINT) AS e
+          FROM su GROUP BY 1, 2),
+        zc AS (
+          SELECT id,
+                 CAST(sum(CASE WHEN lv IS NOT NULL AND (v < 128) <> (lv < 128)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS zc
+          FROM (SELECT id, v, lag(v) OVER (PARTITION BY id ORDER BY i) AS lv
+                FROM su)
+          GROUP BY 1),
+        ft AS MATERIALIZED (
+          SELECT fe.id, count(*) AS n_frames,
+                 CAST(sum(CASE WHEN e < $SilenceEnergy THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_silent,
+                 any_value(zc.zc) AS zc,
+                 CAST(sum(e) AS BIGINT) AS te
+          FROM fe JOIN zc USING (id) GROUP BY 1),
+        v AS (
+          SELECT id - (SELECT off FROM mk) AS src_id, id AS vid,
+                 n_frames AS vnf, n_silent AS vns, zc AS vzc, te AS vte
+          FROM ft WHERE id >= (SELECT off FROM mk)),
+        o AS (SELECT * FROM ft WHERE id < (SELECT off FROM mk))
+        SELECT v.vid, v.src_id, count(o.id) AS n_matches,
+               coalesce(max(CASE WHEN o.id = v.src_id THEN 1 ELSE 0 END), 0)
+                 AS src_matched,
+               CAST(max(CASE WHEN o.id = v.src_id
+                             THEN v.vte * 1000000 // o.te END) AS BIGINT) AS gain_ppm
+        FROM v LEFT JOIN o
+          ON o.n_frames = v.vnf AND o.n_silent = v.vns AND o.zc = v.vzc
+        GROUP BY 1, 2"""),
+    ),
   )
 
   /** m11's VAD silence gate: a frame whose energy Σ(s−128)² falls below
