@@ -505,7 +505,80 @@ object Layout {
                o.o_totalprice AS price
         FROM orders o JOIN pk ON o.o_orderkey = pk.o_orderkey"""),
     ),
+
+    // ---- q54: PARTITION-SPEC EVOLUTION — the lake reality q42
+    //      (schema evolution) has for COLUMNS, replayed for the
+    //      PARTITIONING: real tables start unpartitioned (spec v0)
+    //      and adopt daily partitions later (spec v1), and old files
+    //      are never rewritten — so one logical table permanently
+    //      spans two specs. Spark can't read mixed partition schemas
+    //      under one root; the Iceberg-shaped answer is per-spec scan
+    //      planning — each spec's files read under their OWN spec,
+    //      unioned — which is exactly what a manifest planner does
+    //      when it groups scan tasks by partition spec. A date-window
+    //      query spanning the spec boundary then shows the economics:
+    //      the v1 side prunes to its in-window DIRECTORIES at
+    //      planning time (PartitionFilters, PlanSpec-asserted); the
+    //      v0 side must scan all its files and row-filter (the cost
+    //      that motivated the evolution — and why backfills rewrite
+    //      old specs when that cost bites). The oracle replays the
+    //      window over the original table: any row lost or doubled at
+    //      the spec seam splits counts, sums and day keys. ----
+    Q(
+      "q54_spec_evolution",
+      (s, dir) => {
+        val root = specEvolvedEventsPath(s, dir)
+        val v0 = s.read.parquet(s"$root/spec=v0")
+          .filter(to_date(col("ts")).between(lit(SpecWindowLo), lit(SpecWindowHi)))
+        val v1 = s.read.parquet(s"$root/spec=v1")
+          .filter(col("pd").between(lit(SpecWindowLo), lit(SpecWindowHi)))
+          .drop("pd")
+        v0.unionByName(v1)
+          .groupBy(col("event_type"),
+            unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+          .agg(count(lit(1)).as("n"),
+            graft.Agg.dsum(col("value")).as("sum_value"))
+      },
+      Some(s"""
+        SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '$SpecWindowLo' AND DATE '$SpecWindowHi'
+        GROUP BY 1, 2"""),
+    ),
   )
+
+  /** q54's spec boundary: events dated on or before this day were
+    * written under the unpartitioned v0 spec; later days under daily
+    * v1 partitions. Mid-corpus so both specs hold real data at every
+    * SF.
+    */
+  private[graft] val SpecBoundary = "2024-01-15"
+
+  /** q54's query window — straddles [[SpecBoundary]] so the read must
+    * stitch both specs, and covers a strict subset of v1's days so
+    * partition pruning is observable (5 of ~15 directories).
+    */
+  private[graft] val SpecWindowLo = "2024-01-10"
+  private[graft] val SpecWindowHi = "2024-01-20"
+
+  /** The two-spec layout: `spec=v0/` holds the pre-evolution rows as
+    * plain unpartitioned parquet; `spec=v1/` holds the rest under
+    * `pd=<date>` daily partitions. Memoized + staged like every layout
+    * twin; the root marker lands only after BOTH specs are complete.
+    */
+  private[graft] def specEvolvedEventsPath(s: SparkSession, dir: String): String =
+    memoLayout(s, "graft_specevo_events", dir) { path =>
+      val e = t(s, dir, "events")
+      e.filter(to_date(col("ts")) <= lit(SpecBoundary))
+        .write.mode("overwrite").parquet(s"$path/spec=v0")
+      e.filter(to_date(col("ts")) > lit(SpecBoundary))
+        .withColumn("pd", to_date(col("ts")))
+        .write.partitionBy("pd").mode("overwrite").parquet(s"$path/spec=v1")
+      java.nio.file.Files.writeString(
+        new java.io.File(path, "_SUCCESS").toPath, "")
+    }
 
   /** q49's bloom geometry: 64 Kbit (8 KB) per file at k = 4 hashes —
     * manifest-scale metadata. At the gate SFs per-file fill stays low

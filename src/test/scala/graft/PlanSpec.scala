@@ -234,6 +234,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q54: the v1 spec prunes day directories; the v0 spec reads all its files") {
+    val p = plan("q54_spec_evolution")
+    // the daily-spec scan must carry a NON-EMPTY planning-time
+    // partition filter on pd (q37's bracket rule: 'PartitionFilters:'
+    // prints (empty) on every partitioned scan)
+    assert("PartitionFilters: \\[[^\\]]*pd".r.findFirstIn(p).isDefined,
+      s"the v1 window must be a planning-time partition filter on pd:\n$p")
+    // the in-window day count, observed from the actual fixture: the
+    // pruned scan reads a strict subset of v1's directories
+    val root = graft.sources.Layout.specEvolvedEventsPath(spark, dir)
+    val v1Days = new java.io.File(s"$root/spec=v1").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("pd="))
+    val inWindow = new java.io.File(s"$root/spec=v1").listFiles()
+      .count { f =>
+        val n = f.getName
+        n.startsWith("pd=") &&
+          n.stripPrefix("pd=") >= graft.sources.Layout.SpecWindowLo &&
+          n.stripPrefix("pd=") <= graft.sources.Layout.SpecWindowHi
+      }
+    assert(inWindow > 0 && inWindow < v1Days,
+      s"window must cover a strict subset of v1 days ($inWindow of $v1Days)")
+    // sparkPlan, not executedPlan: AQE wraps the tree and hides the
+    // scans from collect until execution
+    val scanned = SparkEntry.queries("q54_spec_evolution")(spark, dir)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(scanned.size == 2, s"one scan per spec:\n$p")
+    val parts = scanned.map(_.selectedPartitions.partitionCount)
+    assert(parts.contains(inWindow),
+      s"the v1 scan must select exactly the $inWindow in-window day dirs, got $parts")
+  }
+
   test("q37: z-bucket cover prunes partitions at planning time") {
     val p = plan("q37_zorder")
     // the filter must sit INSIDE the scan's PartitionFilters bracket —
