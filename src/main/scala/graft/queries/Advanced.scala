@@ -1030,6 +1030,58 @@ object Advanced {
                CAST(min(l_shipdate_us) AS VARCHAR), CAST(max(l_shipdate_us) AS VARCHAR)
         FROM li"""),
     ),
+
+    // ---- q55: RECURSIVE CTE hierarchy walk — Spark 4's WITH
+    //      RECURSIVE (UnionLoop) driven through the SQL frontend on a
+    //      derived customer tree (parent(c) = c div 10: contiguous
+    //      keys make every parent exist, roots are the single-digit
+    //      keys). The walk labels every customer with its ROOT
+    //      ancestor and DEPTH, then rolls the forest up per root-group
+    //      digit — the org-chart/BOM-explosion shape relational
+    //      engines need recursion for, exercised end-to-end through
+    //      Catalyst's loop operator rather than a hand-unrolled join
+    //      chain (p8 unrolls because its iteration count is a tuned
+    //      constant; here depth is DATA-dependent and the engine must
+    //      find the fixpoint itself). Scale shape: each UnionLoop step
+    //      is one distributed hash join of the frontier against the
+    //      dimension (frontier rows appear once per level, no path
+    //      explosion), depth is log₁₀(maxkey) ≈ 7 at any corpus size,
+    //      and the roll-up is map-side-combinable. The oracle runs the
+    //      IDENTICAL recursion in DuckDB (`//` for `div`). ----
+    Q(
+      "q55_recursive_cte",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql(s"""
+          WITH RECURSIVE chain(custkey, root, depth) AS (
+            SELECT c_custkey, c_custkey, 0
+            FROM customer_v WHERE c_custkey < 10
+            UNION ALL
+            SELECT c.c_custkey, ch.root, ch.depth + 1
+            FROM customer_v c JOIN chain ch ON c.c_custkey div 10 = ch.custkey
+            WHERE c.c_custkey >= 10)
+          SELECT ch.root, max(ch.depth) AS max_depth,
+                 count(*) AS n_nodes,
+                 CAST(sum(CAST(c.c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+                   AS subtree_bal
+          FROM chain ch JOIN customer_v c ON ch.custkey = c.c_custkey
+          GROUP BY ch.root""")
+      },
+      Some("""
+        WITH RECURSIVE chain(custkey, root, depth) AS (
+          SELECT c_custkey, c_custkey, 0
+          FROM customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, ch.root, ch.depth + 1
+          FROM customer c JOIN chain ch ON c.c_custkey // 10 = ch.custkey
+          WHERE c.c_custkey >= 10)
+        SELECT ch.root, max(ch.depth) AS max_depth,
+               count(*) AS n_nodes,
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+                 AS subtree_bal
+        FROM chain ch JOIN customer c ON ch.custkey = c.c_custkey
+        GROUP BY ch.root"""),
+    ),
   )
 
   /** q38's lake/delta boundary: the last ~7 months of the orders range

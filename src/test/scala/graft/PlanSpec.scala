@@ -234,6 +234,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q55: the hierarchy walk runs through the engine's UnionLoop, not a rewrite") {
+    val p = plan("q55_recursive_cte")
+    assert(p.contains("UnionLoop"),
+      s"WITH RECURSIVE must plan Spark 4's UnionLoop operator:\n$p")
+    val r = SparkEntry.queries("q55_recursive_cte")(spark, dir)
+    val depths = BoundedCollect.rows(r, 100, "q55 spec roots")
+    assert(depths.nonEmpty && depths.map(_.getInt(1)).max >= 2,
+      "the gate corpus tree must actually recurse multiple levels")
+  }
+
   test("q54: the v1 spec prunes day directories; the v0 spec reads all its files") {
     val p = plan("q54_spec_evolution")
     // the daily-spec scan must carry a NON-EMPTY planning-time
