@@ -47,6 +47,32 @@ object EventStream {
         col("n_admitted"))
   }
 
+  /** e19's shared transform: STREAM-STATIC enrichment — the third join
+    * kind beside stream-stream (attributionJoin) and stream dedup.
+    * Each micro-batch of the unbounded purchase stream joins the
+    * BOUNDED customer dimension and rolls up hourly revenue per market
+    * segment. The static side is broadcast explicitly: a dimension
+    * re-shuffled per micro-batch is the classic streaming-enrichment
+    * anti-pattern — at 100 TB/day of events the stream side must never
+    * move for the join's sake. Left-outer with an `<unknown>` bucket:
+    * an event from a user the dimension hasn't caught up with yet is
+    * DATA (a late-dimension audit signal), not a dropped row.
+    */
+  def segmentRevenue(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .join(
+        broadcast(customers.select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))),
+        Seq("user_id"), "left_outer")
+      .withColumn("segment", coalesce(col("segment"), lit("<unknown>")))
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n"),
+        graft.Agg.dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("segment"), col("n"), col("sum_value"))
+
   /** Built-in session windows (30-min gap), the declarative path. */
   def sessionAgg(events: DataFrame): DataFrame =
     events

@@ -306,5 +306,34 @@ object StreamTwins {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
         FROM j"""),
     ),
+
+    // ---- e19: batch run of segmentRevenue — the STREAM-STATIC
+    //      enrichment twin, completing the streaming join matrix
+    //      (stream-stream e4/attribution, stream dedup e13,
+    //      stream-static here): the unbounded purchase stream joined
+    //      against the bounded broadcast customer dimension, rolled up
+    //      hourly per market segment. In batch the watermark no-ops
+    //      and the join/window semantics are plain relational algebra
+    //      — exactly what the oracle replays; the live micro-batch
+    //      path (same function body) is pinned in EventStreamSpec.
+    //      Scale shape: the stream side never shuffles for the join
+    //      (broadcast dimension), then one map-side-combined window
+    //      aggregate. ----
+    Q(
+      "e19_stream_enrich",
+      (s, dir) =>
+        EventStream.segmentRevenue(
+          t(s, dir, "events")
+            .select(col("ts"), col("user_id"), col("event_type"), col("value")),
+          t(s, dir, "customer")),
+      Some("""
+        SELECT epoch_us(date_trunc('hour', e.ts)) AS hour_us,
+               coalesce(c.c_mktsegment, '<unknown>') AS segment,
+               count(*) AS n,
+               CAST(sum(CAST(e.value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2"""),
+    ),
   )
 }

@@ -41,6 +41,32 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("segmentRevenue enriches micro-batches against the static dimension") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val query = segmentRevenue(df, dim)
+      .writeStream.format("memory").queryName("segrev")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (ts(5), 1L, "purchase", 10.0), (ts(6), 1L, "view", 99.0),
+        (ts(10), 3L, "purchase", 5.0))
+      query.processAllAvailable()
+      mem.addData((ts(20), 2L, "purchase", 7.0)) // 2nd micro-batch re-joins the dim
+      query.processAllAvailable()
+      val out = spark.table("segrev").orderBy("segment").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(out.toSeq == Seq(
+        (specEpochUs, "<unknown>", 1L, 5.0), // dimension miss is a bucket, not a drop
+        (specEpochUs, "BUILDING", 1L, 10.0), // the view row never enters the funnel
+        (specEpochUs, "MACHINERY", 1L, 7.0)))
+    } finally query.stop()
+  }
+
   test("dedupStream drops repeats within the watermark, keeps first occurrence") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
