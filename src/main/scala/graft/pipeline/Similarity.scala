@@ -2190,7 +2190,125 @@ object Similarity {
               FROM p)
         WHERE rn <= 10"""),
     ),
+
+    // ---- s14: MMR DIVERSITY RE-RANK — the serving-layer step between
+    //      retrieval and the user: greedy maximal-marginal-relevance
+    //      selection of MmrK of the s1 top-10, each pick maximizing
+    //      λ·sim(q,c) − (1−λ)·max_{s∈picked} sim(c,s) — relevance
+    //      traded against redundancy, the dedup-at-serving-time every
+    //      RAG/retrieval stack runs so the context window isn't five
+    //      copies of one document. The greedy argmax is inherently
+    //      sequential in k but k is a SERVING constant: the per-step
+    //      argmax is a per-query window over ≤10 candidates, unrolled
+    //      MmrK−1 times over localCheckpointed constant-size tables
+    //      (candidate set and its k² pairwise sims — computed ONCE,
+    //      never re-touching the corpus). At 100 TB nothing here
+    //      scales with the corpus: retrieval (s1..s7) did that part.
+    //      Scores stay on the round-6 grid at every step, so the
+    //      greedy trajectory — not just the final set — is
+    //      engine-exact; the oracle replays the identical unrolled
+    //      recursion. ----
+    Q(
+      "s14_mmr_diversify",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val cand = knnBrute(s, dir)
+          .join(e.select(col("vec_id"), col("v")), "vec_id")
+          .select(col("qid"), col("vec_id"), col("cos_sim"), col("v"))
+          .localCheckpoint()
+        val pair = cand.as("a").join(cand.as("b"), Seq("qid"))
+          .filter(col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("qid"), col("a.vec_id").as("cid"),
+            col("b.vec_id").as("oid"),
+            round(cosine("a.v", "b.v"), 6).as("cc_sim"))
+          .localCheckpoint()
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("mmr_score").desc, col("vec_id").asc)
+        var selected = cand
+          .withColumn("mmr_score", col("cos_sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("qid"), col("vec_id"), lit(1).as("pick"), col("mmr_score"))
+        var remaining = cand.select(col("qid"), col("vec_id"), col("cos_sim"))
+          .join(selected.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_anti")
+        for (t <- 2 to MmrK) {
+          val maxSel = pair
+            .join(selected.select(col("qid"), col("vec_id").as("oid")),
+              Seq("qid", "oid"))
+            .groupBy(col("qid"), col("cid")).agg(max(col("cc_sim")).as("max_sel"))
+          val pick = remaining
+            .join(maxSel, col("vec_id") === col("cid") &&
+              remaining("qid") === maxSel("qid"))
+            .select(remaining("qid"), col("vec_id"), col("cos_sim"), col("max_sel"))
+            .withColumn("mmr_score",
+              round(lit(MmrLambda) * col("cos_sim")
+                - lit(1.0 - MmrLambda) * col("max_sel"), 6))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1)
+            .select(col("qid"), col("vec_id"), lit(t).as("pick"), col("mmr_score"))
+          selected = selected.unionByName(pick)
+          remaining = remaining
+            .join(pick.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_anti")
+        }
+        selected
+      },
+      Some {
+        val steps = (2 to MmrK).map { t =>
+          s"""ms$t AS (
+          SELECT p.qid, p.cid, max(p.cc_sim) AS max_sel
+          FROM pw p JOIN sel${t - 1} s ON s.qid = p.qid AND s.vec_id = p.oid
+          GROUP BY 1, 2),
+        pick$t AS (
+          SELECT qid, cid AS vec_id, $t AS pick, mmr_score
+          FROM (SELECT m.qid, m.cid,
+                       round($MmrLambda * c.cos_sim - ${1.0 - MmrLambda} * m.max_sel, 6)
+                         AS mmr_score,
+                       row_number() OVER (
+                         PARTITION BY m.qid
+                         ORDER BY round($MmrLambda * c.cos_sim
+                                        - ${1.0 - MmrLambda} * m.max_sel, 6) DESC,
+                                  m.cid ASC) AS rk
+                FROM ms$t m
+                JOIN cv c ON c.qid = m.qid AND c.vec_id = m.cid
+                LEFT JOIN sel${t - 1} s ON s.qid = m.qid AND s.vec_id = m.cid
+                WHERE s.vec_id IS NULL)
+          WHERE rk = 1),
+        sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pick$t)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $AuditQueries),
+        p AS (SELECT qid, vec_id,
+                     ${cosSql("qv", "v")} AS cos_sim, v
+              FROM q, e WHERE vec_id != qid),
+        cv AS MATERIALIZED (
+          SELECT qid, vec_id, cos_sim, v
+          FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                             ORDER BY cos_sim DESC, vec_id ASC) AS rn
+                FROM p)
+          WHERE rn <= 10),
+        pw AS MATERIALIZED (
+          SELECT a.qid, a.vec_id AS cid, b.vec_id AS oid,
+                 ${cosSql("a.v", "b.v")} AS cc_sim
+          FROM cv a JOIN cv b USING (qid)
+          WHERE a.vec_id <> b.vec_id),
+        sel1 AS (
+          SELECT qid, vec_id, 1 AS pick, cos_sim AS mmr_score
+          FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                             ORDER BY cos_sim DESC, vec_id ASC) AS rk
+                FROM cv)
+          WHERE rk = 1),
+        $steps
+        SELECT qid, vec_id, pick, mmr_score FROM sel$MmrK"""
+      },
+    ),
   )
+
+  /** s14's serving constants: keep [[MmrK]] of the top-10 at the
+    * classic half-and-half relevance/diversity trade.
+    */
+  val MmrK = 5
+  val MmrLambda = 0.5
 
   /** Shared DuckDB twin of the IVF-PQ chain (s7 and s8 — the layout
     * changes WHERE the codes are read from, not what they compute).
