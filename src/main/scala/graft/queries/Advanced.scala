@@ -1082,7 +1082,121 @@ object Advanced {
         FROM chain ch JOIN customer c ON ch.custkey = c.c_custkey
         GROUP BY ch.root"""),
     ),
+
+    // ---- q56: DATA-QUALITY EXPECTATIONS — the dbt-test / Delta-
+    //      constraint audit a lake runs before publishing a batch:
+    //      five declarative checks (not-null, unique key, referential
+    //      integrity, value range, accepted domain) evaluated over the
+    //      incoming table and reported as one violations table with an
+    //      exact membership receipt (XOR of violating-key hashes — one
+    //      mis-flagged row splits it). The fixture POISONS orders with
+    //      a constant five-row batch that trips every check (a null
+    //      FK, a duplicated new key, an orphan FK, a negative price,
+    //      an off-domain status) so the gate exercises detection, not
+    //      just clean-table zeros. Checks are INDEPENDENT — one row
+    //      can violate several (the injected 'X'-status row also has a
+    //      negative price), deliberately unlike t14's first-kill
+    //      waterfall: an audit reports everything, a filter funnel
+    //      attributes once. Scale shape: the three scalar checks fuse
+    //      into ONE corpus scan (conditional aggregation, map-side
+    //      combinable); uniqueness is one shuffle on the key;
+    //      referential integrity is an anti-join against the
+    //      dimension (broadcast at any realistic dimension size). ----
+    Q(
+      "q56_expectations",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        import graft.pipeline.Portable.md5Long
+        val aug = t(s, dir, "orders").unionByName(s.sql(s"""
+          SELECT CAST(k AS BIGINT) AS o_orderkey, CAST(ck AS BIGINT) AS o_custkey,
+                 st AS o_orderstatus, CAST(p AS DOUBLE) AS o_totalprice,
+                 CAST(d AS TIMESTAMP_NTZ) AS o_orderdate, pr AS o_orderpriority
+          FROM VALUES $Q56BadRows AS v(k, ck, st, p, d, pr)"""))
+        val key = md5Long(col("o_orderkey").cast("string"))
+        def x(cond: org.apache.spark.sql.Column) =
+          bit_xor(when(cond, key).otherwise(0L)) // xor-0 identity: nulls never enter
+        val scalar = aug.agg(
+            sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v1"),
+            x(col("o_custkey").isNull).as("x1"),
+            sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v2"),
+            x(col("o_totalprice") <= 0.0).as("x2"),
+            sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("v3"),
+            x(!col("o_orderstatus").isin("O", "F", "P")).as("x3"))
+          .select(expr(
+            """stack(3,
+                 'not_null_custkey', v1, x1,
+                 'price_positive',   v2, x2,
+                 'status_domain',    v3, x3) AS (check, n_violations, viol_xor)"""))
+        val unique = aug.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)
+          .agg(coalesce(sum(col("c")), lit(0L)).as("n_violations"),
+            coalesce(bit_xor(md5Long(col("o_orderkey").cast("string"))), lit(0L))
+              .as("viol_xor"))
+          .select(lit("unique_orderkey").as("check"),
+            col("n_violations"), col("viol_xor"))
+        val fk = aug.filter(col("o_custkey").isNotNull)
+          .join(broadcast(t(s, dir, "customer").select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"),
+            coalesce(bit_xor(md5Long(col("o_orderkey").cast("string"))), lit(0L))
+              .as("viol_xor"))
+          .select(lit("fk_customer").as("check"),
+            col("n_violations"), col("viol_xor"))
+        scalar.unionByName(unique).unionByName(fk)
+      },
+      Some {
+        import graft.pipeline.Portable.md5LongSql
+        val keyX = md5LongSql("CAST(o_orderkey AS VARCHAR)")
+        s"""
+        WITH aug AS MATERIALIZED (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          FROM orders
+          UNION ALL
+          SELECT CAST(k AS BIGINT), CAST(ck AS BIGINT), st, CAST(p AS DOUBLE)
+          FROM (VALUES $Q56BadRows) v(k, ck, st, p, d, pr))
+        SELECT 'not_null_custkey' AS "check",
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violations,
+               bit_xor(CASE WHEN o_custkey IS NULL THEN $keyX ELSE 0 END) AS viol_xor
+        FROM aug
+        UNION ALL
+        SELECT 'price_positive',
+               CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT),
+               bit_xor(CASE WHEN o_totalprice <= 0.0 THEN $keyX ELSE 0 END)
+        FROM aug
+        UNION ALL
+        SELECT 'status_domain',
+               CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT),
+               bit_xor(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN $keyX ELSE 0 END)
+        FROM aug
+        UNION ALL
+        SELECT 'unique_orderkey',
+               CAST(coalesce(sum(c), 0) AS BIGINT),
+               coalesce(bit_xor(${md5LongSql("CAST(o_orderkey AS VARCHAR)")}), 0)
+        FROM (SELECT o_orderkey, count(*) AS c FROM aug GROUP BY 1) g
+        WHERE c > 1
+        UNION ALL
+        SELECT 'fk_customer',
+               CAST(count(*) AS BIGINT),
+               coalesce(bit_xor($keyX), 0)
+        FROM aug
+        WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer)"""
+      },
+    ),
   )
+
+  /** q56's poisoned batch: five constant rows tripping every check —
+    * shared verbatim between the Spark VALUES and the oracle VALUES so
+    * the two fixtures cannot drift.
+    */
+  private[graft] val Q56BadRows: String = Seq(
+    "(900000001, NULL, 'O', 100.0, '2024-02-01 00:00:00', '1-URGENT')",
+    "(900000002, 0, 'O', 50.0, '2024-02-01 00:00:00', '1-URGENT')",
+    "(900000002, 0, 'O', 60.0, '2024-02-01 00:00:00', '1-URGENT')",
+    "(900000003, 999999999, 'O', 70.0, '2024-02-01 00:00:00', '1-URGENT')",
+    "(900000004, 1, 'X', -5.0, '2024-02-01 00:00:00', '1-URGENT')",
+  ).mkString(",\n            ")
 
   /** q38's lake/delta boundary: the last ~7 months of the orders range
     * are the "delta" at every testdata SF (dates span 1995..2001-08).
