@@ -1184,7 +1184,55 @@ object Advanced {
           AND o_custkey NOT IN (SELECT c_custkey FROM customer)"""
       },
     ),
+
+    // ---- q57: METADATA-ONLY aggregation — count/min/max answered
+    //      from parquet FOOTER statistics, zero data pages read
+    //      (PushedAggregation in the scan, PlanSpec-asserted). The
+    //      fast path q53's full ANALYZE cannot take (NDV needs the
+    //      rows); at 100 TB this is the difference between a
+    //      catalog-latency answer and a full-table scan for the
+    //      row-count/range probes every planner, UI and freshness
+    //      monitor issues constantly. Runs on the DSv2 parquet path
+    //      in a scoped child session (see [[q57Session]]) because v1
+    //      scans don't implement aggregate pushdown — the kind of
+    //      engine-surface detail a library must own so its users
+    //      don't. ----
+    Q(
+      "q57_agg_pushdown",
+      (s, dir) =>
+        q57Session(s).read.parquet(s"$dir/lineitem.parquet")
+          .agg(count(lit(1)).as("n_rows"),
+            min("l_quantity").as("qty_min"), max("l_quantity").as("qty_max"),
+            min("l_orderkey").as("ok_min"), max("l_orderkey").as("ok_max")),
+      Some("""
+        SELECT count(*) AS n_rows,
+               min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+               min(l_orderkey) AS ok_min, max(l_orderkey) AS ok_max
+        FROM lineitem"""),
+    ),
   )
+
+  /** q57's DSv2 session: aggregate pushdown lives only on the v2
+    * parquet path, so the query runs in a child session with parquet
+    * removed from the v1 list and pushdown enabled — scoped THERE so
+    * the other 130+ queries' plan contracts (FileSourceScanExec
+    * shapes, PlanSpec assertions) never see a global source-path flip.
+    * Memoized per (session, corpus-independent): newSession clones
+    * session state, cheap but not free in a bench loop.
+    */
+  private val q57SessionCache =
+    scala.collection.concurrent.TrieMap.empty[org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]
+
+  private def q57Session(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    q57SessionCache.keys.filter(_.sparkContext.isStopped)
+      .foreach(q57SessionCache.remove)
+    q57SessionCache.getOrElseUpdate(s, {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s2
+    })
+  }
 
   /** q56's poisoned batch: five constant rows tripping every check —
     * shared verbatim between the Spark VALUES and the oracle VALUES so

@@ -234,6 +234,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q57: count/min/max are answered from parquet footers, not data pages") {
+    val p = plan("q57_agg_pushdown")
+    assert(p.contains("PushedAggregation: [COUNT(*)"),
+      s"the scan must carry the pushed aggregate list:\n$p")
+    assert(p.contains("MIN(l_quantity)") && p.contains("MAX(l_orderkey)"),
+      s"all five stats must push down, not just the count:\n$p")
+  }
+
   test("q55: the hierarchy walk runs through the engine's UnionLoop, not a rewrite") {
     val p = plan("q55_recursive_cte")
     assert(p.contains("UnionLoop"),
