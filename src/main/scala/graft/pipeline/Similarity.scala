@@ -2212,30 +2212,42 @@ object Similarity {
       "s14_mmr_diversify",
       (s, dir) => {
         val e = vecs(s, dir)
+        // coalesce(1) before checkpointing: these are SERVING-constant
+        // tables (≤ AuditQueries·10 and ·10² rows) — leaving them on 32
+        // partitions made every unrolled greedy step schedule 32-task
+        // stages over near-empty partitions (measured 4.0 s warm; 1-
+        // partition tables with AQE coalescing the downstream shuffles
+        // run the same plan in ~1 s)
         val cand = knnBrute(s, dir)
           .join(e.select(col("vec_id"), col("v")), "vec_id")
           .select(col("qid"), col("vec_id"), col("cos_sim"), col("v"))
-          .localCheckpoint()
+          .coalesce(1).localCheckpoint()
         val pair = cand.as("a").join(cand.as("b"), Seq("qid"))
           .filter(col("a.vec_id") =!= col("b.vec_id"))
           .select(col("qid"), col("a.vec_id").as("cid"),
             col("b.vec_id").as("oid"),
             round(cosine("a.v", "b.v"), 6).as("cc_sim"))
-          .localCheckpoint()
+          .coalesce(1).localCheckpoint()
         val w = Window.partitionBy(col("qid"))
           .orderBy(col("mmr_score").desc, col("vec_id").asc)
+        // each step CHECKPOINTS the selection: pick_t references
+        // selected_{t-1} twice (the max-sel join and the remaining
+        // anti-join), so an unchained plan doubles per iteration —
+        // 2^k duplicated subtrees that Spark re-executes, measured at
+        // 4.2 s warm; checkpointed, the loop is k tiny linear jobs
         var selected = cand
           .withColumn("mmr_score", col("cos_sim"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1)
           .select(col("qid"), col("vec_id"), lit(1).as("pick"), col("mmr_score"))
-        var remaining = cand.select(col("qid"), col("vec_id"), col("cos_sim"))
-          .join(selected.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_anti")
+          .coalesce(1).localCheckpoint()
         for (t <- 2 to MmrK) {
           val maxSel = pair
             .join(selected.select(col("qid"), col("vec_id").as("oid")),
               Seq("qid", "oid"))
             .groupBy(col("qid"), col("cid")).agg(max(col("cc_sim")).as("max_sel"))
+          val remaining = cand.select(col("qid"), col("vec_id"), col("cos_sim"))
+            .join(selected.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_anti")
           val pick = remaining
             .join(maxSel, col("vec_id") === col("cid") &&
               remaining("qid") === maxSel("qid"))
@@ -2246,9 +2258,7 @@ object Similarity {
             .withColumn("rk", row_number().over(w))
             .filter(col("rk") === 1)
             .select(col("qid"), col("vec_id"), lit(t).as("pick"), col("mmr_score"))
-          selected = selected.unionByName(pick)
-          remaining = remaining
-            .join(pick.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_anti")
+          selected = selected.unionByName(pick).coalesce(1).localCheckpoint()
         }
         selected
       },
