@@ -443,13 +443,16 @@ object Curation {
         val docSrc = t(s, dir, "documents").select(col("doc_id"), col("source"))
         val cs = Dedup.dupComponents(s, dir).join(docSrc, "doc_id")
           .select(col("root"), col("source")).distinct()
+        // domain-cardinality tables on ONE partition: the fixpoint's
+        // tiny joins would otherwise schedule 32-task stages over
+        // near-empty partitions (s14's measurement)
         val edges = cs.as("a").join(cs.as("b"), Seq("root"))
           .filter(col("a.source") =!= col("b.source"))
           .select(col("a.source").as("src"), col("b.source").as("dst"))
-          .distinct().localCheckpoint()
+          .distinct().coalesce(1).localCheckpoint()
         val outdeg = edges.groupBy("src")
-          .agg(count(lit(1)).as("outdeg")).localCheckpoint()
-        val nodes = docSrc.select("source").distinct().localCheckpoint()
+          .agg(count(lit(1)).as("outdeg")).coalesce(1).localCheckpoint()
+        val nodes = docSrc.select("source").distinct().coalesce(1).localCheckpoint()
         val n = graft.BoundedCollect.rows(
           nodes.agg(count(lit(1)).as("n")), 1, "p8 domain count").head.getLong(0)
         val base = 150000L / n // (1-d) mass share, exact floor div
@@ -459,9 +462,14 @@ object Curation {
             .select(col("source").as("src"), expr("r_ppm div outdeg").as("c"))
           val inflow = edges.join(contrib, Seq("src"))
             .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+          // checkpoint each iterate: keeps the plan linear in the
+          // iteration count and each step a single tiny job (the s14
+          // lesson — an unchained 8-step fixpoint re-analyzes and
+          // re-executes the whole prefix at every depth)
           r = nodes.join(inflow.withColumnRenamed("dst", "source"), Seq("source"), "left_outer")
             .select(col("source"),
               (lit(base) + expr("(85 * coalesce(inflow, 0L)) div 100")).as("r_ppm"))
+            .coalesce(1).localCheckpoint()
         }
         r.join(outdeg.withColumnRenamed("src", "source"), Seq("source"), "left_outer")
           .select(col("source"), col("r_ppm").as("rank_ppm"),
