@@ -1197,6 +1197,129 @@ object Advanced {
       },
     ),
 
+    // ---- q58: WRITE-AUDIT-PUBLISH — q56's expectation checks wired
+    //      into the lake publish lifecycle: two candidate batches are
+    //      audited IN ORDER against the published-so-far state (batch
+    //      B's uniqueness context includes batch A iff A published),
+    //      and a batch lands iff its audit finds ZERO violating rows.
+    //      The decision is DATA-DEPENDENT INSIDE THE PLAN — each batch
+    //      joins its own 1-row audit verdict and filters on it, no
+    //      driver-side branching — so the oracle recomputes the same
+    //      decisions instead of trusting hardcoded ones. Violations
+    //      here are row-scoped (a row is bad if it trips any check,
+    //      incl. key-clash against the published context and in-batch
+    //      duplication); q56 stays the per-check observability table,
+    //      q58 is the gate that acts on it. Output: one audit row per
+    //      batch (count + violating-key XOR) plus the post-publish
+    //      table census — a wrongly published/rejected batch splits
+    //      both. Scale shape: audits are batch-sized joins against
+    //      broadcast dimensions and a semi-join against the published
+    //      key set (at 100 TB: the key side of a bucketed layout or a
+    //      key bloom, q49's machinery); the published census is one
+    //      map-side-combined aggregate. ----
+    Q(
+      "q58_wap",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        import graft.pipeline.Portable.md5Long
+        def batch(rows: String) = s.sql(s"""
+          SELECT CAST(k AS BIGINT) AS o_orderkey, CAST(ck AS BIGINT) AS o_custkey,
+                 st AS o_orderstatus, CAST(p AS DOUBLE) AS o_totalprice
+          FROM VALUES $rows AS v(k, ck, st, p, d, pr)""")
+        val cust = broadcast(t(s, dir, "customer").select(col("c_custkey")))
+        val keyX = md5Long(col("o_orderkey").cast("string"))
+        // rows of x violating against published context `ctx`
+        def badRows(x: org.apache.spark.sql.DataFrame,
+            ctx: org.apache.spark.sql.DataFrame) = {
+          val dup = x.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1).select(col("o_orderkey"), lit(1).as("dup"))
+          x.join(broadcast(dup), Seq("o_orderkey"), "left_outer")
+            .join(ctx.select(col("o_orderkey"), lit(1).as("clash")).distinct(),
+              Seq("o_orderkey"), "left_outer")
+            .join(cust.withColumn("fk", lit(1)),
+              col("o_custkey") === col("c_custkey"), "left_outer")
+            .filter(col("o_custkey").isNull || col("o_totalprice") <= 0.0 ||
+              !col("o_orderstatus").isin("O", "F", "P") ||
+              col("dup") === 1 || col("clash") === 1 ||
+              (col("o_custkey").isNotNull && col("fk").isNull))
+        }
+        def audit(x: org.apache.spark.sql.DataFrame,
+            ctx: org.apache.spark.sql.DataFrame) =
+          badRows(x, ctx).agg(count(lit(1)).as("nviol"),
+            coalesce(bit_xor(keyX), lit(0L)).as("viol_xor"))
+        def gate(x: org.apache.spark.sql.DataFrame,
+            verdict: org.apache.spark.sql.DataFrame) =
+          x.crossJoin(broadcast(verdict.select(col("nviol"))))
+            .filter(col("nviol") === 0).drop("nviol")
+        val pub0 = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+        val (ba, bb) = (batch(Q58CleanRows), batch(Q56BadRows))
+        val va = audit(ba, pub0)
+        val pub1 = pub0.unionByName(gate(ba, va))
+        val vb = audit(bb, pub1)
+        val pub2 = pub1.unionByName(gate(bb, vb))
+        val decisions = va.select(lit("audit").as("part"), lit("batchA").as("k"),
+            col("nviol").as("n"), lit(0.0).as("sum_price"), col("viol_xor").as("key_xor"))
+          .unionByName(vb.select(lit("audit").as("part"), lit("batchB").as("k"),
+            col("nviol").as("n"), lit(0.0).as("sum_price"), col("viol_xor").as("key_xor")))
+        val census = pub2.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            graft.Agg.dsum(col("o_totalprice")).as("sum_price"),
+            bit_xor(keyX).as("key_xor"))
+          .select(lit("published").as("part"), col("o_orderstatus").as("k"),
+            col("n"), col("sum_price"), col("key_xor"))
+        decisions.unionByName(census)
+      },
+      Some {
+        import graft.pipeline.Portable.md5LongSql
+        val keyX = md5LongSql("CAST(o_orderkey AS VARCHAR)")
+        s"""
+        WITH ba AS (
+          SELECT CAST(k AS BIGINT) AS o_orderkey, CAST(ck AS BIGINT) AS o_custkey,
+                 st AS o_orderstatus, CAST(p AS DOUBLE) AS o_totalprice
+          FROM (VALUES $Q58CleanRows) v(k, ck, st, p, d, pr)),
+        bb AS (
+          SELECT CAST(k AS BIGINT) AS o_orderkey, CAST(ck AS BIGINT) AS o_custkey,
+                 st AS o_orderstatus, CAST(p AS DOUBLE) AS o_totalprice
+          FROM (VALUES $Q56BadRows) v(k, ck, st, p, d, pr)),
+        pub0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        bada AS (
+          SELECT o_orderkey FROM ba a
+          WHERE a.o_custkey IS NULL OR a.o_totalprice <= 0.0
+             OR a.o_orderstatus NOT IN ('O', 'F', 'P')
+             OR (a.o_custkey IS NOT NULL
+                 AND a.o_custkey NOT IN (SELECT c_custkey FROM customer))
+             OR a.o_orderkey IN (SELECT o_orderkey FROM pub0)
+             OR a.o_orderkey IN (SELECT o_orderkey FROM ba GROUP BY 1 HAVING count(*) > 1)),
+        va AS (SELECT CAST(count(*) AS BIGINT) AS nviol,
+                      coalesce(bit_xor($keyX), 0) AS viol_xor FROM bada),
+        pub1 AS (SELECT * FROM pub0
+                 UNION ALL SELECT * FROM ba WHERE (SELECT nviol FROM va) = 0),
+        badb AS (
+          SELECT o_orderkey FROM bb b
+          WHERE b.o_custkey IS NULL OR b.o_totalprice <= 0.0
+             OR b.o_orderstatus NOT IN ('O', 'F', 'P')
+             OR (b.o_custkey IS NOT NULL
+                 AND b.o_custkey NOT IN (SELECT c_custkey FROM customer))
+             OR b.o_orderkey IN (SELECT o_orderkey FROM pub1)
+             OR b.o_orderkey IN (SELECT o_orderkey FROM bb GROUP BY 1 HAVING count(*) > 1)),
+        vb AS (SELECT CAST(count(*) AS BIGINT) AS nviol,
+                      coalesce(bit_xor($keyX), 0) AS viol_xor FROM badb),
+        pub2 AS (SELECT * FROM pub1
+                 UNION ALL SELECT * FROM bb WHERE (SELECT nviol FROM vb) = 0)
+        SELECT 'audit' AS part, 'batchA' AS k, nviol AS n,
+               0.0 AS sum_price, viol_xor AS key_xor FROM va
+        UNION ALL
+        SELECT 'audit', 'batchB', nviol, 0.0, viol_xor FROM vb
+        UNION ALL
+        SELECT 'published', o_orderstatus, count(*),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE),
+               bit_xor($keyX)
+        FROM pub2 GROUP BY 2"""
+      },
+    ),
+
     // ---- q57: METADATA-ONLY aggregation — count/min/max answered
     //      from parquet FOOTER statistics, zero data pages read
     //      (PushedAggregation in the scan, PlanSpec-asserted). The
@@ -1250,6 +1373,16 @@ object Advanced {
     * shared verbatim between the Spark VALUES and the oracle VALUES so
     * the two fixtures cannot drift.
     */
+  /** q58's clean candidate batch: fresh keys past any corpus range,
+    * existing custkeys, in-domain statuses, positive prices — passes
+    * every expectation at every SF.
+    */
+  private[graft] val Q58CleanRows: String = Seq(
+    "(910000001, 1, 'O', 10.0, '2024-02-02 00:00:00', '2-HIGH')",
+    "(910000002, 2, 'F', 20.0, '2024-02-02 00:00:00', '2-HIGH')",
+    "(910000003, 3, 'P', 30.0, '2024-02-02 00:00:00', '2-HIGH')",
+  ).mkString(",\n            ")
+
   private[graft] val Q56BadRows: String = Seq(
     "(900000001, NULL, 'O', 100.0, '2024-02-01 00:00:00', '1-URGENT')",
     "(900000002, 0, 'O', 50.0, '2024-02-01 00:00:00', '1-URGENT')",
