@@ -522,6 +522,56 @@ object Advanced {
         FROM orders GROUP BY 1"""),
     ),
 
+    // ---- q59: INCREMENTAL maintenance of a JOIN view — the delta-
+    //      join rule that completes q38 (which maintains an
+    //      aggregate): for V = O ⋈ C with O = O₀∪ΔO and C = C₀∪ΔC,
+    //      ΔV = ΔO⋈C₀ ∪ O₀⋈ΔC ∪ ΔO⋈ΔC — three delta terms merged
+    //      into the lake's frozen partials, NEVER a recompute of
+    //      O₀⋈C₀. The fixture exercises BOTH delta sides: ΔO is the
+    //      q38 date boundary (the nightly fact delta), ΔC is a
+    //      deterministic late-arriving dimension slice (custkey ≡ 9
+    //      mod 10 — the SCD backfill case). The cost asymmetry is the
+    //      point at 100 TB: ΔO⋈C₀ is day-scale × broadcast dim,
+    //      ΔO⋈ΔC is tiny, and the one term touching the full fact
+    //      lake — O₀⋈ΔC — BROADCASTS the dimension delta so the lake
+    //      streams through without shuffling. The oracle is the full
+    //      recompute, so a wrong/missing delta term splits counts,
+    //      sums and the group keys. ----
+    Q(
+      "q59_join_ivm",
+      (s, dir) => {
+        val cutoff = lit(IncAggCutoff).cast("timestamp_ntz")
+        val o = t(s, dir, "orders").select(col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+        val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        val (o0, dO) = (o.filter(col("o_orderdate") < cutoff),
+          o.filter(col("o_orderdate") >= cutoff))
+        val (c0, dC) = (c.filter(pmod(col("c_custkey"), lit(10)) =!= 9),
+          c.filter(pmod(col("c_custkey"), lit(10)) === 9))
+        def partials(of: org.apache.spark.sql.DataFrame,
+            cf: org.apache.spark.sql.DataFrame) =
+          of.join(cf, col("o_custkey") === col("c_custkey"))
+            .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+            .agg(count(lit(1)).as("pn"),
+              sum(col("o_totalprice").cast(DecimalType(30, 2))).as("psum"))
+        val lake = graft.pipeline.Materialized.getOrBuild(s, s"q59.lake|$dir") {
+          partials(o0, c0)
+        }
+        val inc = partials(dO, c0)
+          .unionByName(partials(o0, broadcast(dC)))
+          .unionByName(partials(dO, dC))
+        lake.unionByName(inc)
+          .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+          .agg(sum(col("pn")).as("n_orders"),
+            sum(col("psum")).cast("double").as("sum_total"))
+      },
+      Some("""
+        SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2"""),
+    ),
+
     // ---- q43: TIME TRAVEL over a merge-on-read change log — the
     //      other canonical lake layout. q41 (copy-on-write) rewrites
     //      the survivor set per merge; here the lake stays FROZEN and
@@ -1394,7 +1444,7 @@ object Advanced {
   /** q38's lake/delta boundary: the last ~7 months of the orders range
     * are the "delta" at every testdata SF (dates span 1995..2001-08).
     */
-  private val IncAggCutoff = "2001-01-01 00:00:00"
+  private[graft] val IncAggCutoff = "2001-01-01 00:00:00"
 
   /** q43/q44's shared DuckDB replay prefix: the `mk`/`base`/`logs`
     * CTEs mirroring [[cdcLake]] + [[cdcLogs]]. One definition, so any
