@@ -510,6 +510,46 @@ object Curation {
              LEFT JOIN od ON od.src = n.source"""
       },
     ),
+
+    // ---- p9: DETERMINISTIC DATALOADER SHARD ORDER — the step between
+    //      a curated corpus and a training run: every document gets a
+    //      stable global POSITION in a seeded pseudorandom total order
+    //      and a WORKER assignment (pos mod W), so N dataloader
+    //      workers stream disjoint, balanced, reproducible shards.
+    //      The scale technique is the point: the total order is
+    //      BUCKET-MAJOR — rank within 64 hash buckets (parallel
+    //      windows) plus an exclusive-prefix offset over the 64-row
+    //      bucket census — so NO single-partition global sort ever
+    //      forms (the trap t13's rank-based cut documents; here the
+    //      two-phase decomposition is executable and gated). The
+    //      oracle computes the SAME order with DuckDB's plain global
+    //      row_number over (bucket, hash, id) — the equivalence of
+    //      the decomposition to a true total order IS the gate.
+    //      Output: per-worker doc count plus exact doc-set and
+    //      position XOR receipts — one misplaced document splits
+    //      both. ----
+    Q(
+      "p9_shard_order",
+      (s, dir) =>
+        shardOrder(s, dir)
+          .groupBy(col("worker"))
+          .agg(count(lit(1)).as("n_docs"),
+            bit_xor(Portable.md5Long(col("doc_id").cast("string"))).as("doc_xor"),
+            bit_xor(Portable.md5Long(col("pos").cast("string"))).as("pos_xor")),
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 ${Portable.md5LongSql("concat_ws('|', 'shard-v1', CAST(doc_id AS VARCHAR))")} AS h
+          FROM documents),
+        p AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY h % $ShardBuckets, h, doc_id) - 1 AS pos
+          FROM d)
+        SELECT pos % $ShardWorkers AS worker, count(*) AS n_docs,
+               bit_xor(${Portable.md5LongSql("CAST(doc_id AS VARCHAR)")}) AS doc_xor,
+               bit_xor(${Portable.md5LongSql("CAST(pos AS VARCHAR)")}) AS pos_xor
+        FROM p GROUP BY 1"""),
+    ),
   )
 
   /** p8's fixed PageRank iteration count — enough for ppm-level
@@ -517,6 +557,36 @@ object Curation {
     * unrolled oracle stays readable.
     */
   private[graft] val DomainRankIters = 8
+
+  /** p9's geometry: the bucket count of the two-phase global rank and
+    * the dataloader-worker fan-out it shards into.
+    */
+  private[graft] val ShardBuckets = 64
+  private[graft] val ShardWorkers = 8
+
+  /** p9: deterministic dataloader shard order — SEPARATE Q because it
+    * demonstrates the scale technique t13's scaladoc only names: a
+    * TOTAL order over the corpus with NO single-partition sort. See
+    * the Q comment in [[all]].
+    */
+  private[graft] def shardOrder(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.functions.GraftFunctions.register(s)
+    val h = Portable.md5Long(concat_ws("|", lit("shard-v1"),
+      col("doc_id").cast("string")))
+    val d = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("h", h)
+      .withColumn("b", pmod(col("h"), lit(ShardBuckets.toLong)))
+    val intra = d.withColumn("intra", row_number().over(
+      Window.partitionBy(col("b")).orderBy(col("h"), col("doc_id"))))
+    val offsets = d.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("off"))
+    intra.join(broadcast(offsets), Seq("b"))
+      .withColumn("pos", col("off") + col("intra") - 1L)
+      .withColumn("worker", pmod(col("pos"), lit(ShardWorkers.toLong)))
+  }
 
   /** p5's hard per-source document ceiling — binding at every testdata
     * SF (25 docs/source at sf0.001, 250 at sf0.1), so the gate exercises
