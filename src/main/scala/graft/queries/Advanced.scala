@@ -1370,6 +1370,46 @@ object Advanced {
       },
     ),
 
+    // ---- q60: RUNTIME BLOOM-FILTER join pruning — the engine builds
+    //      a bloom of the SELECTIVE side's join keys at runtime
+    //      (Catalyst's InjectRuntimeFilter) and pushes
+    //      `might_contain` into the fact scan, so lineitem rows whose
+    //      orders were filtered away never reach the shuffle. This is
+    //      the dynamic cousin of q49's PRE-BUILT file blooms: no
+    //      layout, no maintenance — the filter materializes per query
+    //      from the dimension's predicate (high-value orders here,
+    //      ~10% selective). At 100 TB the fact shuffle shrinks ~10x
+    //      for one extra dimension-side aggregation; the conf-scoped
+    //      child session exists because the default application-side
+    //      size gate (10 GB) assumes cluster-scale scans. The plan
+    //      property (might_contain in the fact scan's filter,
+    //      bloom_filter_agg on the creation side) is PlanSpec-pinned;
+    //      the oracle checks the join result is unchanged — a bloom
+    //      false positive costs a shuffled row, never a wrong row. ----
+    Q(
+      "q60_runtime_filter",
+      (s, dir) => {
+        val s2 = q60Session(s)
+        val li = s2.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        val o = s2.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_totalprice") > HighValueCutoff)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity")).as("sum_qty"),
+            graft.Agg.dsum(col("l_extendedprice")).as("sum_price"))
+      },
+      Some(s"""
+        SELECT o_orderstatus, count(*) AS n_items,
+               CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > $HighValueCutoff
+        GROUP BY 1"""),
+    ),
+
     // ---- q57: METADATA-ONLY aggregation — count/min/max answered
     //      from parquet FOOTER statistics, zero data pages read
     //      (PushedAggregation in the scan, PlanSpec-asserted). The
@@ -1405,24 +1445,57 @@ object Advanced {
     * Memoized per (session, corpus-independent): newSession clones
     * session state, cheap but not free in a bench loop.
     */
-  private val q57SessionCache =
-    scala.collection.concurrent.TrieMap.empty[org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]
+  private val childSessionCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.SparkSession]
 
-  private def q57Session(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
-    q57SessionCache.keys.filter(_.sparkContext.isStopped)
-      .foreach(q57SessionCache.remove)
-    q57SessionCache.getOrElseUpdate(s, {
+  /** Memoized conf-scoped child session (q57/q60): some engine features
+    * live behind session confs that must not flip globally — the other
+    * 140+ queries' plan contracts would see it. newSession clones
+    * session state, cheap but not free in a bench loop, hence memoized
+    * per (parent, purpose).
+    */
+  private def childSession(s: org.apache.spark.sql.SparkSession, key: String,
+      confs: (String, String)*): org.apache.spark.sql.SparkSession = {
+    childSessionCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(childSessionCache.remove)
+    childSessionCache.getOrElseUpdate((s, key), {
       val s2 = s.newSession()
-      s2.conf.set("spark.sql.sources.useV1SourceList", "")
-      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      confs.foreach { case (k, v) => s2.conf.set(k, v) }
       s2
     })
   }
+
+  private def q57Session(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    childSession(s, "dsv2-pushdown",
+      "spark.sql.sources.useV1SourceList" -> "",
+      "spark.sql.parquet.aggregatePushdown" -> "true")
+
+  /** q60's session: runtime bloom-filter injection with the two size
+    * gates that assume cluster scale lowered to the gate corpus —
+    * the 10 GB application-side threshold (the bloom must be worth a
+    * scan's I/O), and autoBroadcastJoinThreshold disabled because
+    * InjectRuntimeFilter deliberately declines when the creation side
+    * is broadcastable-by-size (a broadcast build side already IS the
+    * filter). At 100 TB both sides clear these gates naturally; the
+    * child session emulates that so the PLAN property is testable.
+    */
+  private def q60Session(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    childSession(s, "runtime-filter",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
 
   /** q56's poisoned batch: five constant rows tripping every check —
     * shared verbatim between the Spark VALUES and the oracle VALUES so
     * the two fixtures cannot drift.
     */
+  /** q60's creation-side predicate: high-value orders, ~10% of the
+    * corpus at every SF (prices are ~uniform on [0, 500k]) — selective
+    * enough that Catalyst's likely-selective heuristic injects the
+    * runtime filter and the pruning is worth measuring.
+    */
+  private[graft] val HighValueCutoff = 450000.0
+
   /** q58's clean candidate batch: fresh keys past any corpus range,
     * existing custkeys, in-domain statuses, positive prices — passes
     * every expectation at every SF.

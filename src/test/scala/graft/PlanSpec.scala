@@ -234,6 +234,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q60: the runtime bloom filter injects into the fact side of the join") {
+    val p = plan("q60_runtime_filter")
+    assert(p.contains("might_contain"),
+      s"the fact scan must be guarded by the runtime bloom probe:\n${p.take(2000)}")
+    assert(p.contains("bloom_filter_agg"),
+      s"the selective side must build the bloom at runtime:\n${p.take(2000)}")
+  }
+
   test("q57: count/min/max are answered from parquet footers, not data pages") {
     val p = plan("q57_agg_pushdown")
     assert(p.contains("PushedAggregation: [COUNT(*)"),
