@@ -404,16 +404,21 @@ object Curation {
         w AS (SELECT source, n_docs,
                      CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS wppm
               FROM c),
-        tot AS (SELECT sum(wppm) AS tw FROM w),
+        -- All integer sums CAST AS BIGINT at the aggregation site (bare
+        -- sum() is HUGEINT — version-sensitive rendering, the r08
+        -- driver-only hash fail), scalar totals via explicit CROSS JOIN
+        -- CTEs instead of a comma join / empty-frame window.
+        tot AS (SELECT CAST(sum(wppm) AS BIGINT) AS tw FROM w),
         b AS (SELECT source, n_docs, wppm,
-                     ($MixBudget * wppm) // tw AS base,
-                     ($MixBudget * wppm) % tw AS rem
-              FROM w, tot),
-        d AS (SELECT *, $MixBudget - sum(base) OVER () AS deficit,
+                     CAST(($MixBudget * wppm) // tw AS BIGINT) AS base,
+                     CAST(($MixBudget * wppm) % tw AS BIGINT) AS rem
+              FROM w CROSS JOIN tot),
+        tb AS (SELECT CAST(sum(base) AS BIGINT) AS sum_base FROM b),
+        d AS (SELECT b.*, CAST($MixBudget - tb.sum_base AS BIGINT) AS deficit,
                      row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
-              FROM b)
+              FROM b CROSS JOIN tb)
         SELECT source, n_docs, wppm,
-               base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS quota
+               CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS quota
         FROM d"""),
     ),
 

@@ -371,11 +371,17 @@ object Events {
       Some {
         val h = graft.pipeline.Portable.md5LongSql(
           "concat_ws('|', 'arr-v1', event_id)")
+        // Every sum() is CAST AS BIGINT at the aggregation site and the
+        // arithmetic re-CAST at the output boundary: bare DuckDB sum()
+        // over integers is HUGEINT, whose client-side rendering is
+        // version-sensitive — the r08 driver-only hash mismatch. Same
+        // convention as every other integer-sum oracle in the repo.
         val sums = WatermarkDelaysSec.map(d =>
-          s"sum(CASE WHEN hwm - t > ${d}000000 THEN 1 ELSE 0 END) AS d$d")
+          s"CAST(sum(CASE WHEN hwm - t > ${d}000000 THEN 1 ELSE 0 END) AS BIGINT) AS d$d")
           .mkString(",\n                 ")
         val rows = WatermarkDelaysSec.map(d =>
-          s"SELECT $d AS delay_s, d$d AS n_dropped, d$d * 1000000 // n AS drop_ppm FROM g")
+          s"SELECT $d AS delay_s, CAST(d$d AS BIGINT) AS n_dropped, " +
+            s"CAST((d$d * 1000000) // n AS BIGINT) AS drop_ppm FROM g")
           .mkString("\n        UNION ALL ")
         s"""
         WITH ev AS (
@@ -437,14 +443,16 @@ object Events {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pre
           FROM bm),
         d AS (
-          SELECT (t // $AdmWindowUs) * $AdmWindowUs AS wstart_us,
+          SELECT CAST((t // $AdmWindowUs) * $AdmWindowUs AS BIGINT) AS wstart_us,
                  CASE WHEN pre IS NOT NULL
                        AND (t // $AdmWindowUs + 1) * ${AdmWindowUs / 1000L}
                            <= pre // 1000 - $AdmDelayMs
                       THEN 1 ELSE 0 END AS dropped
           FROM b JOIN pre USING (bk))
-        SELECT wstart_us, sum(1 - dropped) AS n_admitted,
-               sum(dropped) AS n_dropped
+        -- CAST AS BIGINT: bare sum() is HUGEINT, rendering is
+        -- DuckDB-version-sensitive (the r08 driver-only hash fail)
+        SELECT wstart_us, CAST(sum(1 - dropped) AS BIGINT) AS n_admitted,
+               CAST(sum(dropped) AS BIGINT) AS n_dropped
         FROM d GROUP BY 1"""
       },
     ),

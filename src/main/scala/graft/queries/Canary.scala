@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Oracle-environment canaries (`qc_*`) — one-row-ish probes that pin
+  * the cross-engine (Spark vs the driver's DuckDB) evaluation of every
+  * "risky" SQL construct the 144-query oracle suite leans on, each in
+  * ISOLATION. They exist because of the r08 incident: three queries
+  * hash-failed ONLY on the driver (green under the repo's own DuckDB
+  * 1.0.0 at the same SF and parallelism), and the root cause could not
+  * be localized from the failing queries alone — each used several
+  * version-sensitive constructs at once (HUGEINT-typed bare `sum()`,
+  * `//` on HUGEINT, comma cross join, empty-frame windows).
+  *
+  * With these in the correctness artifact, the NEXT driver-side-only
+  * mismatch localizes immediately: whichever canary goes red names the
+  * construct, and whichever stays green exonerates it. They are all
+  * expected GREEN — each uses the repo's hardened spelling (explicit
+  * `CAST(... AS BIGINT)` at every aggregation/arithmetic boundary, the
+  * convention every driver-green integer-sum oracle follows) while
+  * still exercising the underlying evaluation semantics (the HUGEINT
+  * intermediate, the sign rule, the hex ladder) that a different DuckDB
+  * build could plausibly change.
+  *
+  * Values are fixed literals (plus one probe over the `events` table's
+  * timestamp ladder), so every canary costs microseconds at any SF.
+  */
+object Canary {
+
+  /** Fixed probe integers used by the sum/div canaries — includes 0,
+    * ties, and values big enough that `sum*1000000` exceeds int32.
+    */
+  private val ProbeVals = Seq(0L, 1L, 2L, 3L, 5L, 3000000000L)
+
+  private def valuesSql: String =
+    s"(VALUES ${ProbeVals.map(v => s"($v)").mkString(", ")}) t(v)"
+
+  private def probeDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    ProbeVals.toDF("v")
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // ---- qc1: the md5-hex → BIGINT ladder behind Portable.md5Long —
+    //      every hash split/sample/jitter in the suite rides this.
+    //      Probes: hex substr cast on fixed strings, incl. one whose
+    //      15-hex-digit prefix has the high bit of digit 1 set. ----
+    Q(
+      "qc1_hex_cast",
+      (s, _) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        Seq("a", "b", "arr-v1|42", "quota-v1|doc-00000001")
+          .toDF("probe")
+          .select(col("probe"),
+            graft.pipeline.Portable.md5Long(col("probe")).as("h"))
+      },
+      Some {
+        val h = graft.pipeline.Portable.md5LongSql("probe")
+        s"""
+        SELECT probe, $h AS h
+        FROM (VALUES ('a'), ('b'), ('arr-v1|42'),
+                     ('quota-v1|doc-00000001')) t(probe)"""
+      },
+    ),
+
+    // ---- qc2: `%` sign semantics — both engines return the sign of
+    //      the DIVIDEND (C semantics); a floor-mod build would flip the
+    //      negative cases. ----
+    Q(
+      "qc2_mod_sign",
+      (s, _) => {
+        import s.implicits._
+        Seq(("neg_pos", -7L % 3L), ("pos_neg", 7L % -3L),
+          ("neg_neg", -7L % -3L), ("pos_pos", 7L % 3L))
+          .toDF("lbl", "m")
+      },
+      Some("""
+        SELECT lbl, CAST(m AS BIGINT) AS m
+        FROM (VALUES ('neg_pos', (-7) % 3), ('pos_neg', 7 % (-3)),
+                     ('neg_neg', (-7) % (-3)), ('pos_pos', 7 % 3)) t(lbl, m)"""),
+    ),
+
+    // ---- qc3: `//` with a HUGEINT left operand (a bare integer sum) —
+    //      e14's drop_ppm shape. The output is CAST AS BIGINT so only
+    //      the DIVISION semantics are under test, not the rendering.
+    //      Also pins truncation-toward-zero on a negative dividend
+    //      (Spark `div` truncates; a floor-div build would return -4
+    //      for -7/2). ----
+    Q(
+      "qc3_intdiv_hugeint",
+      (s, _) => probeDf(s).agg(
+        expr("(sum(v) * 1000000L) div 7").as("q"),
+        expr("CAST(-7 AS BIGINT) div CAST(2 AS BIGINT)").as("neg_trunc")),
+      Some(s"""
+        SELECT CAST((sum(v) * 1000000) // 7 AS BIGINT) AS q,
+               CAST((-7) // 2 AS BIGINT) AS neg_trunc
+        FROM $valuesSql"""),
+    ),
+
+    // ---- qc4: integer-sum typing — bare DuckDB sum() is HUGEINT (the
+    //      r08 failure class); this pins that the hardened spelling
+    //      (CAST at the aggregation site) renders identically for plain
+    //      sums, CASE-sums, and count(*). ----
+    Q(
+      "qc4_sum_typing",
+      (s, _) => probeDf(s).agg(
+        sum(col("v")).as("s"),
+        sum(when(col("v") > 2L, 1L).otherwise(0L)).as("s_case"),
+        count(lit(1)).as("n")),
+      Some(s"""
+        SELECT CAST(sum(v) AS BIGINT) AS s,
+               CAST(sum(CASE WHEN v > 2 THEN 1 ELSE 0 END) AS BIGINT) AS s_case,
+               CAST(count(*) AS BIGINT) AS n
+        FROM $valuesSql"""),
+    ),
+
+    // ---- qc5: window over an EMPTY frame (UNBOUNDED PRECEDING .. 1
+    //      PRECEDING on the first row) — the prefix-max shape under
+    //      e14/e15/e16; the first row must be NULL, not the current
+    //      row's value. ----
+    Q(
+      "qc5_empty_frame",
+      (s, _) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        probeDf(s).select(col("v"),
+          coalesce(max(col("v")).over(w), lit(-1L)).as("pre"))
+      },
+      Some(s"""
+        SELECT v, coalesce(max(v) OVER (ORDER BY v ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(-1 AS BIGINT)) AS pre
+        FROM $valuesSql"""),
+    ),
+
+    // ---- qc6: the floor(sqrt(·)·1e6 + 0.5) integer micro-unit ladder
+    //      (p7's weights) — sqrt and floor are IEEE-exact in both
+    //      engines; probes perfect squares, a boundary-adjacent value,
+    //      and a large count. ----
+    Q(
+      "qc6_floor_sqrt",
+      (s, _) => {
+        import s.implicits._
+        Seq(1L, 2L, 3L, 4L, 10L, 999983L).toDF("n")
+          .select(col("n"),
+            floor(sqrt(col("n").cast("double")) * 1000000.0 + 0.5)
+              .cast("long").as("wppm"))
+      },
+      Some("""
+        SELECT n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                       AS BIGINT) AS wppm
+        FROM (VALUES (CAST(1 AS BIGINT)), (2), (3), (4), (10),
+                     (999983)) t(n)"""),
+    ),
+
+    // ---- qc7: the timestamp ladder — parquet TIMESTAMP → hour trunc →
+    //      epoch micros, over the real events table (the one canary
+    //      that reads testdata, because the ladder's risk IS the
+    //      parquet logical-type handling). One output row: the min/max
+    //      hour bounds every e-family calendar derives from. ----
+    Q(
+      "qc7_epoch_us",
+      (s, dir) => Tables.t(s, dir, "events").agg(
+        min(unix_micros(date_trunc("HOUR", col("ts")))).as("mn"),
+        max(unix_micros(date_trunc("HOUR", col("ts")))).as("mx")),
+      Some("""
+        SELECT CAST(min(epoch_us(date_trunc('hour', ts))) AS BIGINT) AS mn,
+               CAST(max(epoch_us(date_trunc('hour', ts))) AS BIGINT) AS mx
+        FROM events"""),
+    ),
+  )
+}

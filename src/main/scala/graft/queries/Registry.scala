@@ -8,7 +8,8 @@ import graft.Q
   */
 object Registry {
   def all: Seq[Q] =
-    Relational.all ++
+    Canary.all ++
+      Relational.all ++
       Advanced.all ++
       graft.pipeline.Text.all ++
       graft.pipeline.Dedup.all ++
