@@ -931,13 +931,23 @@ object Advanced {
         graft.functions.GraftFunctions.register(s)
         val af = snapAllFiles(s, dir)
         val live = snapLive(af)
-        val reads = Seq(1, 2).flatMap { v =>
+        // All four file-layer reads (v ∈ {1,2} × pre/post-vacuum) as ONE
+        // broadcast join: label each read's manifest∩present file set
+        // with (path, v), union the labels (≤ 4·SnapFidMod rows —
+        // file-count metadata), and dispatch the batch-tagged cached
+        // states through a single (b, fid) join. Same row set as four
+        // snapRead unions, but one broadcast build + one cached scan
+        // instead of ten serial broadcasts (measured ~2× the cell).
+        val fileSets = Seq(1, 2).flatMap { v =>
           Seq("pre" -> af, "post" -> live).map { case (path, present) =>
-            snapRead(s, dir, v, present)
-              .select(lit(path).as("path"), lit(v).as("v"), col("o_orderstatus"),
-                col("k"), col("price"))
+            snapManifest(af, v).join(present, Seq("b", "fid"), "left_semi")
+              .select(lit(path).as("path"), lit(v).as("v"), col("b"), col("fid"))
           }
         }.reduce(_ unionByName _)
+        val reads = snapStates(s, dir)
+          .join(broadcast(fileSets), Seq("b", "fid"))
+          .select(col("path"), col("v"), col("o_orderstatus"),
+            col("k"), col("price"))
         val agg = reads.groupBy(col("path"), col("v"), col("o_orderstatus"))
           .agg(count(lit(1)).as("n"),
             graft.Agg.dsum(col("price")).as("sum_price"),
@@ -1898,30 +1908,40 @@ object Advanced {
       allFiles: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     allFiles.join(broadcast(snapLive(allFiles)), Seq("b", "fid"), "left_anti")
 
+  /** All three batch states, (b, fid)-tagged, as ONE session-materialized
+    * table (file content at (b, f) is the as-of-b state of shard f —
+    * [[asOfState]], the one resolution convention). Caching the UNION
+    * instead of three per-batch tables lets every file-layer read be a
+    * single join against a single cached scan — the round-8 shape
+    * (one broadcast per batch per read = 10 serial broadcast builds in
+    * the q52 gate) was driver-latency-bound, ~2× the cell's cost.
+    */
+  private[graft] def snapStates(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.pipeline.Materialized.getOrBuild(s, s"q52.states|$dir") {
+      (0 to 2).map { b =>
+        asOfState(s, dir, b).drop("v")
+          .withColumn("fid", pmod(col("k"), lit(SnapFidMod)))
+          .withColumn("b", lit(b))
+      }.reduce(_ unionByName _)
+    }
+
   /** Read snapshot `v` THROUGH the file layer against the files
     * physically `present`: manifest entries restricted to present
-    * files, dispatched per batch to that batch's state restricted to
-    * the named fids (file content at (b, f) is the as-of-b state of
-    * shard f — [[asOfState]], the one resolution convention). With all
-    * files present this provably equals `asOfState(v)`; after a vacuum
-    * it equals it iff no live file was deleted — which is exactly what
-    * the gate hashes. The per-batch fid sets broadcast (file-count
-    * metadata); the states are session-materialized fid-tagged tables,
-    * so four reads in one gate cost four cache scans, not twelve lake
-    * resolutions.
+    * files, joined (b, fid) against the batch-tagged states — each
+    * state row survives iff the manifest names its exact (batch, file)
+    * cell. With all files present this provably equals `asOfState(v)`;
+    * after a vacuum it equals it iff no live file was deleted — which
+    * is exactly what the gate hashes. One broadcast (file-count
+    * metadata) + one cached-states scan per read.
     */
   private[graft] def snapRead(
       s: org.apache.spark.sql.SparkSession, dir: String,
       v: Int, present: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val files = snapManifest(snapAllFiles(s, dir), v)
       .join(present, Seq("b", "fid"), "left_semi")
-    (0 to v).map { b =>
-      val stateF = graft.pipeline.Materialized.getOrBuild(s, s"q52.state$b|$dir") {
-        asOfState(s, dir, b).drop("v")
-          .withColumn("fid", pmod(col("k"), lit(SnapFidMod)))
-      }
-      stateF.join(broadcast(files.filter(col("b") === b).select(col("fid"))),
-        Seq("fid"), "left_semi")
-    }.reduce(_ unionByName _).drop("fid")
+    snapStates(s, dir)
+      .join(broadcast(files), Seq("b", "fid"), "left_semi")
+      .drop("fid", "b")
   }
 }
