@@ -37,7 +37,7 @@ object SkewBench {
     (1 to 40).map(i => s"bp$i").mkString("", " ", " ")
 
   private val CopiedTables =
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "events")
+    Seq("region", "nation", "customer", "supplier", "part", "events")
 
   /** Build (or rebuild) the skew fixture for `sfDir`; returns its path. */
   def prepare(spark: SparkSession, sfDir: String): String = {
@@ -78,6 +78,28 @@ object SkewBench {
       .withColumn("l_orderkey",
         when(pmod(col("l_orderkey"), lit(5)) === 0, lit(hotKey)).otherwise(col("l_orderkey")))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // `orders` skew (round 9, for the q59/q60 twins): 20% of orders
+    // collapse onto ONE hot o_custkey (the zipf head on q59's
+    // delta-join build/probe sides), and the hot l_orderkey's order is
+    // forced HIGH-VALUE so q60's runtime bloom filter cannot shed the
+    // hot fact key — the 20% lineitem head must pass the filter and
+    // flow through the join (the adversarial case for the bloom's
+    // "shrinks the shuffle" claim). q5 also reads orders, but joins
+    // customer via an explicit broadcast, so the custkey head adds no
+    // shuffle there — its skew cell stays a statement about the
+    // l_orderkey head.
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val hotCust = o.agg(min("o_custkey")).first().getAs[Number](0).longValue()
+    o
+      .withColumn("o_custkey",
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit(hotCust)).otherwise(col("o_custkey")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") === hotKey,
+          greatest(col("o_totalprice"),
+            lit(graft.queries.Advanced.HighValueCutoff + 1.0)))
+          .otherwise(col("o_totalprice")))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     out
   }

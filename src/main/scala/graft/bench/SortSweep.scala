@@ -12,15 +12,22 @@ import java.nio.file.{Files, Paths}
 final case class DataPoint(
     caseName: String,
     batchSize: Int,
-    strategy: String, // "dyn-comparator" | "rows-format"
+    strategy: String, // "dyn-comparator" | "rows-format" | merge-cell strategies
     iters: Int,
-    /** µs to sort one batch — the MIN over `iters` byte-identical runs
-      * (the microbenchmark estimator that discards co-tenant CPU noise;
-      * see measureBoth). The field/CSV column keeps the reference's
-      * `avg_us` NAME for chart/format parity, but the statistic is a
-      * min, so read cross-engine comparisons accordingly.
+    /** µs to sort one batch — the MEAN over `iters` byte-identical runs,
+      * the reference's published statistic (`src/main.rs:57-70` averages
+      * 50 iterations), so cross-engine chart/CSV comparisons are
+      * like-for-like. On a noisy container the mean absorbs co-tenant
+      * interference; [[minUs]] carries the noise-robust twin.
       */
     avgUs: Double,
+    /** µs to sort one batch — the MIN over the same runs: the standard
+      * microbenchmark estimator for byte-identical iterations (anything
+      * above the min is co-tenant CPU interference, measured 2.1×
+      * same-code windows on this host). Rounds ≤8 reported ONLY this
+      * under the `avg_us` name; both now ship side by side.
+      */
+    minUs: Double,
 )
 
 /** The reference's benchmark sweep harness (`src/main.rs:23-73`,
@@ -72,13 +79,17 @@ object SortSweep {
     val points = sweep(spark, opt)
 
     Files.createDirectories(Paths.get(opt.out))
-    val label = if (opt.parquet) s"${opt.caseName}-parquet" else opt.caseName
+    val label =
+      if (opt.merge) s"${opt.caseName}-merge"
+      else if (opt.parquet) s"${opt.caseName}-parquet"
+      else opt.caseName
     val csvPath = Paths.get(opt.out, s"$label.csv")
-    val csv = ("case,batch_size,strategy,iters,avg_us" +:
+    val csv = ("case,batch_size,strategy,iters,avg_us,min_us" +:
       points.map(p =>
         s"${p.caseName},${p.batchSize},${p.strategy},${p.iters},"
           // Locale.ROOT: a comma-decimal default locale would corrupt the CSV
-          + String.format(java.util.Locale.ROOT, "%.2f", Double.box(p.avgUs))))
+          + String.format(java.util.Locale.ROOT, "%.2f,%.2f",
+            Double.box(p.avgUs), Double.box(p.minUs))))
       .mkString("\n") + "\n"
     Files.writeString(csvPath, csv)
     Files.writeString(Paths.get(opt.out, s"$label.svg"), SvgChart.render(points))
@@ -99,6 +110,11 @@ object SortSweep {
         * storage-side twin of the reference's `DictionaryArray` input.
         */
       parquet: Boolean = false,
+      /** Measure the `<case>-merge` cell family (merge-of-sorted-streams
+        * vs full re-sort — [[measureMerge]]) instead of the two sort
+        * strategies.
+        */
+      merge: Boolean = false,
   )
 
   def parseArgs(args: Array[String]): Opt = {
@@ -111,6 +127,7 @@ object SortSweep {
       case "--iters" :: v :: t => go(t, o.copy(iters = v.toInt))
       case "--out" :: v :: t => go(t, o.copy(out = v))
       case "--parquet" :: t => go(t, o.copy(parquet = true))
+      case "--merge" :: t => go(t, o.copy(merge = true))
       case Nil => o
       case x :: _ => throw new IllegalArgumentException(s"unknown arg $x")
     }
@@ -124,7 +141,9 @@ object SortSweep {
       val input =
         (if (opt.parquet) parquetInput(spark, c, size) else c.df(spark, size)).persist()
       input.count() // materialize outside the timed region
-      val pts = measureBoth(c.name, input, size, opt.iters)
+      val pts =
+        if (opt.merge) measureMerge(c.name, input, size, opt.iters)
+        else measureBoth(c.name, input, size, opt.iters)
       input.unpersist(blocking = true)
       // the parquet variant reports under its own cell family so the
       // two input paths stay separately comparable against BASELINE.md
@@ -197,19 +216,75 @@ object SortSweep {
       while (i < warm) { sortA(); sortB(); i += 1 }
       Iterator.tabulate(iters)(_ => (once(sortA), once(sortB)))
     }(enc).collect()
-    // Reported statistic: the per-iteration MIN. Every iteration performs
-    // byte-identical work on the same batch, so the fastest observed run
-    // IS the kernel's cost; anything above it is co-tenant CPU
-    // interference (this host's single-core throughput swings ~1.5x over
-    // minutes, which a median inside one slow window cannot escape).
-    // Min-of-identical-runs is the standard microbenchmark estimator for
-    // exactly this reason.
-    def best(xs: Array[Double]): Double = if (xs.isEmpty) 0.0 else xs.min
+    // Two statistics per cell: the MEAN (the reference's published
+    // protocol — cross-engine comparisons read this one) and the MIN
+    // (the noise-robust microbenchmark estimator: every iteration
+    // performs byte-identical work, so the fastest observed run IS the
+    // kernel's cost; anything above it is co-tenant CPU interference —
+    // this host's single-core throughput swings ~1.5x over minutes).
     Seq(
-      DataPoint(caseName, size, "dyn-comparator", iters, best(perIter.map(_._1))),
-      DataPoint(caseName, size, "rows-format", iters, best(perIter.map(_._2))),
+      point(caseName, size, "dyn-comparator", iters, perIter.map(_._1)),
+      point(caseName, size, "rows-format", iters, perIter.map(_._2)),
     )
   }
+
+  private def point(
+      caseName: String, size: Int, strategy: String, iters: Int,
+      xs: Array[Double]): DataPoint =
+    DataPoint(caseName, size, strategy, iters,
+      avgUs = if (xs.isEmpty) 0.0 else xs.sum / xs.length,
+      minUs = if (xs.isEmpty) 0.0 else xs.min)
+
+  /** The sort-merge experiment the reference scaffolds but never runs
+    * (`src/data.rs:245-294` is the classic setup; SURVEY §2 #12): a
+    * sorted batch scattered into `streams` pseudo-random streams (each
+    * preserving sorted order — [[graft.sort.MergeStreams.scatter]]),
+    * then, per iteration, merge-of-N-sorted-streams vs a full re-sort
+    * of the same scattered batch, both ending in a gather. Reported as
+    * the `<case>-merge` cell family with strategies `kway-merge` and
+    * `full-resort`. Same in-task protocol as [[measureBoth]].
+    */
+  def measureMerge(
+      caseName: String, input: DataFrame, size: Int, iters: Int,
+      streams: Int = MergeStreamCount): Seq[DataPoint] = {
+    val schema = input.schema
+    val warm = math.max(3, iters / 5)
+    val enc = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    val dictCols = Case.byName(caseName).dictCols
+    val perIter = input.mapPartitions { it =>
+      val batch = ColumnBatch.fromRows(it.toArray.toIndexedSeq, schema)
+        .dictEncoded(dictCols)
+      // fixture build outside the timed region: sort, then scatter into
+      // per-stream contiguous runs (the experiment's input state — N
+      // sorted spill runs / stream buffers waiting to be combined)
+      val sorted = ColumnSort.sortBatch(batch, rowFormat = false)
+      val (scattered, offsets) =
+        graft.sort.MergeStreams.scatter(sorted, streams, seed = 1337L)
+      def once(run: () => Unit): Double = {
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e3
+      }
+      val merge = () => {
+        ColumnSort.take(scattered,
+          graft.sort.MergeStreams.mergeRuns(scattered, offsets)); ()
+      }
+      val resort = () => { ColumnSort.sortBatch(scattered, rowFormat = false); () }
+      var i = 0
+      while (i < warm) { merge(); resort(); i += 1 }
+      Iterator.tabulate(iters)(_ => (once(merge), once(resort)))
+    }(enc).collect()
+    Seq(
+      point(s"$caseName-merge", size, "kway-merge", iters, perIter.map(_._1)),
+      point(s"$caseName-merge", size, "full-resort", iters, perIter.map(_._2)),
+    )
+  }
+
+  /** Stream count for the merge cells: 8 — a typical spill-run /
+    * stream-buffer fan-in, and large enough that the merge's log₂(k)=3
+    * compare depth is visibly cheaper than the re-sort's log₂(n)≈17.
+    */
+  val MergeStreamCount = 8
 }
 
 /** PNG line chart matching the reference's plotters sink
@@ -240,7 +315,11 @@ object PngChart {
         def py(y: Double): Int = (h - mB - (y - y0) / (y1 - y0) * (h - mB - mT)).round.toInt
         val red = new Color(0xcc, 0x22, 0x22)
         val blue = new Color(0x22, 0x22, 0xcc)
-        val colors = Map("dyn-comparator" -> red, "rows-format" -> blue)
+        val colors = Map(
+          "dyn-comparator" -> red, "rows-format" -> blue,
+          // merge-experiment family: merge keeps the "first strategy"
+          // red so the two chart families read the same way
+          "kway-merge" -> red, "full-resort" -> blue)
         // axes + labels (the reference's x_desc/y_desc/caption)
         g.setColor(Color.BLACK)
         g.drawLine(mL, h - mB, w - mR, h - mB)
@@ -274,14 +353,25 @@ object PngChart {
           }
         }
         // legend (bordered, like configure_series_labels().border_style(BLACK));
-        // series names as in the reference's .label() calls
+        // labels from the strategies actually plotted — the reference's
+        // .label() names for the sort family, the experiment's own for
+        // the merge family
+        val legendName = Map(
+          "dyn-comparator" -> "DynComparator sort",
+          "rows-format" -> "Rows format sort",
+          "kway-merge" -> "K-way merge of sorted",
+          "full-resort" -> "Full re-sort")
+        val entries = points.map(_.strategy).distinct.sorted
         val (lx, ly) = (w - 190, mT + 4)
-        g.setColor(Color.WHITE); g.fillRect(lx - 6, ly - 4, 176, 44)
-        g.setColor(Color.BLACK); g.drawRect(lx - 6, ly - 4, 176, 44)
-        g.setColor(red); g.fillRect(lx, ly + 2, 12, 12)
-        g.setColor(Color.BLACK); g.drawString("DynComparator sort", lx + 18, ly + 12)
-        g.setColor(blue); g.fillRect(lx, ly + 20, 12, 12)
-        g.setColor(Color.BLACK); g.drawString("Rows format sort", lx + 18, ly + 30)
+        val lh = entries.size * 18 + 8
+        g.setColor(Color.WHITE); g.fillRect(lx - 6, ly - 4, 176, lh)
+        g.setColor(Color.BLACK); g.drawRect(lx - 6, ly - 4, 176, lh)
+        entries.zipWithIndex.foreach { case (st, i) =>
+          g.setColor(colors.getOrElse(st, Color.DARK_GRAY))
+          g.fillRect(lx, ly + 2 + i * 18, 12, 12)
+          g.setColor(Color.BLACK)
+          g.drawString(legendName.getOrElse(st, st), lx + 18, ly + 12 + i * 18)
+        }
       }
     } finally g.dispose()
     val bos = new java.io.ByteArrayOutputStream()
@@ -305,7 +395,9 @@ object SvgChart {
     val (y0, y1) = (0.0, math.max(ys.max, 1.0))
     def px(x: Double) = mL + (x - x0) / (x1 - x0) * (w - mL - mR)
     def py(y: Double) = h - mB - (y - y0) / (y1 - y0) * (h - mB - mT)
-    val colors = Map("dyn-comparator" -> "#cc2222", "rows-format" -> "#2222cc")
+    val colors = Map(
+      "dyn-comparator" -> "#cc2222", "rows-format" -> "#2222cc",
+      "kway-merge" -> "#cc2222", "full-resort" -> "#2222cc")
     // Locale.ROOT: a comma-decimal default locale would corrupt the
     // SVG coordinate list (same hazard as the bench JSON)
     def c1(v: Double): String =
@@ -327,8 +419,10 @@ object SvgChart {
 <text x="${w - mR}" y="${h - mB + 16}" text-anchor="end">${x1.toInt}</text>
 <text x="${mL - 4}" y="${py(y1) + 4}" text-anchor="end">${y1.toInt}</text>
 <text x="${mL - 4}" y="${h - mB}" text-anchor="end">0</text>
-<rect x="${w - 240}" y="$mT" width="12" height="12" fill="#cc2222"/><text x="${w - 222}" y="${mT + 11}">dyn-comparator</text>
-<rect x="${w - 240}" y="${mT + 18}" width="12" height="12" fill="#2222cc"/><text x="${w - 222}" y="${mT + 29}">rows-format</text>
+${series.keys.toSeq.sorted.zipWithIndex.map { case (st, i) =>
+        s"""<rect x="${w - 240}" y="${mT + i * 18}" width="12" height="12" fill="${colors
+          .getOrElse(st, "#333")}"/><text x="${w - 222}" y="${mT + 11 + i * 18}">$st</text>"""
+      }.mkString("\n")}
 $lines
 </svg>
 """

@@ -248,7 +248,13 @@ object GraftFunctions {
         require(silence.foldable, s"audio_stats: silence must be a literal, got $silence")
         val sv = silence.eval()
         require(sv != null, "audio_stats: silence must not be NULL")
-        AudioStats(exprs.head, frame, sv.asInstanceOf[Number].longValue())
+        val svLong = sv match {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"audio_stats: silence must be an integer literal, " +
+              s"got ${other.getClass.getSimpleName} ($other)")
+        }
+        AudioStats(exprs.head, frame, svLong)
       }),
   )
 

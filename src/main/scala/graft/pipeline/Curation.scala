@@ -584,6 +584,11 @@ object Curation {
     val intra = d.withColumn("intra", row_number().over(
       Window.partitionBy(col("b")).orderBy(col("h"), col("doc_id"))))
     val offsets = d.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      // unpartitioned window = single partition, but its INPUT is the
+      // bucket census (exactly ShardBuckets = 64 rows at any corpus
+      // size — metadata-scale, the q43 log-sized-argmax class). The
+      // corpus-sized rank is the partitionBy(b) window above; don't
+      // copy this global window onto corpus-scale data.
       .withColumn("off", coalesce(sum(col("cnt")).over(
         Window.orderBy(col("b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

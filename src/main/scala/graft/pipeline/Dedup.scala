@@ -981,6 +981,13 @@ object Dedup {
         val weights = cc.join(sizes, "root")
           .select(col("doc_id"), expr("1000000L div k").as("w_ppm"))
         t(s, dir, "documents").select(col("doc_id"), col("source"))
+          // broadcast caveat (ADVICE r8): weights is near-dup-MEMBERSHIP
+          // scale — it grows with the corpus' dup fraction, unlike the
+          // bounded-metadata broadcast sides elsewhere in this file. At
+          // gate SFs it is ≪ the 8 GB broadcast ceiling; a 100 TB
+          // deployment with a high dup rate drops the hint and lets AQE
+          // pick broadcast-vs-shuffle from the runtime size (the d5
+          // convention at :292).
           .join(broadcast(weights), Seq("doc_id"), "left_outer")
           .withColumn("in_cluster", col("w_ppm").isNotNull)
           .withColumn("w_ppm", coalesce(col("w_ppm"), lit(1000000L)))

@@ -1123,20 +1123,27 @@ object Advanced {
     Q(
       "q55_recursive_cte",
       (s, dir) => {
-        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        // Dir-scoped unique view name: createOrReplaceTempView mutates
+        // SESSION catalog state, and a generic name ("customer_v") could
+        // be rebound by a concurrent query or another SF dir on the same
+        // session (ADVICE r8). The md5 keeps it a legal identifier.
+        val view = "customer_q55_" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        t(s, dir, "customer").createOrReplaceTempView(view)
         s.sql(s"""
           WITH RECURSIVE chain(custkey, root, depth) AS (
             SELECT c_custkey, c_custkey, 0
-            FROM customer_v WHERE c_custkey < 10
+            FROM $view WHERE c_custkey < 10
             UNION ALL
             SELECT c.c_custkey, ch.root, ch.depth + 1
-            FROM customer_v c JOIN chain ch ON c.c_custkey div 10 = ch.custkey
+            FROM $view c JOIN chain ch ON c.c_custkey div 10 = ch.custkey
             WHERE c.c_custkey >= 10)
           SELECT ch.root, max(ch.depth) AS max_depth,
                  count(*) AS n_nodes,
                  CAST(sum(CAST(c.c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
                    AS subtree_bal
-          FROM chain ch JOIN customer_v c ON ch.custkey = c.c_custkey
+          FROM chain ch JOIN $view c ON ch.custkey = c.c_custkey
           GROUP BY ch.root""")
       },
       Some("""

@@ -262,6 +262,66 @@ object ColumnSort {
     case _ => null
   }
 
+  /** The full lexicographic index comparator for a batch — the same
+    * chain [[lexsortIndices]] sorts with (leading exact 64-bit keys
+    * hoisted to primitive long compares, megamorphic per-column chain
+    * for the rest), exposed for consumers that ORDER BY it without
+    * sorting: the k-way merge of sorted runs ([[MergeStreams]]). Built
+    * eagerly (both hoisted key arrays) — merge callers always compare
+    * across unsorted positions, so the presorted-scan laziness that
+    * motivates [[lexsortIndices]]'s inline variant buys nothing here.
+    */
+  private[sort] def fullChain(batch: ColumnBatch): IndexCmp = {
+    val k0 = if (batch.cols.nonEmpty) exactLeadingKey(batch.cols(0)) else null
+    if (k0 == null) {
+      val cmps = batch.cols.map(colCmp)
+      return new IndexCmp {
+        def lt(i: Int, j: Int): Boolean = {
+          var k = 0
+          while (k < cmps.length) {
+            val c = cmps(k).cmp(i, j)
+            if (c != 0) return c < 0
+            k += 1
+          }
+          false
+        }
+      }
+    }
+    val k1 = if (batch.cols.length > 1) exactLeadingKey(batch.cols(1)) else null
+    if (k1 == null) {
+      val rest = batch.cols.drop(1).map(colCmp)
+      return new IndexCmp {
+        def lt(i: Int, j: Int): Boolean = {
+          val c0 = java.lang.Long.compareUnsigned(k0(i), k0(j))
+          if (c0 != 0) return c0 < 0
+          var k = 0
+          while (k < rest.length) {
+            val c = rest(k).cmp(i, j)
+            if (c != 0) return c < 0
+            k += 1
+          }
+          false
+        }
+      }
+    }
+    val rest2 = batch.cols.drop(2).map(colCmp)
+    new IndexCmp {
+      def lt(i: Int, j: Int): Boolean = {
+        val c0 = java.lang.Long.compareUnsigned(k0(i), k0(j))
+        if (c0 != 0) return c0 < 0
+        val c1 = java.lang.Long.compareUnsigned(k1(i), k1(j))
+        if (c1 != 0) return c1 < 0
+        var k = 0
+        while (k < rest2.length) {
+          val c = rest2(k).cmp(i, j)
+          if (c != 0) return c < 0
+          k += 1
+        }
+        false
+      }
+    }
+  }
+
   /** Strategy A: chained per-column comparators over an index vector.
     * Up to the first TWO columns with exact 64-bit keys are hoisted into
     * primitive long compares ahead of the megamorphic chain: the first

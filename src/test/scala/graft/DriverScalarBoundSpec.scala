@@ -42,6 +42,7 @@ class DriverScalarBoundSpec extends SparkSpec {
       "SortSweep.scala",  // bench harness collecting timing rows, not data
       "SkewBench.scala",  // bench fixture prep (1-row agg for the hot key)
       "Probe.scala", "KernelProbe.scala", "CCProbe.scala", "QProbe.scala", // debug mains
+      "ProbeQuery.scala", // dev-loop single-query timer (collects to time the action)
     )
     // Dataset driver-pull spellings. `.take(`/`.head(n)` are EXCLUDED
     // deliberately: they collide textually with Scala-collection calls

@@ -10,7 +10,8 @@ class ChartSinkSpec extends AnyFunSuite {
   private val pts = for {
     size <- Seq(250, 5000, 50000, 100000)
     (strat, base) <- Seq("dyn-comparator" -> 30.0, "rows-format" -> 55.0)
-  } yield DataPoint("mixed-tuple", size, strat, 50, base + size / 1000.0)
+  } yield DataPoint("mixed-tuple", size, strat, 50,
+    base + size / 1000.0, base + size / 1000.0 - 2.0)
 
   test("PngChart renders a 1024x500 PNG with both series") {
     val bytes = PngChart.render(pts)

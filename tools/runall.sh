@@ -34,3 +34,14 @@ for case in dictionary-tuple mixed-dictionary-tuple; do
     --begin 250 --end 100000 --step-size "$STEP" --iters "$ITERS" \
     --out results 2>/dev/null
 done
+
+# merge-experiment cells (the sort-merge question the reference
+# scaffolds in src/data.rs:245-294 but never runs): k-way merge of 8
+# scattered sorted streams vs full re-sort, per case
+for case in utf8-tuple mixed-tuple dictionary-tuple mixed-dictionary-tuple; do
+  java $ADDOPENS -Dspark.ui.enabled=false -Xmx8g \
+    -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.bench.SortSweep --case "$case" --merge \
+    --begin 250 --end 100000 --step-size "$STEP" --iters "$ITERS" \
+    --out results 2>/dev/null
+done
