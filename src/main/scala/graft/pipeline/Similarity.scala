@@ -2312,7 +2312,107 @@ object Similarity {
         SELECT qid, vec_id, pick, mmr_score FROM sel$MmrK"""
       },
     ),
+
+    // ---- s15: HYBRID RETRIEVAL (lexical × vector, reciprocal-rank
+    //      fusion) — the composition every retrieval/curation stack
+    //      actually serves: a lexical more-like-this list (shared
+    //      shingles with the query doc, df-capped — the stopword-shed
+    //      retrieval twin of d2's index) and the vector top-10 (s1's
+    //      memoized exact list; at 100 TB the IVF path s4 swaps in,
+    //      same list shape), fused with RRF in EXACT integer ppm:
+    //      score = Σ_list 10⁶ div (60 + rank) — rank fusion needs no
+    //      score calibration between retrievers, which is why
+    //      production hybrids use it. Scale shape: the query-side
+    //      shingle set broadcasts (per-query bounded), the corpus side
+    //      rides the SHARED capped index (built once, amortized across
+    //      d2-d7/p1/t11), the overlap aggregate combines map-side, and
+    //      everything after the two rank windows is top-k-sized. The
+    //      df cap is what keeps the lexical leg alive at 100 TB: an
+    //      uncapped stop-shingle would match the whole corpus per
+    //      query. HybridRrfSpec pins the fusion arithmetic and the
+    //      both-lists-beats-one-list property. ----
+    Q(
+      "s15_hybrid_rrf",
+      (s, dir) => {
+        val vec = knnBrute(s, dir)
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            col("rn").cast("long").as("vrank"))
+        val sh = Dedup.cappedIndex(s, dir)
+        val qs = sh.filter(col("doc_id") < AuditQueries)
+          .select(col("doc_id").as("qid"), col("h"))
+        val lw = Window.partitionBy(col("qid"))
+          .orderBy(col("n_common").desc, col("doc_id").asc)
+        val lex = sh.join(broadcast(qs), Seq("h"))
+          .filter(col("doc_id") =!= col("qid"))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(count(lit(1)).as("n_common"))
+          .withColumn("lrank", row_number().over(lw).cast("long"))
+          .filter(col("lrank") <= RrfTopK)
+          .select(col("qid"), col("doc_id"), col("lrank"))
+        // full outer: a doc may appear in either list alone; both lists
+        // are AuditQueries·10 rows, so the join is audit-scale
+        val fw = Window.partitionBy(col("qid"))
+          .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+        lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+          .withColumn("rrf_ppm",
+            coalesce(expr(s"1000000L div ($RrfC + lrank)"), lit(0L)) +
+              coalesce(expr(s"1000000L div ($RrfC + vrank)"), lit(0L)))
+          .withColumn("rn", row_number().over(fw))
+          .filter(col("rn") <= RrfTopK)
+          .select(col("qid"), col("doc_id"),
+            col("lrank").isNotNull.as("in_lex"),
+            col("vrank").isNotNull.as("in_vec"),
+            col("rrf_ppm"), col("rn"))
+      },
+      Some(s"""
+        WITH sh0 AS (${Dedup.shingleIndexSql}),
+        shc AS (
+          SELECT * FROM sh0 WHERE h NOT IN (
+            SELECT h FROM sh0 GROUP BY h
+            HAVING count(*) > ${Dedup.ShingleDfCap})),
+        qs AS (SELECT doc_id AS qid, h FROM shc WHERE doc_id < $AuditQueries),
+        ov AS (
+          SELECT qs.qid, shc.doc_id, CAST(count(*) AS BIGINT) AS n_common
+          FROM shc JOIN qs ON shc.h = qs.h AND shc.doc_id != qs.qid
+          GROUP BY 1, 2),
+        lex AS (
+          SELECT qid, doc_id, CAST(lrank AS BIGINT) AS lrank
+          FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY n_common DESC, doc_id ASC) AS lrank FROM ov)
+          WHERE lrank <= $RrfTopK),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $AuditQueries),
+        p AS (SELECT qid, vec_id AS doc_id,
+                     ${cosSql("qv", "v")} AS cos_sim
+              FROM qv, e WHERE vec_id != qid),
+        vec AS (
+          SELECT qid, doc_id, CAST(vrank AS BIGINT) AS vrank
+          FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos_sim DESC, doc_id ASC) AS vrank FROM p)
+          WHERE vrank <= $RrfTopK),
+        f AS (
+          SELECT coalesce(l.qid, v.qid) AS qid,
+                 coalesce(l.doc_id, v.doc_id) AS doc_id,
+                 l.lrank, v.vrank,
+                 CAST(coalesce(1000000 // ($RrfC + l.lrank), 0)
+                      + coalesce(1000000 // ($RrfC + v.vrank), 0) AS BIGINT)
+                   AS rrf_ppm
+          FROM lex l FULL OUTER JOIN vec v
+            ON l.qid = v.qid AND l.doc_id = v.doc_id)
+        SELECT qid, doc_id, lrank IS NOT NULL AS in_lex,
+               vrank IS NOT NULL AS in_vec, rrf_ppm, rn
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY rrf_ppm DESC, doc_id ASC) AS rn FROM f)
+        WHERE rn <= $RrfTopK"""),
+    ),
   )
+
+  /** s15's fusion constants: the classic RRF damping constant (60, from
+    * the original reciprocal-rank-fusion formulation) and the fused
+    * list depth.
+    */
+  val RrfC = 60L
+  val RrfTopK = 10
 
   /** s14's serving constants: keep [[MmrK]] of the top-10 at the
     * classic half-and-half relevance/diversity trade.
