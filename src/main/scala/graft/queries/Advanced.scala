@@ -1427,6 +1427,39 @@ object Advanced {
         GROUP BY 1"""),
     ),
 
+    // ---- q61: SCD2 DIMENSION HISTORY — the other consumer of the CDC
+    //      log: not "the table as of v" (q43) but the full
+    //      slowly-changing-dimension type-2 ledger every warehouse
+    //      keeps for dimensions — one row per VERSION with
+    //      [valid_from, valid_to) batch intervals, tombstones closing
+    //      intervals without opening one, open intervals flagged
+    //      current. Built in one pass: base-as-batch-0 ∪ log, a
+    //      lead(b) window per key supplies each version's end, 'U'
+    //      rows become versions. The contract that makes it SCD2 and
+    //      not just a window trick: slicing the ledger at ANY v
+    //      (valid_from ≤ v < valid_to) must reproduce asOfState(v)
+    //      exactly — Scd2Spec pins all three versions against the
+    //      shared resolution convention. Scale shape: one shuffle on
+    //      the key, per-key windows over ≤ 1 + |batches| rows; the
+    //      ledger is corpus + log sized — the canonical distributed
+    //      SCD2 build (no self-join, no per-version scan). ----
+    Q(
+      "q61_scd2_history",
+      (s, dir) => scd2History(s, dir),
+      Some(s"""
+        WITH $cdcLogCtesSql,
+        allv AS (
+          SELECT 0 AS b, k, o_orderstatus, price, 'U' AS act FROM base
+          UNION ALL
+          SELECT b, k, o_orderstatus, price, act FROM logs),
+        v AS (
+          SELECT *, lead(b) OVER (PARTITION BY k ORDER BY b ASC) AS valid_to
+          FROM allv)
+        SELECT k, b AS valid_from, valid_to, o_orderstatus, price,
+               valid_to IS NULL AS is_current
+        FROM v WHERE act = 'U'"""),
+    ),
+
     // ---- q57: METADATA-ONLY aggregation — count/min/max answered
     //      from parquet FOOTER statistics, zero data pages read
     //      (PushedAggregation in the scan, PlanSpec-asserted). The
@@ -1590,6 +1623,27 @@ object Advanced {
     withPos
       .filter(pmod(col("pos"), lit(97)) === 0 || (col("fid") === 0 && col("pos") <= 5))
       .select(col("fid"), col("pos"))
+
+  /** q61's SCD2 ledger: base rows open version [0, …), each log 'U'
+    * opens a version at its batch, every next action (U or D) on the
+    * key closes the previous version — a single lead(b) window per key
+    * ((k, b) is unique: the log feeds are disjoint within a batch).
+    * Exposed for Scd2Spec's slice-at-v differential against
+    * [[asOfState]].
+    */
+  private[graft] def scd2History(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val base = cdcLake(s, dir).select(lit(0).as("b"), col("k"),
+      col("o_orderstatus"), col("price"), lit("U").as("act"))
+    val all = base.unionByName(cdcLogs(s, dir)
+      .select(col("b"), col("k"), col("o_orderstatus"), col("price"), col("act")))
+    val w = Window.partitionBy(col("k")).orderBy(col("b"))
+    all.withColumn("valid_to", lead(col("b"), 1).over(w))
+      .filter(col("act") === "U")
+      .select(col("k"), col("b").as("valid_from"), col("valid_to"),
+        col("o_orderstatus"), col("price"),
+        col("valid_to").isNull.as("is_current"))
+  }
 
   /** The CDC family's lake view of orders: `(k, o_orderstatus, price)`.
     * Shared by q41 (copy-on-write merge) and q43 (merge-on-read log +
