@@ -1446,18 +1446,7 @@ object Advanced {
     Q(
       "q61_scd2_history",
       (s, dir) => scd2History(s, dir),
-      Some(s"""
-        WITH $cdcLogCtesSql,
-        allv AS (
-          SELECT 0 AS b, k, o_orderstatus, price, 'U' AS act FROM base
-          UNION ALL
-          SELECT b, k, o_orderstatus, price, act FROM logs),
-        v AS (
-          SELECT *, lead(b) OVER (PARTITION BY k ORDER BY b ASC) AS valid_to
-          FROM allv)
-        SELECT k, b AS valid_from, valid_to, o_orderstatus, price,
-               valid_to IS NULL AS is_current
-        FROM v WHERE act = 'U'"""),
+      Some(scd2OracleSql),
     ),
 
     // ---- q57: METADATA-ONLY aggregation — count/min/max answered
@@ -1623,6 +1612,25 @@ object Advanced {
     withPos
       .filter(pmod(col("pos"), lit(97)) === 0 || (col("fid") === 0 && col("pos") <= 5))
       .select(col("fid"), col("pos"))
+
+  /** The SCD2 ledger's DuckDB twin — ONE spelling shared by q61 (the
+    * window build) and e20 (the streamed maintainer): the two builds
+    * must resolve the identical history or the batch/stream contract
+    * breaks, so the ground truth must not be able to drift between
+    * them (the e11/e12 shared-oracle convention).
+    */
+  private[graft] def scd2OracleSql: String = s"""
+        WITH $cdcLogCtesSql,
+        allv AS (
+          SELECT 0 AS b, k, o_orderstatus, price, 'U' AS act FROM base
+          UNION ALL
+          SELECT b, k, o_orderstatus, price, act FROM logs),
+        v AS (
+          SELECT *, lead(b) OVER (PARTITION BY k ORDER BY b ASC) AS valid_to
+          FROM allv)
+        SELECT k, b AS valid_from, valid_to, o_orderstatus, price,
+               valid_to IS NULL AS is_current
+        FROM v WHERE act = 'U'"""
 
   /** q61's SCD2 ledger: base rows open version [0, …), each log 'U'
     * opens a version at its batch, every next action (U or D) on the

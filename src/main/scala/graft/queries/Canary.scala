@@ -159,6 +159,73 @@ object Canary {
                      (999983)) t(n)"""),
     ),
 
+    // ---- qc8: double round() semantics — every float-emitting oracle
+    //      rounds at 4-6 decimals before hashing; Spark rounds HALF_UP
+    //      on the double's SHORTEST decimal representation
+    //      (BigDecimal.valueOf), DuckDB half-away on its printed value
+    //      — these agree on the probe set (half-units, binary-inexact
+    //      representations, repeating fractions) but a DuckDB build
+    //      that switched to round-half-even would split exactly here
+    //      and nowhere else. All inputs forced DOUBLE (a bare 2.5
+    //      literal is DECIMAL in DuckDB — different rounding path). ----
+    Q(
+      "qc8_round_double",
+      (s, _) => {
+        import s.implicits._
+        Seq(
+          ("half_pos", 2.5, 0), ("half_pos2", 3.5, 0), ("half_neg", -2.5, 0),
+          ("inexact_up", 2.675, 2), ("exact_half", 0.125, 2),
+          ("third", 1.0 / 3.0, 6), ("two_third", 2.0 / 3.0, 6),
+          ("fp_sum", 0.1 + 0.2, 6))
+          .toDF("lbl", "x", "d")
+          .select(col("lbl"), round(col("x"), 0).as("r0"),
+            when(col("d") === 2, round(col("x"), 2))
+              .when(col("d") === 6, round(col("x"), 6))
+              .otherwise(round(col("x"), 0)).as("r"))
+      },
+      Some("""
+        SELECT lbl, round(x, 0) AS r0,
+               CASE WHEN d = 2 THEN round(x, 2)
+                    WHEN d = 6 THEN round(x, 6)
+                    ELSE round(x, 0) END AS r
+        FROM (VALUES
+          ('half_pos', 2.5::DOUBLE, 0), ('half_pos2', 3.5::DOUBLE, 0),
+          ('half_neg', -2.5::DOUBLE, 0),
+          ('inexact_up', 2.675::DOUBLE, 2), ('exact_half', 0.125::DOUBLE, 2),
+          ('third', 1.0::DOUBLE / 3.0::DOUBLE, 6),
+          ('two_third', 2.0::DOUBLE / 3.0::DOUBLE, 6),
+          ('fp_sum', 0.1::DOUBLE + 0.2::DOUBLE, 6)) t(lbl, x, d)"""),
+    ),
+
+    // ---- qc9: the text-normalization ladder every t/d-family oracle
+    //      rides — lowercase/trim/whitespace-collapse, regex word
+    //      split, md5 fingerprint of the normalized text — probed on
+    //      adversarial strings (empty, all-space, runs of whitespace,
+    //      mixed case, non-BMP) so a regex- or md5-behavior drift in
+    //      the oracle engine localizes here instead of splitting forty
+    //      dedup hashes at once. ----
+    Q(
+      "qc9_text_norm",
+      (s, _) => {
+        import s.implicits._
+        Seq("", " ", "  a  B  ", "Hello, World!", "tab\tand\nnewline",
+          "café 😀 end")
+          .toDF("t")
+          .select(col("t"),
+            graft.pipeline.Portable.nWords(col("t")).cast("long").as("n_words"),
+            graft.pipeline.Portable.normText(col("t")).as("norm"),
+            graft.pipeline.Portable.normFingerprint(col("t")).as("fp"))
+      },
+      Some(s"""
+        SELECT t,
+               CAST(len(${graft.pipeline.Portable.wordsSql("t")}) AS BIGINT) AS n_words,
+               regexp_replace(lower(trim(t)), '\\s+', ' ', 'g') AS norm,
+               md5(regexp_replace(lower(trim(t)), '\\s+', ' ', 'g')) AS fp
+        FROM (VALUES (''), (' '), ('  a  B  '), ('Hello, World!'),
+                     (E'tab\\tand\\nnewline'),
+                     ('café 😀 end')) t(t)"""),
+    ),
+
     // ---- qc7: the timestamp ladder — parquet TIMESTAMP → hour trunc →
     //      epoch micros, over the real events table (the one canary
     //      that reads testdata, because the ladder's risk IS the

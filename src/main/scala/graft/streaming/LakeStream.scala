@@ -58,4 +58,57 @@ object LakeStream {
           latest
       }
   }
+
+  /** An SCD2 ledger row: one key VERSION with its [valid_from,
+    * valid_to) batch interval (open interval = current). The streamed
+    * twin of q61's one-pass window build.
+    */
+  case class Ver(k: Long, valid_from: Int, valid_to: Option[Int],
+      o_orderstatus: String, price: Double, is_current: Boolean)
+
+  /** A key's open (current) version — the SCD2 maintainer's state. */
+  case class OpenVer(b: Int, o_orderstatus: String, price: Double)
+
+  /** Incremental SCD2 history maintenance (e20, q61's streaming twin):
+    * per key, each arriving action CLOSES the open version (emitting
+    * its final closed row) and an upsert OPENS a new one; the open
+    * version is (re-)emitted flagged current on every batch that
+    * touches its key — update-mode semantics, so downstream consumers
+    * upsert by (k, valid_from), exactly like [[cdcCompact]]'s
+    * consumers upsert by key. State per key is ONE row (the open
+    * version): total state is bounded by the live-key set, never the
+    * history. Batch (the twin gate): each key sees its full change
+    * sequence at once, so the fold emits precisely q61's ledger —
+    * closed intervals plus the flagged-current open one (StreamScd2Spec
+    * pins equality, and pins the live prefix against a MemoryStream).
+    * Same feed contract as [[cdcCompact]]: one action per (b, k);
+    * within-batch arrival order is absorbed by the bounded per-key
+    * sort on the batch stamp.
+    */
+  def scd2Maintain(changes: Dataset[Chg]): Dataset[Ver] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.k)
+      .flatMapGroupsWithState[OpenVer, Ver](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (k, it, state) =>
+          val evs = it.toArray.sortBy(_.b)
+          val out = scala.collection.mutable.ArrayBuffer[Ver]()
+          var open = state.getOption
+          for (e <- evs) {
+            open.foreach(o => out +=
+              Ver(k, o.b, Some(e.b), o.o_orderstatus, o.price, is_current = false))
+            open =
+              if (e.act == "U") Some(OpenVer(e.b, e.o_orderstatus, e.price))
+              else None
+          }
+          open match {
+            case Some(o) =>
+              state.update(o)
+              out += Ver(k, o.b, None, o.o_orderstatus, o.price, is_current = true)
+            case None => state.remove()
+          }
+          out.iterator
+      }
+  }
 }

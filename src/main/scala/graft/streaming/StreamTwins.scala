@@ -267,6 +267,31 @@ object StreamTwins {
         FROM merged GROUP BY 1"""),
     ),
 
+    // ---- e20: batch run of the SCD2 maintainer — q61's streaming
+    //      twin: the same flatMapGroupsWithState fold that maintains
+    //      dimension history incrementally (each action closes the
+    //      open version, upserts open a new one, the open version is
+    //      re-emitted flagged current), run over base-as-batch-0 ∪ the
+    //      full log. In batch every key sees its whole change sequence
+    //      at once, so the emission is EXACTLY q61's one-pass window
+    //      ledger — StreamScd2Spec pins bit-equality plus the live
+    //      MemoryStream behavior (update-mode supersession by
+    //      (k, valid_from)). Scale shape: one key shuffle; state = one
+    //      open version per live key, never the history. ----
+    Q(
+      "e20_stream_scd2",
+      (s, dir) => {
+        import s.implicits._
+        val base = graft.queries.Advanced.cdcLake(s, dir)
+          .select(lit(0).as("b"), col("k"), col("o_orderstatus"),
+            col("price"), lit("U").as("act"))
+        val all = base.unionByName(graft.queries.Advanced.cdcLogs(s, dir)
+          .select(col("b"), col("k"), col("o_orderstatus"), col("price"), col("act")))
+        LakeStream.scd2Maintain(all.as[LakeStream.Chg]).toDF()
+      },
+      Some(graft.queries.Advanced.scd2OracleSql),
+    ),
+
     // ---- e18: batch run of the gapFill state machine — the streaming
     //      resampler twin of the e16 family, per-series form: each
     //      type's DENSE hourly grid from its first to its last observed
