@@ -2405,6 +2405,109 @@ object Similarity {
                 ORDER BY rrf_ppm DESC, doc_id ASC) AS rn FROM f)
         WHERE rn <= $RrfTopK"""),
     ),
+
+    // ---- s16: RECALL-vs-NPROBE SWEEP — the measurement behind the one
+    //      knob every IVF deployment tunes: per audit query, recall@10
+    //      against the exact baseline at every probe budget in
+    //      [[NProbeLadder]] (1, 2, 4 = the serving default). Built as a
+    //      delta on s4's machinery: the centroid ranking runs ONCE to
+    //      the ladder max, candidates score ONCE, and each rung is a
+    //      filter + re-rank over the shared scored set — measuring 3
+    //      budgets costs ~1 probe pass, not 3 (the same
+    //      share-the-expensive-leg shape as s2's audit). At 100 TB
+    //      this table is what picks nprobe: probe work scales linearly
+    //      with the rung while recall saturates, and the sweep makes
+    //      the saturation point a measured fact instead of folklore.
+    //      RecallSweepSpec pins rung-4 consistency with s4's serving
+    //      path. ----
+    Q(
+      "s16_nprobe_recall",
+      (s, dir) => {
+        import s.implicits._
+        val e = vecs(s, dir)
+        val k = numCentroids(corpusCount(s, dir))
+        val cent = ivfCentroids(s, dir, e, k)
+        val assigned = ivfAssigned(s, dir, e, k)
+        val q = e.filter(col("vec_id") < AuditQueries)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val pw = Window.partitionBy(col("qid"))
+          .orderBy(col("c_sim").desc, col("cid").asc)
+        val maxP = NProbeLadder.max
+        val probes = q.join(broadcast(cent))
+          .withColumn("c_sim", round(cosine("cv", "qv"), 6))
+          .withColumn("prn", row_number().over(pw))
+          .filter(col("prn") <= maxP)
+          .select(col("qid"), col("qv"), col("cid"), col("prn"))
+        // score each probed candidate ONCE at the ladder max, then
+        // replicate per qualifying rung (a broadcast theta-join against
+        // the 3-row ladder — candidate-scale, not corpus-scale)
+        val scored = assigned.join(broadcast(probes), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos_sim", round(cosine("qv", "v"), 6))
+          .select(col("qid"), col("vec_id"), col("cos_sim"), col("prn"))
+        val rungs = NProbeLadder.toDF("np")
+        val w = Window.partitionBy(col("np"), col("qid"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        val approx = scored.join(broadcast(rungs), col("prn") <= col("np"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("np"), col("qid"), col("vec_id"))
+        val exact = knnBrute(s, dir).select(col("qid"), col("vec_id"))
+        val qids = q.select(col("qid"))
+        val grid = qids.crossJoin(broadcast(rungs)) // AuditQueries × |ladder|
+        val hits = approx.join(exact, Seq("qid", "vec_id"))
+          .groupBy(col("np"), col("qid")).agg(count(lit(1)).as("n_hit"))
+        grid.join(hits, Seq("np", "qid"), "left_outer")
+          .select(col("np"), col("qid"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        ivfpar AS (
+          SELECT k, CAST(ceil(k / ceil(sqrt(k))) AS BIGINT) AS m
+          FROM (SELECT $numCentroidsSql AS k)),
+        cent0 AS (
+          SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id >= $CentroidLo AND vec_id < $CentroidLo + $numCentroidsSql),
+        $lloydCtesSql,
+        probes AS (
+          SELECT qid, qv, cid, prn FROM (
+            SELECT e.vec_id AS qid, e.v AS qv, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosSql("cv", "qv")} DESC, cid ASC) AS prn
+            FROM e, cent$LloydIters c WHERE e.vec_id < $AuditQueries)
+          WHERE prn <= ${NProbeLadder.max}),
+        scored AS (
+          SELECT qid, asg.vec_id AS vec_id, ${cosSql("qv", "v")} AS cos_sim, prn
+          FROM asg$LloydIters asg JOIN probes USING (cid)
+          WHERE asg.vec_id != qid),
+        rungs AS (SELECT unnest(ARRAY[${NProbeLadder.mkString(", ")}]) AS np),
+        approx AS (
+          SELECT np, qid, vec_id FROM (
+            SELECT r.np, s.qid, s.vec_id,
+                   row_number() OVER (PARTITION BY r.np, s.qid
+                     ORDER BY s.cos_sim DESC, s.vec_id ASC) AS rn
+            FROM scored s JOIN rungs r ON s.prn <= r.np)
+          WHERE rn <= 10),
+        exact AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                     ORDER BY cos_sim DESC, vec_id ASC) AS rn
+            FROM (SELECT q.vec_id AS qid, e.vec_id,
+                         ${cosSql("q.v", "e.v")} AS cos_sim
+                  FROM e q, e WHERE q.vec_id < $AuditQueries
+                    AND e.vec_id != q.vec_id))
+          WHERE rn <= 10),
+        grid AS (
+          SELECT np, qid FROM rungs
+          CROSS JOIN (SELECT vec_id AS qid FROM e WHERE vec_id < $AuditQueries))
+        SELECT g.np, g.qid,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+        FROM grid g LEFT JOIN (
+          SELECT a.np, a.qid, CAST(count(*) AS BIGINT) AS n_hit
+          FROM approx a JOIN exact x ON a.qid = x.qid AND a.vec_id = x.vec_id
+          GROUP BY 1, 2) h ON g.np = h.np AND g.qid = h.qid"""),
+    ),
   )
 
   /** s15's fusion constants: the classic RRF damping constant (60, from
@@ -2413,6 +2516,11 @@ object Similarity {
     */
   val RrfC = 60L
   val RrfTopK = 10
+
+  /** s16's probe-budget ladder: recall is measured at every rung up to
+    * the serving default [[NProbe]] = 4.
+    */
+  val NProbeLadder = Seq(1, 2, 4)
 
   /** s14's serving constants: keep [[MmrK]] of the top-10 at the
     * classic half-and-half relevance/diversity trade.
