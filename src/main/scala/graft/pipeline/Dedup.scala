@@ -1011,6 +1011,36 @@ object Dedup {
         FROM documents d LEFT JOIN wts w USING (doc_id)
         GROUP BY 1"""),
     ),
+
+    // ---- d15: CLUSTER CENSUS — the audit report every dedup run ships
+    //      before anyone acts on it: the cluster-SIZE distribution over
+    //      the whole corpus (singletons included), with per-size doc
+    //      mass and the excess a hard dedup would drop. This is the
+    //      table that decides between d6-drop, d13-canonical and
+    //      d14-soft-weights: a fat tail of large clusters argues for
+    //      soft weighting, a thin one for dropping. Scale shape: rides
+    //      the shared d6 component artifact; two map-side-combinable
+    //      integer aggregates (root→size, size→census), output bounded
+    //      by the largest cluster size — never corpus-scale. ----
+    Q(
+      "d15_cluster_census",
+      (s, dir) => {
+        val sizes = corpusRoots(s, dir).groupBy(col("root"))
+          .agg(count(lit(1)).as("k"))
+        sizes.groupBy(col("k"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(col("k"), col("n_clusters"),
+            (col("k") * col("n_clusters")).as("n_docs"),
+            ((col("k") - 1) * col("n_clusters")).as("n_excess"))
+      },
+      Some(s"""
+        WITH RECURSIVE $corpusRootsCtes,
+        ks AS (SELECT root, CAST(count(*) AS BIGINT) AS k FROM wr GROUP BY 1)
+        SELECT k, CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(k * count(*) AS BIGINT) AS n_docs,
+               CAST((k - 1) * count(*) AS BIGINT) AS n_excess
+        FROM ks GROUP BY 1"""),
+    ),
   )
 
   /** d9/d11's eval side: distinct `(h, eval_id)` spans of the stand-in
