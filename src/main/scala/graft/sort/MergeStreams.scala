@@ -84,9 +84,11 @@ object MergeStreams {
     // virtual: run id for < k, the always-losing sentinel -1 above);
     // after emitting, only the consumed run's key changed, so replaying
     // that run's leaf-to-root path against the stored losers restores
-    // the invariant — log2(k) comparator calls per emitted row, a
-    // single compare per level (the reason external merges use this
-    // over a binary heap's sift-down double-compare).
+    // the invariant — one MATCH per level, log2(k) per emitted row
+    // (a binary heap sifts down with two matches per level). A match
+    // here costs up to two `lt` probes (the lt-only comparator can't
+    // 3-way; the second probe runs only on non-strict orderings to
+    // detect the tie the run-id rule breaks).
     var m = 1
     while (m < k) m <<= 1
     val tree = new Array[Int](m) // losers; tree(0) unused

@@ -81,9 +81,14 @@ object LakeStream {
     * sequence at once, so the fold emits precisely q61's ledger —
     * closed intervals plus the flagged-current open one (StreamScd2Spec
     * pins equality, and pins the live prefix against a MemoryStream).
-    * Same feed contract as [[cdcCompact]]: one action per (b, k);
-    * within-batch arrival order is absorbed by the bounded per-key
-    * sort on the batch stamp.
+    * Feed contract — STRICTER than [[cdcCompact]]'s: one action per
+    * (b, k), and batch stamps must be non-decreasing ACROSS
+    * micro-batches (the CDC log replays in batch order). cdcCompact's
+    * latest-wins argmax absorbs cross-batch disorder; an interval
+    * ledger cannot — a stamp below the open version's would demand a
+    * history rewrite, which is a reprocessing event, not a state
+    * update. Within one micro-batch, order is absorbed by the bounded
+    * per-key sort on the stamp.
     */
   def scd2Maintain(changes: Dataset[Chg]): Dataset[Ver] = {
     import changes.sparkSession.implicits._
