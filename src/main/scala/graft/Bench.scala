@@ -120,8 +120,10 @@ object Bench {
           val df = c.df(spark, 100000).persist()
           df.count()
           // 31 iters per pass (~the reference's 50-iter protocol across
-          // the two min-merged passes): the reported min only improves
-          // with samples, and the µs cells are the baseline-gated number
+          // the two passes): the gated statistic is now the MEAN
+          // (min-of-means across the two windows), and 31 in-task
+          // iterations keep each window's mean estimate tight while the
+          // min column still sharpens with samples
           val pts = graft.bench.SortSweep.measureBoth(caseName, df, 100000, 31)
           df.unpersist(blocking = true)
           pts

@@ -13,10 +13,13 @@ import org.apache.spark.sql.SparkSession
   */
 object ProbeQuery {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val iters = args.lift(2).map(_.toInt).getOrElse(3)
-    val explain = args.contains("--explain")
+    // flags are position-independent: `<name> --explain` and
+    // `<name> <sfDir> --explain` are both legal per the usage line
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    val name = pos(0)
+    val dir = pos.lift(1).getOrElse("/root/testdata/sf0.1")
+    val iters = pos.lift(2).map(_.toInt).getOrElse(3)
+    val explain = flags.contains("--explain")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

@@ -187,9 +187,11 @@ object SortSweep {
   /** One Spark job; both kernels timed inside the task on the same
     * materialized array under the same JIT state. Strategies are
     * interleaved per iteration exactly like the reference's inner loop
-    * (`src/main.rs:40-55`), and the reported statistic is the per-
-    * iteration MIN — the container's GC/CPU noise produces rare 10×
-    * outlier iterations that would dominate a mean.
+    * (`src/main.rs:40-55`). Each cell reports BOTH statistics since
+    * round 9: the MEAN (the reference's published protocol — the
+    * baseline-gated, chart-plotted number) and the MIN (the
+    * noise-robust estimator; the container's GC/CPU noise produces
+    * rare 10× outlier iterations that inflate a one-window mean).
     */
   def measureBoth(caseName: String, input: DataFrame, size: Int, iters: Int): Seq[DataPoint] = {
     val schema = input.schema

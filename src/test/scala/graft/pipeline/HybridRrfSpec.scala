@@ -46,8 +46,9 @@ class HybridRrfSpec extends SparkSpec {
   }
 
   test("a doc in both lists outranks any single-list doc at any rank") {
-    // min dual score = 2 * 10^6 div (60+10) = 28570+28570; max single =
-    // 10^6 div 61 = 16393 — structural, but assert it on the data
+    // min dual score = 2 · (10^6 div (60+10)) = 2 · 14285 = 28570;
+    // max single = 10^6 div 61 = 16393 — structural, but assert it on
+    // the data
     val rows = result.collect()
     val duals = rows.filter(r => r.getAs[Boolean]("in_lex") && r.getAs[Boolean]("in_vec"))
     val singles = rows.filter(r => r.getAs[Boolean]("in_lex") ^ r.getAs[Boolean]("in_vec"))

@@ -22,7 +22,10 @@ class MergeStreamsSpec extends SparkSpec {
     MergeStreams.scatter(sorted, streams, seed = 1337L)
   }
 
-  for (c <- Case.all; n <- Seq(0, 1, 100, 5000); k <- Seq(1, 8)) {
+  // k = 3 and 5 exercise the loser tree's non-power-of-two bracket
+  // (sentinel -1 leaves in init and replay) — the padding path k = 8
+  // never touches; k = 1 the single-run short-circuit
+  for (c <- Case.all; n <- Seq(0, 1, 100, 5000); k <- Seq(1, 3, 5, 8)) {
     test(s"merge differential: ${c.name} n=$n streams=$k") {
       val (scattered, offsets) = scatteredOf(c, n, k)
       // both permutations are STABLE total sorts of the scattered batch,
