@@ -27,6 +27,7 @@ object MergeStreams {
     * `[offsets(k), offsets(k+1))`).
     */
   def scatter(sorted: ColumnBatch, streams: Int, seed: Long): (ColumnBatch, Array[Int]) = {
+    require(streams > 0, s"scatter: streams must be positive, got $streams")
     val n = sorted.numRows
     val rnd = new java.util.Random(seed)
     val assign = Array.fill(n)(rnd.nextInt(streams))
@@ -36,7 +37,7 @@ object MergeStreams {
     val offsets = new Array[Int](streams + 1)
     i = 0
     while (i < streams) { offsets(i + 1) = offsets(i) + counts(i); i += 1 }
-    val cursor = offsets.take(streams).clone()
+    val cursor = offsets.take(streams) // take copies; cursor mutates freely
     val perm = new Array[Int](n)
     i = 0
     while (i < n) { // order-preserving within each stream
@@ -57,15 +58,20 @@ object MergeStreams {
     * exactly the original sorted order.
     */
   def mergeRuns(batch: ColumnBatch, offsets: Array[Int]): Array[Int] = {
-    val cmp = ColumnSort.fullChain(batch)
+    // zero-based contract made executable: the emit loop counts to
+    // offsets(k) and run 0 starts at offsets(0) — a non-zero base would
+    // silently emit out-of-run indices instead of failing
+    require(offsets.nonEmpty && offsets(0) == 0,
+      s"mergeRuns: offsets must start at 0, got ${offsets.headOption}")
     val k = offsets.length - 1
     val n = offsets(k)
     val out = new Array[Int](n)
-    if (k == 1) { // single run: already sorted
+    if (k == 1) { // single run: already sorted — no comparator needed
       var i = 0
       while (i < n) { out(i) = i; i += 1 }
       return out
     }
+    val cmp = ColumnSort.fullChain(batch) // built only when a merge will run
     val head = new Array[Int](k) // next unconsumed position per run
     java.lang.System.arraycopy(offsets, 0, head, 0, k)
     // run a BEATS run b iff a's head row sorts strictly before b's, or
