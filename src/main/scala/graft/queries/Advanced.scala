@@ -1639,14 +1639,23 @@ object Advanced {
     * Exposed for Scd2Spec's slice-at-v differential against
     * [[asOfState]].
     */
+  /** The SCD2 family's change feed: base rows as batch-0 upserts ∪ the
+    * CDC log — ONE definition shared by q61's window build, e20's
+    * streamed maintainer and their specs (the cdcLogCtesSql convention:
+    * a feed-column edit must land in every consumer at once).
+    */
+  private[graft] def scd2Input(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    cdcLake(s, dir)
+      .select(lit(0).as("b"), col("k"),
+        col("o_orderstatus"), col("price"), lit("U").as("act"))
+      .unionByName(cdcLogs(s, dir)
+        .select(col("b"), col("k"), col("o_orderstatus"), col("price"), col("act")))
+
   private[graft] def scd2History(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val base = cdcLake(s, dir).select(lit(0).as("b"), col("k"),
-      col("o_orderstatus"), col("price"), lit("U").as("act"))
-    val all = base.unionByName(cdcLogs(s, dir)
-      .select(col("b"), col("k"), col("o_orderstatus"), col("price"), col("act")))
     val w = Window.partitionBy(col("k")).orderBy(col("b"))
-    all.withColumn("valid_to", lead(col("b"), 1).over(w))
+    scd2Input(s, dir).withColumn("valid_to", lead(col("b"), 1).over(w))
       .filter(col("act") === "U")
       .select(col("k"), col("b").as("valid_from"), col("valid_to"),
         col("o_orderstatus"), col("price"),

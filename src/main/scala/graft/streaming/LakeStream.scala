@@ -51,10 +51,17 @@ object LakeStream {
     changes.groupByKey(_.k)
       .mapGroupsWithState[KeyAct, KeyAct](GroupStateTimeout.NoTimeout) {
         (k, it, state) =>
+          // first-maximum kept EXPLICITLY (strict >): the held state is
+          // the leftmost element, so a redelivered equal-stamp record
+          // can never displace it — previously this rode on maxBy's
+          // unspecified tie order (review r9)
           val latest = (state.getOption.iterator ++
             it.map(c => KeyAct(k, c.b, c.o_orderstatus, c.price, c.act)))
-            .maxBy(_.b)
-          state.update(latest)
+            .reduceLeft((a, c) => if (c.b > a.b) c else a)
+          // skip the state-store put when nothing changed — the
+          // at-least-once redelivery path this module absorbs would
+          // otherwise pay a checkpoint write per stale record
+          if (!state.getOption.contains(latest)) state.update(latest)
           latest
       }
   }
@@ -101,11 +108,29 @@ object LakeStream {
           val out = scala.collection.mutable.ArrayBuffer[Ver]()
           var open = state.getOption
           for (e <- evs) {
-            open.foreach(o => out +=
-              Ver(k, o.b, Some(e.b), o.o_orderstatus, o.price, is_current = false))
-            open =
-              if (e.act == "U") Some(OpenVer(e.b, e.o_orderstatus, e.price))
-              else None
+            // a regressed stamp is a feed violation the ledger cannot
+            // absorb (history rewrite = reprocessing event): fail the
+            // stream rather than checkpoint an inverted interval
+            require(open.forall(_.b <= e.b),
+              s"scd2Maintain: key $k batch ${e.b} arrived after open version " +
+                s"${open.map(_.b)} — out-of-order feed, reprocess required")
+            if (open.exists(_.b == e.b)) {
+              // bit-identical redelivery of the open version (the one
+              // equal-stamp case the (b, k)-uniqueness contract allows):
+              // idempotent re-apply — do NOT close-and-reopen, which
+              // would emit a zero-length [b, b) interval that supersedes
+              // the genuine current row downstream
+            } else {
+              open.foreach(o => out +=
+                Ver(k, o.b, Some(e.b), o.o_orderstatus, o.price, is_current = false))
+              open = e.act match {
+                case "U" => Some(OpenVer(e.b, e.o_orderstatus, e.price))
+                case "D" => None
+                case other => throw new IllegalArgumentException(
+                  s"scd2Maintain: key $k batch ${e.b}: unknown action '$other' " +
+                    "(feed contract is 'U' | 'D')")
+              }
+            }
           }
           open match {
             case Some(o) =>

@@ -282,12 +282,8 @@ object StreamTwins {
       "e20_stream_scd2",
       (s, dir) => {
         import s.implicits._
-        val base = graft.queries.Advanced.cdcLake(s, dir)
-          .select(lit(0).as("b"), col("k"), col("o_orderstatus"),
-            col("price"), lit("U").as("act"))
-        val all = base.unionByName(graft.queries.Advanced.cdcLogs(s, dir)
-          .select(col("b"), col("k"), col("o_orderstatus"), col("price"), col("act")))
-        LakeStream.scd2Maintain(all.as[LakeStream.Chg]).toDF()
+        LakeStream.scd2Maintain(
+          graft.queries.Advanced.scd2Input(s, dir).as[LakeStream.Chg]).toDF()
       },
       Some(graft.queries.Advanced.scd2OracleSql),
     ),

@@ -30,23 +30,19 @@ class StreamScd2Spec extends SparkSpec {
     // covering all transition shapes (update, delete, delete-then-
     // nothing, insert of a fresh key, untouched)
     val keyCap = 3000L
-    val base = graft.queries.Advanced.cdcLake(spark, dir)
-      .filter(col("k") < keyCap)
-      .select(lit(0).as("b"), col("k"), col("o_orderstatus"),
-        col("price"), lit("U").as("act")).as[Chg].collect()
-    val logs = graft.queries.Advanced.cdcLogs(spark, dir)
-      .filter(col("k") < keyCap)
-      .select(col("b"), col("k"), col("o_orderstatus"), col("price"), col("act"))
-      .as[Chg].collect()
+    val feed = graft.queries.Advanced.scd2Input(spark, dir)
+      .filter(col("k") < keyCap).as[Chg].collect()
     val mem = MemoryStream[Chg]
     val query = scd2Maintain(mem.toDS())
       .writeStream.format("memory").queryName("scd2_live")
       .outputMode("update").start()
     try {
-      mem.addData(base.toIndexedSeq)
-      query.processAllAvailable()
-      for (b <- Seq(1, 2)) {
-        mem.addData(logs.filter(_.b == b).toIndexedSeq)
+      // batch 1 is fed TWICE (adjacent redelivery — the at-least-once
+      // case the maintainer's equal-stamp skip absorbs): the upserted
+      // view must still equal the ledger, with no zero-length [b, b)
+      // intervals superseding genuine current rows
+      for (b <- Seq(0, 1, 1, 2)) {
+        mem.addData(feed.filter(_.b == b).toIndexedSeq)
         query.processAllAvailable()
       }
       // update-mode supersession, emit-order-free: a version closes at
