@@ -73,7 +73,7 @@ object Curation {
                  $langCountsSql,
                  CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INT) AS n_words,
                  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens,
-                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+                 ${Portable.normFingerprintSql("text")} AS fingerprint
           FROM documents),
         gated AS (
           SELECT *, $predLangSql AS pred_lang

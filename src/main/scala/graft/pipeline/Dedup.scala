@@ -106,7 +106,7 @@ object Dedup {
           FROM docs, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SpanK - 1})) AS i) t
           WHERE len(w) >= $SpanK)"""
 
-  private def normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private def normSql = Portable.normTextSql("text")
 
   /** Documents table re-sharded across the cluster before per-document
     * EXPLOSION (shingles ×~2000, words ×tokens): a compact corpus file

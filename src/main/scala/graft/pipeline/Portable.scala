@@ -45,6 +45,17 @@ object Portable {
   def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** DuckDB twin of [[normText]] — ONE spelling for every oracle site
+    * (t4, p1, d1's normSql, qc9): an edit lands everywhere at once, so
+    * the canary always probes what the operators actually run.
+    */
+  def normTextSql(x: String): String =
+    s"regexp_replace(lower(trim($x)), '\\s+', ' ', 'g')"
+
+  /** DuckDB twin of [[normFingerprint]]. */
+  def normFingerprintSql(x: String): String =
+    s"md5(${normTextSql(x)})"
+
   /** md5 hex fingerprint of whitespace-normalized text — the ONE
     * normalization d1, t4, p1 and the streaming ingest dedup share (the
     * streaming/batch dedup contract rests on these being identical).

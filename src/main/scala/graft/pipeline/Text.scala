@@ -137,8 +137,8 @@ object Text {
       },
       Some(s"""
         SELECT doc_id,
-               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
-               ${md5LongSql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp60
+               ${normFingerprintSql("text")} AS fingerprint,
+               ${md5LongSql(normTextSql("text"))} AS fp60
         FROM documents"""),
     ),
     // ---- t5: winnowing fingerprints via the custom codegen'd Catalyst

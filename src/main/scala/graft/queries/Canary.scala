@@ -30,8 +30,11 @@ import graft.{Q, Tables}
   */
 object Canary {
 
-  /** Fixed probe integers used by the sum/div canaries — includes 0,
-    * ties, and values big enough that `sum*1000000` exceeds int32.
+  /** Fixed probe integers used by the sum/div canaries — includes 0
+    * and a value big enough that `sum*1000000` exceeds int32. All six
+    * are deliberately DISTINCT: qc5's ROWS frame orders by this column,
+    * and a duplicate would make the frame tie-order-dependent (flaky
+    * across engines).
     */
   private val ProbeVals = Seq(0L, 1L, 2L, 3L, 5L, 3000000000L)
 
@@ -75,9 +78,13 @@ object Canary {
       "qc2_mod_sign",
       (s, _) => {
         import s.implicits._
-        Seq(("neg_pos", -7L % 3L), ("pos_neg", 7L % -3L),
-          ("neg_neg", -7L % -3L), ("pos_pos", 7L % 3L))
-          .toDF("lbl", "m")
+        // the % is evaluated by SPARK's Mod expression (not folded by
+        // scalac): both engines must compute it, or a green canary
+        // would falsely exonerate the construct (review r9)
+        Seq(("neg_pos", -7L, 3L), ("pos_neg", 7L, -3L),
+          ("neg_neg", -7L, -3L), ("pos_pos", 7L, 3L))
+          .toDF("lbl", "a", "b")
+          .select(col("lbl"), (col("a") % col("b")).as("m"))
       },
       Some("""
         SELECT lbl, CAST(m AS BIGINT) AS m
@@ -219,8 +226,8 @@ object Canary {
       Some(s"""
         SELECT t,
                CAST(len(${graft.pipeline.Portable.wordsSql("t")}) AS BIGINT) AS n_words,
-               regexp_replace(lower(trim(t)), '\\s+', ' ', 'g') AS norm,
-               md5(regexp_replace(lower(trim(t)), '\\s+', ' ', 'g')) AS fp
+               ${graft.pipeline.Portable.normTextSql("t")} AS norm,
+               ${graft.pipeline.Portable.normFingerprintSql("t")} AS fp
         FROM (VALUES (''), (' '), ('  a  B  '), ('Hello, World!'),
                      (E'tab\\tand\\nnewline'),
                      ('café 😀 end')) t(t)"""),
