@@ -808,6 +808,74 @@ object Similarity {
     exactRerank(s, dir, pool)
   }
 
+  /** s17 rerank pool: same absolute size as [[S5Pool]], but unlike int8
+    * the 1-bit code does NOT recover full recall through a 5× pool on
+    * THIS corpus — measured recall@10 vs s1 is 0.68 / 0.72 / 0.38 at
+    * sf0.001/0.01/0.1. That is the honest shape of binary quantization
+    * on ISOTROPIC (random-gaussian) vectors: neighbor cosines are ~0.4,
+    * so sign-bit agreement sits barely above the 50% noise floor and
+    * the required pool is a constant FRACTION of the corpus, not a
+    * constant (measured at sf0.1: pool 200 → 0.82, 800 → 1.0 of n=2000).
+    * Real embedding corpora are anisotropic with neighbor cosines ≥0.8,
+    * where 1-bit codes carry most of the ranking signal — the operator
+    * keeps the production contract (fixed pool, deterministic output,
+    * full oracle replay) and the spec pins the measured floor so a
+    * recall regression is a test failure, not a silent drift.
+    */
+  val S17Pool = 50
+
+  /** The binary-quantized corpus s17 scans: `(vec_id, c0, c1)` — the
+    * SIGN BIT of each of the 64 coordinates packed into two 32-bit
+    * words held as longs. 16 B/vector stored (8 B of information), vs
+    * 64 B for [[sq8Corpus]] and 512 B for the fp64 vectors — and the
+    * distance is two XOR+popcount word ops instead of 64 multiply-adds,
+    * the cheapest candidate scan on the quantization ladder.
+    *
+    * No normalization pass: sign bits are invariant under the positive
+    * per-vector scale L2-normalization applies, so the code table needs
+    * NO corpus statistic at all (unlike s5's global maxabs) — a new
+    * vector's code never depends on other vectors, which is what makes
+    * the s10-style incremental append trivially exact for this index.
+    *
+    * Two 32-bit words rather than one 64-bit word keeps every shift in
+    * `shiftleft(1L, 0..31)` — bit 63 of a single packed BIGINT is the
+    * sign bit, whose construction overflows differently across engines;
+    * the oracle builds the identical words with `1::BIGINT << (pos-1)`.
+    */
+  private[graft] def binCorpus(s: SparkSession, dir: String): DataFrame = {
+    def word(off: Int): Column =
+      expr(s"aggregate(zip_with(slice(v, $off, 32), sequence(0, 31), " +
+        "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (acc, y) -> acc + y)")
+    Materialized.getOrBuild(s, s"s17.codes|$dir")(
+      vecs(s, dir).select(col("vec_id"), word(1).as("c0"), word(33).as("c1")))
+  }
+
+  /** s17 kernel: BINARY (sign) ANN — the last rung of the compression
+    * ladder (fp64 → int8 → PQ → 1 bit/dim): rank candidates by HAMMING
+    * distance over [[binCorpus]] (integer-exact, so the approx ranking
+    * cannot split across engines; ties broken by vec_id), exact cosine
+    * re-ranks the [[S17Pool]] survivors (recall caveat on [[S17Pool]]).
+    * Scale shape mirrors s5: the code table is a shuffle-free per-row
+    * projection materialized once per (session, corpus); queries
+    * broadcast; the corpus never shuffles; rerank touches S17Pool rows
+    * per query. At 100 TB of fp32 embeddings the code table is ~1.6 TB
+    * — the difference between an ANN first pass that fits in cluster
+    * memory and one that doesn't.
+    */
+  def knnBinary(s: SparkSession, dir: String): DataFrame = {
+    val codes = binCorpus(s, dir)
+    val qc = codes.filter(col("vec_id") < AuditQueries)
+      .select(col("vec_id").as("qid"), col("c0").as("q0"), col("c1").as("q1"))
+    val aw = Window.partitionBy(col("qid")).orderBy(col("ham").asc, col("vec_id").asc)
+    val pool = codes.join(broadcast(qc), col("vec_id") =!= col("qid"))
+      .withColumn("ham",
+        expr("CAST(bit_count(c0 ^ q0) + bit_count(c1 ^ q1) AS BIGINT)"))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= S17Pool)
+      .select(col("qid"), col("vec_id"))
+    exactRerank(s, dir, pool)
+  }
+
   /** s6 geometry: [[PqSubs]] subspaces of [[PqDim]] dims (64-dim
     * embeddings), a [[PqK]]-codeword codebook per subspace. The code
     * width is a PROPERTY OF THE SPACE, not the corpus: bytes/vector stay
@@ -2010,6 +2078,46 @@ object Similarity {
                               z.vec_id ASC) AS arn
             FROM qz z, qq WHERE z.vec_id != qq.qid)
           WHERE arn <= $S5Pool),
+        qv2 AS (SELECT vec_id AS qid, v AS qv2 FROM e WHERE vec_id < $AuditQueries)
+        SELECT qid, vec_id, cos_sim, rn
+        FROM (SELECT pool.qid, pool.vec_id,
+                     ${cosSql("qv2", "v")} AS cos_sim,
+                     row_number() OVER (PARTITION BY pool.qid
+                       ORDER BY ${cosSql("qv2", "v")} DESC, pool.vec_id ASC) AS rn
+              FROM pool JOIN e USING (vec_id) JOIN qv2 USING (qid))
+        WHERE rn <= 10"""),
+    ),
+
+    // ---- s17: binary (sign) ANN — 1 bit/dim codes, Hamming-ranked
+    //      candidates (integer-exact, engine-identical), exact cosine
+    //      rerank over the S17Pool survivors. The oracle replays
+    //      pack → XOR/popcount scan → rerank for a full hash check. ----
+    Q(
+      "s17_knn_binary",
+      (s, dir) => knnBinary(s, dir),
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        codes AS (
+          SELECT vec_id,
+            CAST(sum(CASE WHEN pos <= 32 AND x > 0
+                          THEN (1::BIGINT << CAST(pos - 1 AS INTEGER)) ELSE 0 END) AS BIGINT) AS c0,
+            CAST(sum(CASE WHEN pos > 32 AND x > 0
+                          THEN (1::BIGINT << CAST(pos - 33 AS INTEGER)) ELSE 0 END) AS BIGINT) AS c1
+          FROM (SELECT vec_id, unnest(v) AS x,
+                       unnest(generate_series(1, len(v))) AS pos FROM e)
+          GROUP BY 1),
+        qc AS (SELECT vec_id AS qid, c0 AS q0, c1 AS q1 FROM codes
+               WHERE vec_id < $AuditQueries),
+        pool AS (
+          SELECT qid, vec_id FROM (
+            SELECT qc.qid, z.vec_id,
+                   row_number() OVER (PARTITION BY qc.qid
+                     ORDER BY CAST(bit_count(xor(z.c0, qc.q0))
+                                 + bit_count(xor(z.c1, qc.q1)) AS BIGINT) ASC,
+                              z.vec_id ASC) AS arn
+            FROM codes z CROSS JOIN qc
+            WHERE z.vec_id != qc.qid)
+          WHERE arn <= $S17Pool),
         qv2 AS (SELECT vec_id AS qid, v AS qv2 FROM e WHERE vec_id < $AuditQueries)
         SELECT qid, vec_id, cos_sim, rn
         FROM (SELECT pool.qid, pool.vec_id,

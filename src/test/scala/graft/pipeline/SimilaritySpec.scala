@@ -104,6 +104,45 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore)
   }
 
+  test("s17 binary ANN: two packed 32-bit sign words per vector, pinned pool recall") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val codes = Similarity.binCorpus(spark, dir)
+    assert(codes.schema("c0").dataType == LongType
+      && codes.schema("c1").dataType == LongType)
+    // each word uses exactly 32 bits — the 16 B/vector physical claim
+    // (and bit 63 never set, the cross-engine overflow seam the
+    // two-word layout exists to avoid)
+    val b = codes.agg(
+      min(least(col("c0"), col("c1"))).as("lo"),
+      max(greatest(col("c0"), col("c1"))).as("hi")).first()
+    assert(b.getLong(0) >= 0L && b.getLong(1) < (1L << 32),
+      s"packed word outside 32 bits: $b")
+    // the code IS the sign pattern of the raw embedding: recompute a
+    // sample independently, bit for bit
+    val byId = codes.filter(col("vec_id") < 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 8).collect().foreach { r =>
+        val v = r.getSeq[Float](r.fieldIndex("embedding"))
+        def pack(off: Int) = (0 until 32).foldLeft(0L)((acc, i) =>
+          if (v(off + i) > 0f) acc | (1L << i) else acc)
+        assert(byId(r.getLong(0)) == ((pack(0), pack(32))),
+          s"sign pack mismatch for vec ${r.getLong(0)}")
+      }
+    val brute = SparkEntry.queries("s1_knn_brute")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bin = SparkEntry.queries("s17_knn_binary")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = bin.intersect(brute).size.toDouble / brute.size
+    // measured 0.68 / 0.72 / 0.38 at sf0.001/0.01/0.1 — 1-bit codes on
+    // ISOTROPIC vectors are the lossy extreme of the quantization
+    // ladder (S17Pool scaladoc has the pool-fraction curve). Floor at
+    // 0.4 = 4x the 10% chance line (pool 50 of n=500), with margin
+    // under the measured value so noise can't flake the pin.
+    assert(overlap >= 0.4, f"binary pool recall too low: $overlap%.2f")
+  }
+
   test("s6 PQ ANN: high top-10 recall vs brute force after exact rerank") {
     val brute = SparkEntry.queries("s1_knn_brute")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
