@@ -324,10 +324,54 @@ object Dedup {
         (col("jaccard") >= 0.5).as("is_dup"))
   }
 
-  /** DuckDB twin of [[lshVerifiedPairs]], ending in a `verified` CTE
-    * (doc1, doc2, jaccard, is_dup) — shared by the d5 and p1 oracles.
+  /** d16 verdict floor: integer ppm on the char-level edit similarity
+    * 1 − lev/maxlen. 0.98 splits the gate corpora's candidate
+    * population meaningfully (16 dup / 8 below at sf0.01): the
+    * generator's single-word-edit variants sit ≥ 0.98, heavier edits
+    * fall under.
     */
-  private[pipeline] def lshVerifiedCtes: String =
+  val D16SimPpm = 980000L
+
+  /** d16 kernel: LSH candidates verified by CHARACTER-level edit
+    * similarity — the complement of d5's token-set Jaccard. Jaccard is
+    * blind to word ORDER and repetition (a shuffled document keeps
+    * Jaccard = 1); edit distance is blind to neither, which is why
+    * fuzzy dedup over code/templated corpora thresholds this ratio.
+    * Never all-pairs: the pair space is the shared LSH candidate
+    * table, and the DP cost per pair is bounded by document length —
+    * the production lever for long documents is the banded threshold
+    * DP (Spark's 3-arg `levenshtein(l, r, k)` early-exits past k); the
+    * unbanded form is kept because the DuckDB oracle replays it
+    * exactly and the corpus bounds text length.
+    * Similarity is integer ppm — (maxlen − lev)·10⁶ `div` maxlen,
+    * floor division on BIGINTs in both engines, no float boundary —
+    * and lev ≤ maxlen always, so the quotient never goes negative.
+    * Like d5, the candidate-scoped doc sides carry no broadcast hint:
+    * AQE broadcasts them exactly when they are small.
+    */
+  def editNearDup(s: SparkSession, dir: String): DataFrame = {
+    val cand = lshCandidates(s, dir)
+    val norm = docsSharded(s, dir)
+      .select(col("doc_id"), Portable.normText(col("text")).as("nt"))
+    cand
+      .join(norm.select(col("doc_id").as("doc1"), col("nt").as("nt1")), "doc1")
+      .join(norm.select(col("doc_id").as("doc2"), col("nt").as("nt2")), "doc2")
+      .withColumn("lev", levenshtein(col("nt1"), col("nt2")).cast("long"))
+      .withColumn("maxlen",
+        greatest(length(col("nt1")), length(col("nt2"))).cast("long"))
+      .withColumn("sim_ppm",
+        when(col("maxlen") === 0L, lit(1000000L))
+          .otherwise(expr("((maxlen - lev) * 1000000L) div maxlen")))
+      .select(col("doc1"), col("doc2"), col("lev"), col("sim_ppm"),
+        (col("sim_ppm") >= D16SimPpm).as("is_dup"))
+  }
+
+  /** DuckDB twin of [[lshCandidates]], ending in a `cand` CTE
+    * (doc1, doc2) — ONE spelling for every oracle that rides the LSH
+    * candidate pairs (d3b, d5/p1 via [[lshVerifiedCtes]], d16), so a
+    * banding edit lands in all of them at once.
+    */
+  private[pipeline] def lshCandCtes: String =
     s"""$minhashCtes,
         bands AS (
           SELECT doc_id, concat_ws('|', '0', concat_ws('_', ${(0 until BandRows).map(j => s"mh$j").mkString(", ")})) AS bucket FROM mins
@@ -335,7 +379,13 @@ object Dedup {
           SELECT doc_id, concat_ws('|', '1', concat_ws('_', ${(BandRows until 2 * BandRows).map(j => s"mh$j").mkString(", ")})) AS bucket FROM mins),
         cand AS (
           SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-          FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+          FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id)"""
+
+  /** DuckDB twin of [[lshVerifiedPairs]], ending in a `verified` CTE
+    * (doc1, doc2, jaccard, is_dup) — shared by the d5 and p1 oracles.
+    */
+  private[pipeline] def lshVerifiedCtes: String =
+    s"""$lshCandCtes,
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY 1),
         common AS (
           SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
@@ -586,13 +636,8 @@ object Dedup {
       "d3b_lsh_pairs",
       (s, dir) => lshCandidates(s, dir),
       Some(s"""
-        WITH $minhashCtes,
-        bands AS (
-          SELECT doc_id, concat_ws('|', '0', concat_ws('_', ${(0 until BandRows).map(j => s"mh$j").mkString(", ")})) AS bucket FROM mins
-          UNION ALL
-          SELECT doc_id, concat_ws('|', '1', concat_ws('_', ${(BandRows until 2 * BandRows).map(j => s"mh$j").mkString(", ")})) AS bucket FROM mins)
-        SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-        FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id"""),
+        WITH $lshCandCtes
+        SELECT doc1, doc2 FROM cand"""),
     ),
 
     // ---- d5: the PRODUCTION dedup composition — LSH candidate pairs
@@ -608,6 +653,32 @@ object Dedup {
       Some(s"""
         WITH $lshVerifiedCtes
         SELECT doc1, doc2, jaccard, is_dup FROM verified"""),
+    ),
+
+    // ---- d16: edit-distance verified near-dup — the same LSH candidate
+    //      pairs as d5, verdict by CHARACTER-level edit similarity
+    //      (integer-ppm Levenshtein ratio) instead of token-set Jaccard.
+    //      Order/repetition-sensitive where Jaccard is blind; DP cost is
+    //      per-candidate-pair only, never corpus². ----
+    Q(
+      "d16_edit_neardup",
+      (s, dir) => editNearDup(s, dir),
+      Some(s"""
+        WITH $lshCandCtes,
+        d16n AS (
+          SELECT doc_id, ${Portable.normTextSql("text")} AS nt FROM documents),
+        stats AS (
+          SELECT cand.doc1, cand.doc2,
+                 CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS lev,
+                 CAST(greatest(len(a.nt), len(b.nt)) AS BIGINT) AS maxlen
+          FROM cand JOIN d16n a ON cand.doc1 = a.doc_id
+                    JOIN d16n b ON cand.doc2 = b.doc_id)
+        SELECT doc1, doc2, lev,
+               CAST(CASE WHEN maxlen = 0 THEN 1000000
+                         ELSE ((maxlen - lev) * 1000000) // maxlen END AS BIGINT) AS sim_ppm,
+               CAST(CASE WHEN maxlen = 0 THEN 1000000
+                         ELSE ((maxlen - lev) * 1000000) // maxlen END AS BIGINT) >= $D16SimPpm AS is_dup
+        FROM stats"""),
     ),
 
     // ---- d6: duplicate CLUSTERS — connected components over the
