@@ -400,26 +400,8 @@ object Curation {
       (s, dir) => temperatureAlloc(
         t(s, dir, "documents").groupBy(col("source")).agg(count(lit(1)).as("n_docs"))),
       Some(s"""
-        WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
-        w AS (SELECT source, n_docs,
-                     CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS wppm
-              FROM c),
-        -- All integer sums CAST AS BIGINT at the aggregation site (bare
-        -- sum() is HUGEINT — version-sensitive rendering, the r08
-        -- driver-only hash fail), scalar totals via explicit CROSS JOIN
-        -- CTEs instead of a comma join / empty-frame window.
-        tot AS (SELECT CAST(sum(wppm) AS BIGINT) AS tw FROM w),
-        b AS (SELECT source, n_docs, wppm,
-                     CAST(($MixBudget * wppm) // tw AS BIGINT) AS base,
-                     CAST(($MixBudget * wppm) % tw AS BIGINT) AS rem
-              FROM w CROSS JOIN tot),
-        tb AS (SELECT CAST(sum(base) AS BIGINT) AS sum_base FROM b),
-        d AS (SELECT b.*, CAST($MixBudget - tb.sum_base AS BIGINT) AS deficit,
-                     row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
-              FROM b CROSS JOIN tb)
-        SELECT source, n_docs, wppm,
-               CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS quota
-        FROM d"""),
+        WITH ${allocCtes("source")}
+        SELECT source, n_docs, wppm, quota FROM mix"""),
     ),
 
     // ---- p8: DOMAIN RANK — a link-analysis curation prior (the
@@ -555,6 +537,32 @@ object Curation {
                bit_xor(${Portable.md5LongSql("CAST(pos AS VARCHAR)")}) AS pos_xor
         FROM p GROUP BY 1"""),
     ),
+
+    // ---- p10: EPOCH PLAN — p7's temperature allocation pointed at the
+    //      skewed language axis and realized as the per-document repeat
+    //      manifest (full passes via quota div n, remainder as a
+    //      seeded-hash prefix). Deterministic weighted sampling WITH
+    //      replacement, integer-exact: Σ repeats per lang = quota. ----
+    Q(
+      "p10_epoch_plan",
+      (s, dir) => epochPlan(s, dir),
+      Some(s"""
+        WITH ${allocCtes("lang")},
+        dh AS (
+          SELECT lang, doc_id,
+                 ${Portable.md5LongSql("concat_ws('|', 'epoch-v1', doc_id)")} AS h
+          FROM documents),
+        r AS (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rk
+          FROM dh),
+        plan AS (
+          SELECT r.lang, r.doc_id, r.rk,
+                 CAST((m.quota // m.n_docs)
+                      + CASE WHEN r.rk <= (m.quota % m.n_docs) THEN 1 ELSE 0 END AS BIGINT) AS repeats
+          FROM r JOIN mix m ON r.lang = m.source)
+        SELECT lang, doc_id, rk, repeats FROM plan WHERE repeats > 0"""),
+    ),
   )
 
   /** p8's fixed PageRank iteration count — enough for ppm-level
@@ -616,6 +624,70 @@ object Curation {
     * testdata sources are uniform, which exercises conservation but
     * not the flattening). |domains|-row window arithmetic only.
     */
+  /** p10 kernel: the EPOCH PLAN — [[temperatureAlloc]] pointed at the
+    * LANGUAGE axis (the mT5/XLM multilingual α-smoothing recipe; `lang`
+    * is the skewed axis in this corpus, `source` is uniform) and
+    * REALIZED as the per-document repeat manifest a dataloader consumes.
+    * `quota div n` full passes for every doc of the language, plus one
+    * extra pass for a remainder-sized PREFIX of the language's docs in
+    * seeded-hash order (epoch-v1 salt — independent of p4's split-v1
+    * and p5's quota-v1 orders, so epoch membership never correlates
+    * with split assignment). Σ repeats per language = quota EXACTLY
+    * (integer conservation, spec-pinned); over-allocated languages get
+    * full ≥ 1 (epoch repetition — both repeat classes coexist when the
+    * remainder is nonzero), oversized ones a deterministic hash-prefix
+    * subsample. Scale shape: the allocation is |languages|-row metadata
+    * broadcast back to the corpus; the manifest is one window per
+    * language partition (key-partitioned shuffle, never a global sort);
+    * everything after the first aggregate is integer arithmetic.
+    */
+  def epochPlan(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val quotas = temperatureAlloc(
+      t(s, dir, "documents").groupBy(col("lang").as("source"))
+        .agg(count(lit(1)).as("n_docs")))
+      .select(col("source").as("lang"), col("n_docs"), col("quota"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h").asc, col("doc_id").asc)
+    t(s, dir, "documents").select(col("lang"), col("doc_id"))
+      .withColumn("h",
+        Portable.md5Long(concat_ws("|", lit("epoch-v1"), col("doc_id"))))
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(quotas), "lang")
+      .withColumn("repeats",
+        expr("(quota div n_docs) + IF(rk <= quota % n_docs, 1L, 0L)"))
+      .filter(col("repeats") > 0L)
+      .select(col("lang"), col("doc_id"), col("rk"), col("repeats"))
+  }
+
+  /** DuckDB twin of [[temperatureAlloc]] over an arbitrary grouping
+    * key, ending in a `mix` CTE (source, n_docs, wppm, quota) — ONE
+    * spelling for every allocation oracle (p7 on `source`, p10 on
+    * `lang`), so an arithmetic edit lands in both at once.
+    */
+  private def allocCtes(keyExpr: String): String =
+    s"""c AS (SELECT $keyExpr AS source, count(*) AS n_docs FROM documents GROUP BY 1),
+        w AS (SELECT source, n_docs,
+                     CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS wppm
+              FROM c),
+        -- All integer sums CAST AS BIGINT at the aggregation site (bare
+        -- sum() is HUGEINT — version-sensitive rendering, the r08
+        -- driver-only hash fail), scalar totals via explicit CROSS JOIN
+        -- CTEs instead of a comma join / empty-frame window.
+        tot AS (SELECT CAST(sum(wppm) AS BIGINT) AS tw FROM w),
+        b AS (SELECT source, n_docs, wppm,
+                     CAST(($MixBudget * wppm) // tw AS BIGINT) AS base,
+                     CAST(($MixBudget * wppm) % tw AS BIGINT) AS rem
+              FROM w CROSS JOIN tot),
+        tb AS (SELECT CAST(sum(base) AS BIGINT) AS sum_base FROM b),
+        d AS (SELECT b.*, CAST($MixBudget - tb.sum_base AS BIGINT) AS deficit,
+                     row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+              FROM b CROSS JOIN tb),
+        mix AS (
+          SELECT source, n_docs, wppm,
+                 CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS quota
+          FROM d)"""
+
   private[graft] def temperatureAlloc(
       counts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val wAll = Window.rowsBetween(

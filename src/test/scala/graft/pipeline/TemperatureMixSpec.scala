@@ -41,6 +41,38 @@ class TemperatureMixSpec extends SparkSpec {
       "equal-sized domains must receive equal quotas up to the remainder ±1")
   }
 
+  test("p10 epoch plan conserves each language's quota exactly, both repeat regimes") {
+    import org.apache.spark.sql.functions._
+    val plan = Curation.epochPlan(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val quotas = Curation.temperatureAlloc(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("lang").as("source")).agg(count(lit(1)).as("n_docs")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // Σ repeats per language == that language's quota, exactly
+    plan.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._4).sum === quotas(lang)._2,
+        s"$lang: epoch plan must conserve the allocated quota exactly")
+      // repeats take at most two adjacent values (full and full+1), and
+      // the bumped docs are exactly the hash-order prefix
+      val (n, q) = quotas(lang)
+      val full = q / n
+      val rem = q % n
+      rows.foreach { case (_, _, rk, rep) =>
+        val expect = full + (if (rk <= rem) 1L else 0L)
+        assert(rep === expect, s"$lang rk=$rk: repeats must be $expect, got $rep")
+      }
+    }
+    // both regimes present across the corpus SFs: here (oversample SF)
+    // every language's quota exceeds its inventory, so every doc appears
+    val langs = quotas.keySet
+    assert(plan.map(_._1).toSet === langs)
+    assert(quotas.forall { case (_, (n, q)) => q > n },
+      "fixture expectation: sf0.001 is the oversampling regime")
+    assert(plan.length === quotas.values.map(_._1).sum,
+      "oversampling must include every document at least once")
+  }
+
   test("α = 0.5 flattens the mix: small domains get a larger per-doc share") {
     // the testdata sources are uniform, so the flattening contract runs
     // on crafted unequal counts through the same kernel the Q uses
