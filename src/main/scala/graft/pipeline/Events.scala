@@ -129,6 +129,40 @@ object Events {
         WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""),
     ),
 
+    // ---- e21: OUTER attribution — the left-outer run of e4's
+    //      watermarked stream-stream join, completing the streaming-join
+    //      matrix (inner e4, stream-static e19, outer here): purchases
+    //      with NO attributable click emit NULL-padded. In streaming the
+    //      NULL row surfaces only after the watermark passes the join
+    //      bound (a match could still arrive until then — the
+    //      EventStreamSpec live test pins that ordering); this batch run
+    //      is the same function with the horizon spanning the input.
+    //      Note the click-side type filter lives in the pre-join
+    //      projection (Spark) / ON clause (oracle) — in a WHERE it would
+    //      silently turn the outer join back into an inner one. ----
+    Q(
+      "e21_outer_attribution",
+      (s, dir) =>
+        graft.streaming.EventStream
+          .attributionJoin(t(s, dir, "events"), "left_outer")
+          .select(
+            col("purchase_id"), col("p_user").as("user_id"),
+            unix_micros(col("purchase_ts")).as("purchase_us"),
+            col("click_id"), unix_micros(col("click_ts")).as("click_us"),
+            col("value")),
+      Some("""
+        SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+               epoch_us(p.ts) AS purchase_us,
+               c.event_id AS click_id, epoch_us(c.ts) AS click_us,
+               p.value AS value
+        FROM events p LEFT JOIN events c
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click'
+         AND epoch_us(c.ts) < epoch_us(p.ts)
+         AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        WHERE p.event_type = 'purchase'"""),
+    ),
+
     // ---- e5: ordered funnel — view → click → purchase, each stage
     //      strictly after the user's FIRST completion of the previous
     //      stage (the product-analytics sequence query). Running

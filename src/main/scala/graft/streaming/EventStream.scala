@@ -175,8 +175,19 @@ object EventStream {
     * grows with the stream and never shrinks. Batch runs of the same
     * function are the backfill/oracle path (watermarks are no-ops in
     * batch), which is how e4's DuckDB oracle checks the join semantics.
+    *
+    * `joinType = "left_outer"` is e21's path — the OUTER stream-stream
+    * join, the third cell of the streaming-join matrix (inner = e4,
+    * stream-static = e19): a purchase with no attributable click must
+    * STILL emit, NULL-padded. In streaming that emission is
+    * watermark-driven — the row surfaces only once the watermark passes
+    * purchase_ts + the join bound, because until then a matching click
+    * could still arrive; in batch the same function emits it
+    * immediately (the horizon spans the input). Same state eviction,
+    * one more retention rule: the unmatched side holds until expiry
+    * rather than until first match.
     */
-  def attributionJoin(events: DataFrame): DataFrame = {
+  def attributionJoin(events: DataFrame, joinType: String = "inner"): DataFrame = {
     val clicks = events
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
@@ -190,7 +201,8 @@ object EventStream {
     purchases.join(clicks,
       col("p_user") === col("c_user") &&
         col("click_ts") < col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      joinType)
   }
 
   /** Streaming exact-dedup twin of batch d1: drop repeated documents /

@@ -201,6 +201,56 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("outer attributionJoin: unmatched purchase emits NULL-padded only after watermark expiry") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = attributionJoin(df, "left_outer")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    try {
+      def rows = spark.table("attrib_outer").collect()
+        .map(r => (r.getLong(r.fieldIndex("purchase_id")),
+          if (r.isNullAt(r.fieldIndex("click_id"))) -1L
+          else r.getLong(r.fieldIndex("click_id")))).toSet
+      mem.addData(
+        (1L, ts(0), 1L, "click", 0.0),       // attributable: inner row
+        (2L, ts(30), 1L, "purchase", 9.0),   // matched purchase
+        (3L, ts(40), 2L, "purchase", 5.0))   // user 2 has no click
+      query.processAllAvailable()
+      // the NULL-padded row must NOT have surfaced yet: a click for
+      // user 2 could still arrive until the watermark passes ts(40)
+      assert(rows == Set((2L, 1L)),
+        s"unmatched purchase must be withheld before expiry: $rows")
+      // push event time far past watermark(2h) + bound(1h) on BOTH
+      // sides — the global watermark is the min over the two buffers,
+      // so a click-only (or purchase-only) tail leaves the other side's
+      // watermark, and with it the eviction clock, frozen — then one
+      // more batch so the advanced watermark is applied to state
+      mem.addData((4L, ts(600), 3L, "click", 0.0), (5L, ts(601), 3L, "click", 0.0))
+      query.processAllAvailable()
+      mem.addData((6L, ts(602), 3L, "purchase", 1.0)) // matches clicks 4+5
+      query.processAllAvailable()
+      mem.addData((7L, ts(603), 3L, "click", 0.0))
+      query.processAllAvailable()
+      assert(rows == Set((2L, 1L), (6L, 4L), (6L, 5L), (3L, -1L)),
+        s"expired unmatched purchase must emit NULL-padded: $rows")
+    } finally query.stop()
+    // batch twin: same function, horizon spans the input — the
+    // unmatched purchase emits immediately
+    val batch = Seq(
+      (1L, ts(0), 1L, "click", 0.0),
+      (2L, ts(30), 1L, "purchase", 9.0),
+      (3L, ts(40), 2L, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = attributionJoin(batch, "left_outer").collect()
+      .map(r => (r.getLong(r.fieldIndex("purchase_id")),
+        if (r.isNullAt(r.fieldIndex("click_id"))) -1L
+        else r.getLong(r.fieldIndex("click_id")))).toSet
+    assert(out == Set((2L, 1L), (3L, -1L)), s"batch twin mismatch: $out")
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions and keeps open state") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
