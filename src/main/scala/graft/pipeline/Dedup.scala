@@ -344,15 +344,23 @@ object Dedup {
     * unbanded form is kept because the DuckDB oracle replays it
     * exactly and the corpus bounds text length.
     * Similarity is integer ppm — (maxlen − lev)·10⁶ `div` maxlen,
-    * floor division on BIGINTs in both engines, no float boundary —
-    * and lev ≤ maxlen always, so the quotient never goes negative.
+    * floor division on BIGINTs in both engines, no float boundary.
+    * The distance runs over [[Portable.asciiText]]'s projection of the
+    * normalized text: DuckDB's levenshtein counts BYTES, Spark's counts
+    * CODEPOINTS, and only on ASCII do the units coincide — without the
+    * projection a single multibyte character desyncs the engines (and
+    * DuckDB's byte-lev can exceed its char-len, driving sim_ppm
+    * negative). On the projection lev ≤ maxlen holds in both engines,
+    * so the quotient never goes negative; qc10 pins the whole recipe
+    * on adversarial non-ASCII probes. Identity on this corpus.
     * Like d5, the candidate-scoped doc sides carry no broadcast hint:
     * AQE broadcasts them exactly when they are small.
     */
   def editNearDup(s: SparkSession, dir: String): DataFrame = {
     val cand = lshCandidates(s, dir)
     val norm = docsSharded(s, dir)
-      .select(col("doc_id"), Portable.normText(col("text")).as("nt"))
+      .select(col("doc_id"),
+        Portable.asciiText(Portable.normText(col("text"))).as("nt"))
     cand
       .join(norm.select(col("doc_id").as("doc1"), col("nt").as("nt1")), "doc1")
       .join(norm.select(col("doc_id").as("doc2"), col("nt").as("nt2")), "doc2")
@@ -666,7 +674,8 @@ object Dedup {
       Some(s"""
         WITH $lshCandCtes,
         d16n AS (
-          SELECT doc_id, ${Portable.normTextSql("text")} AS nt FROM documents),
+          SELECT doc_id, ${Portable.asciiTextSql(Portable.normTextSql("text"))} AS nt
+          FROM documents),
         stats AS (
           SELECT cand.doc1, cand.doc2,
                  CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS lev,

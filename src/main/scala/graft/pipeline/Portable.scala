@@ -56,6 +56,21 @@ object Portable {
   def normFingerprintSql(x: String): String =
     s"md5(${normTextSql(x)})"
 
+  /** ASCII projection — drops every codepoint outside printable ASCII
+    * (`[ -~]` = 0x20..0x7E). The UNIT-ALIGNMENT shim for cross-engine
+    * edit distance: DuckDB's `levenshtein` counts BYTES while Spark's
+    * counts CODEPOINTS, and the two coincide exactly on ASCII — so d16
+    * (and its qc10 canary) measure over this projection, where
+    * byte = codepoint = character by construction and `len()` agrees
+    * with the distance's units inside DuckDB too. Identity on the
+    * all-ASCII testdata corpora.
+    */
+  def asciiText(c: Column): Column = regexp_replace(c, "[^ -~]", "")
+
+  /** DuckDB twin of [[asciiText]] — same pattern, 'g' flag. */
+  def asciiTextSql(x: String): String =
+    s"regexp_replace($x, '[^ -~]', '', 'g')"
+
   /** md5 hex fingerprint of whitespace-normalized text — the ONE
     * normalization d1, t4, p1 and the streaming ingest dedup share (the
     * streaming/batch dedup contract rests on these being identical).

@@ -233,6 +233,54 @@ object Canary {
                      ('café 😀 end')) t(t)"""),
     ),
 
+    // ---- qc10: the edit-distance recipe d16 rides — ASCII projection
+    //      (the byte-vs-codepoint unit shim: DuckDB's levenshtein counts
+    //      BYTES, Spark's counts CODEPOINTS; they agree only on ASCII),
+    //      levenshtein, and the integer-ppm ratio with its maxlen = 0
+    //      guard — probed on adversarial strings (accents, CJK,
+    //      strip-to-empty, empty-vs-nonempty) so a levenshtein or
+    //      regex-class drift in the oracle engine localizes here
+    //      instead of failing d16's corpus hash. Non-ASCII probe chars
+    //      are built with chr()/\\u escapes, never raw multibyte
+    //      literals in the SQL text. ----
+    Q(
+      "qc10_edit_dist",
+      (s, _) => {
+        import s.implicits._
+        val p = graft.pipeline.Portable
+        Seq(("plain", "kitten", "sitting"), ("empty", "", "abc"),
+          ("equal", "same", "same"), ("accent", "café", "cafe"),
+          ("cjk", "中文abc", "abc"),
+          ("strip_all", "中", "文"))
+          .toDF("lbl", "a", "b")
+          .select(col("lbl"), p.asciiText(col("a")).as("pa"),
+            p.asciiText(col("b")).as("pb"))
+          .withColumn("lev", levenshtein(col("pa"), col("pb")).cast("long"))
+          .withColumn("maxlen",
+            greatest(length(col("pa")), length(col("pb"))).cast("long"))
+          .select(col("lbl"), col("lev"),
+            when(col("maxlen") === 0L, lit(1000000L))
+              .otherwise(expr("((maxlen - lev) * 1000000L) div maxlen"))
+              .as("sim_ppm"))
+      },
+      Some(s"""
+        WITH probe(lbl, a, b) AS (VALUES
+          ('plain', 'kitten', 'sitting'), ('empty', '', 'abc'),
+          ('equal', 'same', 'same'), ('accent', 'caf' || chr(233), 'cafe'),
+          ('cjk', chr(20013) || chr(25991) || 'abc', 'abc'),
+          ('strip_all', chr(20013), chr(25991))),
+        p AS (SELECT lbl, ${graft.pipeline.Portable.asciiTextSql("a")} AS pa,
+                     ${graft.pipeline.Portable.asciiTextSql("b")} AS pb
+              FROM probe),
+        st AS (SELECT lbl, CAST(levenshtein(pa, pb) AS BIGINT) AS lev,
+                      CAST(greatest(len(pa), len(pb)) AS BIGINT) AS maxlen
+               FROM p)
+        SELECT lbl, lev,
+               CAST(CASE WHEN maxlen = 0 THEN 1000000
+                         ELSE ((maxlen - lev) * 1000000) // maxlen END AS BIGINT) AS sim_ppm
+        FROM st"""),
+    ),
+
     // ---- qc7: the timestamp ladder — parquet TIMESTAMP → hour trunc →
     //      epoch micros, over the real events table (the one canary
     //      that reads testdata, because the ladder's risk IS the

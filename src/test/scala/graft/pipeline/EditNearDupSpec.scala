@@ -38,7 +38,8 @@ class EditNearDupSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == cand,
       "d16 must verify exactly the LSH candidate pair space")
     val norm = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), Portable.normText(col("text")).as("nt"))
+      .select(col("doc_id"),
+        Portable.asciiText(Portable.normText(col("text"))).as("nt"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     out.take(8).foreach { r =>
       val (d1, d2) = (r.getLong(0), r.getLong(1))
@@ -58,6 +59,10 @@ class EditNearDupSpec extends SparkSpec {
       "threshold must split the candidates into dup and non-dup")
   }
 
+  // fixture fact: this corpus is all-ASCII, so the ASCII projection d16
+  // measures over is the identity and the fingerprint (computed on the
+  // UNprojected norm text) coincides with lev = 0. A corpus with
+  // multibyte characters could have lev = 0 with distinct fingerprints.
   test("d16's lev=0 diagonal equals d1's normalization fingerprint") {
     val out = SparkEntry.queries("d16_edit_neardup")(spark, dir).collect()
     val fp = spark.read.parquet(s"$dir/documents.parquet")
