@@ -345,14 +345,26 @@ object Dedup {
     * exactly and the corpus bounds text length.
     * Similarity is integer ppm — (maxlen − lev)·10⁶ `div` maxlen,
     * floor division on BIGINTs in both engines, no float boundary.
-    * The distance runs over [[Portable.asciiText]]'s projection of the
-    * normalized text: DuckDB's levenshtein counts BYTES, Spark's counts
-    * CODEPOINTS, and only on ASCII do the units coincide — without the
-    * projection a single multibyte character desyncs the engines (and
-    * DuckDB's byte-lev can exceed its char-len, driving sim_ppm
-    * negative). On the projection lev ≤ maxlen holds in both engines,
-    * so the quotient never goes negative; qc10 pins the whole recipe
-    * on adversarial non-ASCII probes. Identity on this corpus.
+    * The distance runs over [[Portable.asciiText]]'s projection,
+    * applied BEFORE the normalization: DuckDB's levenshtein counts
+    * BYTES, Spark's counts CODEPOINTS, and only on ASCII do the units
+    * coincide — without the projection a single multibyte character
+    * desyncs the engines (and DuckDB's byte-lev can exceed its
+    * char-len, driving sim_ppm negative). Projection-first matters
+    * twice: normText's collapsed/trimmed whitespace invariant survives
+    * (strip-after would leave phantom double spaces where a stripped
+    * codepoint sat between words), and lower() only ever sees ASCII —
+    * the rare non-ASCII→ASCII case mappings (U+212A → k) never feed
+    * the distance through two engines' case tables. On the projection
+    * lev ≤ maxlen holds in both engines, so the quotient never goes
+    * negative; qc10 pins the whole recipe on adversarial non-ASCII
+    * probes. Identity on this all-ASCII corpus.
+    * maxlen = 0 (both docs project to nothing — possible only for
+    * non-empty all-non-ASCII text, since empty docs have no shingles
+    * and never reach the candidate table) is verdict-UNDEFINED: the
+    * metric saw no content, so the output is sim_ppm = 0 / non-dup,
+    * never "identical" — a dedup verifier must not merge two documents
+    * it could not read.
     * Like d5, the candidate-scoped doc sides carry no broadcast hint:
     * AQE broadcasts them exactly when they are small.
     */
@@ -360,7 +372,7 @@ object Dedup {
     val cand = lshCandidates(s, dir)
     val norm = docsSharded(s, dir)
       .select(col("doc_id"),
-        Portable.asciiText(Portable.normText(col("text"))).as("nt"))
+        Portable.normText(Portable.asciiText(col("text"))).as("nt"))
     cand
       .join(norm.select(col("doc_id").as("doc1"), col("nt").as("nt1")), "doc1")
       .join(norm.select(col("doc_id").as("doc2"), col("nt").as("nt2")), "doc2")
@@ -368,7 +380,7 @@ object Dedup {
       .withColumn("maxlen",
         greatest(length(col("nt1")), length(col("nt2"))).cast("long"))
       .withColumn("sim_ppm",
-        when(col("maxlen") === 0L, lit(1000000L))
+        when(col("maxlen") === 0L, lit(0L))
           .otherwise(expr("((maxlen - lev) * 1000000L) div maxlen")))
       .select(col("doc1"), col("doc2"), col("lev"), col("sim_ppm"),
         (col("sim_ppm") >= D16SimPpm).as("is_dup"))
@@ -674,7 +686,7 @@ object Dedup {
       Some(s"""
         WITH $lshCandCtes,
         d16n AS (
-          SELECT doc_id, ${Portable.asciiTextSql(Portable.normTextSql("text"))} AS nt
+          SELECT doc_id, ${Portable.normTextSql(Portable.asciiTextSql("text"))} AS nt
           FROM documents),
         stats AS (
           SELECT cand.doc1, cand.doc2,
@@ -683,9 +695,9 @@ object Dedup {
           FROM cand JOIN d16n a ON cand.doc1 = a.doc_id
                     JOIN d16n b ON cand.doc2 = b.doc_id)
         SELECT doc1, doc2, lev,
-               CAST(CASE WHEN maxlen = 0 THEN 1000000
+               CAST(CASE WHEN maxlen = 0 THEN 0
                          ELSE ((maxlen - lev) * 1000000) // maxlen END AS BIGINT) AS sim_ppm,
-               CAST(CASE WHEN maxlen = 0 THEN 1000000
+               CAST(CASE WHEN maxlen = 0 THEN 0
                          ELSE ((maxlen - lev) * 1000000) // maxlen END AS BIGINT) >= $D16SimPpm AS is_dup
         FROM stats"""),
     ),

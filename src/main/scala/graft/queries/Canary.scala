@@ -7,7 +7,7 @@ import graft.{Q, Tables}
 
 /** Oracle-environment canaries (`qc_*`) — one-row-ish probes that pin
   * the cross-engine (Spark vs the driver's DuckDB) evaluation of every
-  * "risky" SQL construct the 144-query oracle suite leans on, each in
+  * "risky" SQL construct the 163-query oracle suite leans on, each in
   * ISOLATION. They exist because of the r08 incident: three queries
   * hash-failed ONLY on the driver (green under the repo's own DuckDB
   * 1.0.0 at the same SF and parallelism), and the root cause could not
@@ -237,12 +237,15 @@ object Canary {
     //      (the byte-vs-codepoint unit shim: DuckDB's levenshtein counts
     //      BYTES, Spark's counts CODEPOINTS; they agree only on ASCII),
     //      levenshtein, and the integer-ppm ratio with its maxlen = 0
-    //      guard — probed on adversarial strings (accents, CJK,
-    //      strip-to-empty, empty-vs-nonempty) so a levenshtein or
-    //      regex-class drift in the oracle engine localizes here
-    //      instead of failing d16's corpus hash. Non-ASCII probe chars
-    //      are built with chr()/\\u escapes, never raw multibyte
-    //      literals in the SQL text. ----
+    //      verdict-undefined guard (no ASCII content → sim 0, never
+    //      "identical") — probed on adversarial strings (accents, CJK,
+    //      a 4-byte astral emoji where Java-regex surrogate pairs and
+    //      RE2-over-UTF-8 diverge most plausibly, strip-to-empty,
+    //      empty-vs-nonempty) so a levenshtein or regex-class drift in
+    //      the oracle engine localizes here instead of failing d16's
+    //      corpus hash. Non-ASCII probe chars are built with
+    //      chr()/\\u escapes, never raw multibyte literals in the SQL
+    //      text. ----
     Q(
       "qc10_edit_dist",
       (s, _) => {
@@ -251,6 +254,7 @@ object Canary {
         Seq(("plain", "kitten", "sitting"), ("empty", "", "abc"),
           ("equal", "same", "same"), ("accent", "café", "cafe"),
           ("cjk", "中文abc", "abc"),
+          ("astral", "a😀b", "ab"),
           ("strip_all", "中", "文"))
           .toDF("lbl", "a", "b")
           .select(col("lbl"), p.asciiText(col("a")).as("pa"),
@@ -259,7 +263,7 @@ object Canary {
           .withColumn("maxlen",
             greatest(length(col("pa")), length(col("pb"))).cast("long"))
           .select(col("lbl"), col("lev"),
-            when(col("maxlen") === 0L, lit(1000000L))
+            when(col("maxlen") === 0L, lit(0L))
               .otherwise(expr("((maxlen - lev) * 1000000L) div maxlen"))
               .as("sim_ppm"))
       },
@@ -268,6 +272,7 @@ object Canary {
           ('plain', 'kitten', 'sitting'), ('empty', '', 'abc'),
           ('equal', 'same', 'same'), ('accent', 'caf' || chr(233), 'cafe'),
           ('cjk', chr(20013) || chr(25991) || 'abc', 'abc'),
+          ('astral', 'a' || chr(128512) || 'b', 'ab'),
           ('strip_all', chr(20013), chr(25991))),
         p AS (SELECT lbl, ${graft.pipeline.Portable.asciiTextSql("a")} AS pa,
                      ${graft.pipeline.Portable.asciiTextSql("b")} AS pb
@@ -276,7 +281,7 @@ object Canary {
                       CAST(greatest(len(pa), len(pb)) AS BIGINT) AS maxlen
                FROM p)
         SELECT lbl, lev,
-               CAST(CASE WHEN maxlen = 0 THEN 1000000
+               CAST(CASE WHEN maxlen = 0 THEN 0
                          ELSE ((maxlen - lev) * 1000000) // maxlen END AS BIGINT) AS sim_ppm
         FROM st"""),
     ),

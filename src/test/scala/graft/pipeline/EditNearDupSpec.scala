@@ -39,7 +39,7 @@ class EditNearDupSpec extends SparkSpec {
       "d16 must verify exactly the LSH candidate pair space")
     val norm = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
-        Portable.asciiText(Portable.normText(col("text"))).as("nt"))
+        Portable.normText(Portable.asciiText(col("text"))).as("nt"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     out.take(8).foreach { r =>
       val (d1, d2) = (r.getLong(0), r.getLong(1))
