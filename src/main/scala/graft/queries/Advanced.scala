@@ -250,6 +250,59 @@ object Advanced {
         FROM lineitem GROUP BY 1"""),
     ),
 
+    // ---- q62: sketch percentiles — the MERGEABLE answer to q22's exact
+    //      path. Exact `percentile` buffers every value of a group on
+    //      one reducer; at 100 TB that buffer IS the scale problem. The
+    //      sketch is a fixed-width histogram: bucket = floor(price/100)
+    //      (pure IEEE floor on the same stored double → engine-exact),
+    //      per-(status, bucket) counts combine map-side and merge by
+    //      addition — the classic mergeable-summary shape — then one
+    //      window over the BOUNDED bucket census (≤ ~5000 rows per
+    //      status, never the corpus) walks the CDF to the type-1
+    //      quantile positions ceil(q·n), computed as integer
+    //      (n·k + d−1) div d so no float position ever forms. Output is
+    //      each quantile's bucket LOWER BOUND in whole dollars (BIGINT):
+    //      deterministic, ±$100 of the true order statistic by
+    //      construction (SketchPercentileSpec pins that bound against
+    //      an independently sorted replay). ----
+    Q(
+      "q62_sketch_percentiles",
+      (s, dir) => {
+        val hist = t(s, dir, "orders")
+          .select(col("o_orderstatus").as("st"),
+            floor(col("o_totalprice") / lit(100.0)).cast("long").as("bkt"))
+          .groupBy("st", "bkt").agg(count(lit(1)).as("c"))
+        val tot = hist.groupBy("st").agg(sum(col("c")).as("n"))
+        val w = Window.partitionBy(col("st")).orderBy(col("bkt").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist.withColumn("cum", sum(col("c")).over(w))
+          .join(broadcast(tot), "st")
+          .withColumn("lb", col("bkt") * lit(100L))
+          .groupBy(col("st").as("o_orderstatus"))
+          .agg(
+            min(when(col("cum") >= expr("(n + 1) div 2"), col("lb"))).as("p50_lb"),
+            min(when(col("cum") >= expr("(n * 9 + 9) div 10"), col("lb"))).as("p90_lb"),
+            min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("lb"))).as("p99_lb"),
+            max(col("n")).as("n"))
+      },
+      Some("""
+        WITH b AS (SELECT o_orderstatus AS st,
+                          CAST(floor(o_totalprice / 100.0) AS BIGINT) AS bkt
+                   FROM orders),
+        hist AS (SELECT st, bkt, count(*) AS c FROM b GROUP BY 1, 2),
+        tot AS (SELECT st, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+        cum AS (SELECT h.st, h.bkt, t.n, h.bkt * 100 AS lb,
+                       CAST(sum(h.c) OVER (PARTITION BY h.st ORDER BY h.bkt ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                FROM hist h JOIN tot t USING (st))
+        SELECT st AS o_orderstatus,
+               CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN lb END) AS BIGINT) AS p50_lb,
+               CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN lb END) AS BIGINT) AS p90_lb,
+               CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lb END) AS BIGINT) AS p99_lb,
+               CAST(max(n) AS BIGINT) AS n
+        FROM cum GROUP BY 1"""),
+    ),
+
     // ---- q30: GROUPING SETS — the general form cube/rollup specialize
     //      (q21/q17 cover those); explicit sets + grouping() markers
     //      disambiguate aggregate NULLs from grouping NULLs. Spark

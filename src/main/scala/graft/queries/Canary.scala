@@ -7,7 +7,7 @@ import graft.{Q, Tables}
 
 /** Oracle-environment canaries (`qc_*`) — one-row-ish probes that pin
   * the cross-engine (Spark vs the driver's DuckDB) evaluation of every
-  * "risky" SQL construct the 163-query oracle suite leans on, each in
+  * "risky" SQL construct the 164-query oracle suite leans on, each in
   * ISOLATION. They exist because of the r08 incident: three queries
   * hash-failed ONLY on the driver (green under the repo's own DuckDB
   * 1.0.0 at the same SF and parallelism), and the root cause could not
