@@ -16,6 +16,21 @@ object Advanced {
 
   import graft.Agg.dsum
 
+  /** q64 count-min geometry: 4 rows × 256 buckets. Width 256 against
+    * ~960 bigram keys makes collisions real (load ≈ 3.7 keys/bucket),
+    * so the min-over-rows correction is exercised, not vacuous; 4 rows
+    * put a collision-free estimate at 1−(avg load/width)⁴ per probe.
+    */
+  private val CmsRows = 4
+  private val CmsWidth = 256
+
+  /** q65 bottom-k sketch size: k=64 ⇒ relative NDV error ~1/√k ≈ 12%.
+    * Every gate source carries ≥64 distinct shingle hashes at sf0.001
+    * (~1.2k); a thinner source would drop out of BOTH engines' output
+    * identically (no k-th order statistic exists).
+    */
+  private val KmvK = 64
+
   def all: Seq[Q] = Seq(
     // ---- q21: CUBE aggregation — TWO-PHASE (q17's rewrite, one more
     //      grouping set): the fact table reduces to the 6-row key
@@ -301,6 +316,163 @@ object Advanced {
                CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lb END) AS BIGINT) AS p99_lb,
                CAST(max(n) AS BIGINT) AS n
         FROM cum GROUP BY 1"""),
+    ),
+
+    // ---- q64: COUNT-MIN SKETCH heavy hitters — the mergeable answer to
+    //      "what are the most frequent items" beside q62's quantile
+    //      histogram (and q65's cardinality sketch; together the three
+    //      sketch primitives a 100 TB profiler ships). The sketch is a
+    //      4×256 counter grid: each bigram increments one counter per
+    //      row r at bucket md5_long(term||'|r') mod 256; a probe's
+    //      estimate is the MIN over its four counters — an OVERestimate
+    //      by construction (collisions only add), within εN with
+    //      probability 1−(1/2)⁴ (Cormode & Muthukrishnan 2005). Unlike
+    //      q26's HLL, every byte here is PORTABLE: the hash is the
+    //      md5_long discipline the oracle replays exactly, so the
+    //      DuckDB twin rebuilds the identical grid — the estimates
+    //      cross the engine boundary bit-for-bit. Scale shape: the grid
+    //      is ONE map-side-combinable aggregate (explode ×4 collapses
+    //      to ≤1024 cells per task before any shuffle — partial
+    //      aggregation IS the sketch merge); the probe set and the grid
+    //      are both constant-bounded metadata joined under AQE
+    //      broadcast. The exact counts exist for the gate contract
+    //      (cms_n ≥ exact_n, pinned per row); at 100 TB you drop the
+    //      exact twin and keep the one-pass grid, as with q26. Bigrams
+    //      (vocab², ~960 keys) rather than unigrams (31) so collisions
+    //      at width 256 are REAL and the min-over-rows does work. ----
+    Q(
+      "q64_cms_topk",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        import graft.pipeline.Portable.{bigrams, md5Long, words}
+        val bigr = t(s, dir, "documents")
+          .select(explode(bigrams(words(col("text")))).as("term"))
+        def rbArr = array((0 until CmsRows).map { r =>
+          struct(lit(r).as("r"),
+            pmod(md5Long(concat(col("term"), lit("|" + r))),
+              lit(CmsWidth.toLong)).as("b"))
+        }: _*)
+        val cells = bigr.select(explode(rbArr).as("rb"))
+          .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+          .agg(count(lit(1)).as("c"))
+        val top = bigr.groupBy(col("term"))
+          .agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("term").asc)
+          .limit(20)
+        top.select(col("term"), col("exact_n"), explode(rbArr).as("rb"))
+          .select(col("term"), col("exact_n"),
+            col("rb.r").as("r"), col("rb.b").as("b"))
+          .join(cells, Seq("r", "b"))
+          .groupBy(col("term"), col("exact_n"))
+          .agg(min(col("c")).as("cms_n"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT ${graft.pipeline.Portable.wordsSql("text")} AS ws FROM documents),
+        bigr AS (
+          SELECT ws[i] || ' ' || ws[i+1] AS term
+          FROM (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i
+                FROM w WHERE len(ws) >= 2)),
+        rows4(r, sfx) AS (VALUES ${(0 until CmsRows).map(r => s"($r, '|$r')").mkString(", ")}),
+        cells AS (
+          SELECT r, ${graft.pipeline.Portable.md5LongSql("term || sfx")} % $CmsWidth AS b,
+                 count(*) AS c
+          FROM bigr CROSS JOIN rows4 GROUP BY 1, 2),
+        exact AS (SELECT term, count(*) AS exact_n FROM bigr GROUP BY 1),
+        top AS (SELECT term, exact_n FROM exact
+                ORDER BY exact_n DESC, term ASC LIMIT 20),
+        probes AS (
+          SELECT t.term, t.exact_n, r.r,
+                 ${graft.pipeline.Portable.md5LongSql("t.term || r.sfx")} % $CmsWidth AS b
+          FROM top t CROSS JOIN rows4 r)
+        SELECT p.term, CAST(p.exact_n AS BIGINT) AS exact_n,
+               CAST(min(c.c) AS BIGINT) AS cms_n
+        FROM probes p JOIN cells c USING (r, b)
+        GROUP BY 1, 2"""),
+    ),
+
+    // ---- q65: BOTTOM-K (KMV) cardinality sketch — the mergeable,
+    //      PORTABLE answer to "how many distinct" (q26's HLL estimates
+    //      cannot cross the oracle boundary; this one's do). Per source,
+    //      keep the k=64 smallest distinct md5_long shingle hashes; the
+    //      k-th smallest h estimates NDV ≈ (k−1)·2⁶⁰/h (Bar-Yossef et
+    //      al. 2002) — hashes uniform on [0,2⁶⁰) make the k-th order
+    //      statistic a density probe. The GLOBAL row is computed from
+    //      the MERGED per-source sketches (bottom-k of the ≤20·64-row
+    //      sketch union — the lossless merge that makes KMV a
+    //      distributive rollup), while the oracle derives it from
+    //      scratch over all hashes: the cross-engine hash match PROVES
+    //      merge-equivalence, not just agreement. Scale shape: the
+    //      rank-k filter compiles to WindowGroupLimit (map-side
+    //      per-partition bottom-k before the shuffle — partial top-k IS
+    //      the sketch build), per-source state is k hashes, the merge
+    //      input is |sources|·k metadata. est_ndv is one IEEE multiply
+    //      + divide rounded to 6 (t6's discipline); 63·2⁶⁰ is exactly
+    //      representable so both engines fold the same constant. The
+    //      exact NDV twin exists for the gate contract; at 100 TB you
+    //      keep only the sketch (one shuffle of distinct hashes — and
+    //      even that collapses to per-partition bottom-k candidates). ----
+    Q(
+      "q65_kmv_ndv",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        import graft.pipeline.Portable.{md5Long, spansK, words}
+        val hs = t(s, dir, "documents")
+          .select(col("source"),
+            explode(spansK(words(col("text")), 3)).as("g"))
+          .select(col("source"), md5Long(col("g")).as("h"))
+          .distinct()
+        val bySrc = Window.partitionBy(col("source")).orderBy(col("h").asc)
+        val sk = hs.withColumn("rk", row_number().over(bySrc))
+          .filter(col("rk") <= KmvK) // WindowGroupLimit: map-side bottom-k
+        def estimate(kth: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          round(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
+            kth.cast("double"), 6)
+        val per = sk.filter(col("rk") === KmvK)
+          .select(col("source"), col("h").as("kth_h"))
+          .join(hs.groupBy("source").agg(count(lit(1)).as("exact_ndv")), "source")
+        // the merge path: global sketch from the per-source sketches
+        val gkth = sk.select(col("h")).distinct()
+          .orderBy(col("h").asc).limit(KmvK)
+          .agg(max(col("h")).as("kth_h"))
+        val gexact = hs.select(col("h")).distinct()
+          .agg(count(lit(1)).as("exact_ndv"))
+        val global = gkth.crossJoin(gexact) // two 1-row sketches of metadata
+          .select(lit("ALL").as("source"), col("kth_h"), col("exact_ndv"))
+        per.select(col("source"), col("kth_h"), col("exact_ndv"))
+          .unionByName(global)
+          .select(col("source"), col("kth_h"),
+            estimate(col("kth_h")).as("est_ndv"), col("exact_ndv"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT source, ${graft.pipeline.Portable.wordsSql("text")} AS ws
+          FROM documents),
+        g AS (
+          SELECT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          FROM (SELECT source, ws, unnest(generate_series(1, len(ws)-2)) AS i
+                FROM w WHERE len(ws) >= 3)),
+        hs AS (SELECT DISTINCT source,
+                      ${graft.pipeline.Portable.md5LongSql("gram")} AS h
+               FROM g),
+        rk AS (SELECT source, h,
+                      row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk
+               FROM hs),
+        ex AS (SELECT source, count(*) AS exact_ndv FROM hs GROUP BY 1),
+        per AS (
+          SELECT s.source, s.h AS kth_h, e.exact_ndv
+          FROM rk s JOIN ex e USING (source) WHERE s.rk = $KmvK),
+        gh AS (SELECT DISTINCT h FROM hs),
+        grk AS (SELECT h, row_number() OVER (ORDER BY h ASC) AS rk FROM gh),
+        gper AS (
+          SELECT 'ALL' AS source, g.h AS kth_h, t.exact_ndv
+          FROM grk g CROSS JOIN (SELECT count(*) AS exact_ndv FROM gh) t
+          WHERE g.rk = $KmvK),
+        u AS (SELECT * FROM per UNION ALL SELECT * FROM gper)
+        SELECT source, kth_h,
+               round(${KmvK - 1}.0 * 1152921504606846976.0 / kth_h, 6) AS est_ndv,
+               CAST(exact_ndv AS BIGINT) AS exact_ndv
+        FROM u"""),
     ),
 
     // ---- q30: GROUPING SETS — the general form cube/rollup specialize
