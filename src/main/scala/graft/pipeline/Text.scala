@@ -672,7 +672,69 @@ object Text {
                CAST(sum(nw) AS BIGINT) AS n_words_t
         FROM k GROUP BY 1, 2"""),
     ),
+
+    // ---- t15: PHRASE SEARCH over a positional inverted index — the
+    //      retrieval operator t12 (term ranking) and s15 (rank fusion)
+    //      presuppose: find the documents containing an exact phrase,
+    //      with occurrence counts and first position. The classic IR
+    //      mechanism: a postings table (doc_id, pos, term) built ONCE
+    //      and shared ([[postingsIndex]]; d8's span table is its k>1
+    //      cousin), probed by slicing out the two query terms' lists
+    //      and equi-joining on (doc_id, pos+1) — adjacency IS the join
+    //      key, so phrase matching is a hash join of two term-sized
+    //      lists, never a corpus scan per query. Scale shape: the term
+    //      filters prune BEFORE the join (a term-bucketed persisted
+    //      postings layout makes that planning-time, s8's pattern); the
+    //      join moves |postings(w1)|+|postings(w2)| rows — for any real
+    //      query a vanishing corpus fraction; the per-doc roll-up is
+    //      map-side combinable. The pos+1 trick generalizes to k-term
+    //      phrases as a chain of k−1 such joins. ----
+    Q(
+      "t15_phrase_search",
+      (s, dir) => {
+        val post = postingsIndex(s, dir)
+        val p1 = post.filter(col("term") === PhraseW1)
+          .select(col("doc_id"), col("pos"))
+        val p2 = post.filter(col("term") === PhraseW2)
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        p1.join(p2, Seq("doc_id", "pos"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_hits"),
+            min(col("pos")).cast("long").as("first_pos"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+        hit AS (
+          SELECT doc_id, i - 1 AS pos
+          FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
+                FROM w WHERE len(ws) >= 2)
+          WHERE ws[i] = '$PhraseW1' AND ws[i+1] = '$PhraseW2')
+        SELECT doc_id, count(*) AS n_hits, CAST(min(pos) AS BIGINT) AS first_pos
+        FROM hit GROUP BY 1"""),
+    ),
   )
+
+  /** t15's gate phrase — present at every testdata SF (24–278 matching
+    * docs) with mid selectivity, so the join path is exercised and the
+    * result census is corpus-derived at each SF.
+    */
+  private[graft] val PhraseW1 = "hash"
+  private[graft] val PhraseW2 = "join"
+
+  /** The positional postings table (doc_id, 0-based pos, term) — the
+    * inverted-index base t15 probes, materialized once per (session,
+    * corpus) like [[bigramIndex]]. A persisted deployment would bucket
+    * it BY TERM so a query's list slice is planning-time partition
+    * pruning (s8's serving-layout pattern); the in-session twin relies
+    * on the pushed term filter instead.
+    */
+  private[graft] def postingsIndex(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Materialized.getOrBuild(s, s"t15.postings|$dir") {
+      Dedup.docsSharded(s, dir)
+        .select(col("doc_id"),
+          posexplode(words(col("text"))).as(Seq("pos", "term")))
+    }
 
   /** t12's per-document keyword budget. */
   val TfidfTopK = 3L
