@@ -111,6 +111,35 @@ object EventStream {
     * `setTimeoutTimestamp` is a no-op, so the SAME function serves the
     * backfill path with closed-sessions-only semantics.
     */
+  /** NATIVE session windows — Spark's built-in merging
+    * `session_window` aggregate, the framework answer to the problem
+    * [[sessionize]] solves by hand with `flatMapGroupsWithState`. The
+    * two differ on purpose and e22's oracle pins the NATIVE semantics:
+    * a session's end is last-event + gap, and an event landing exactly
+    * ON that end still MERGES (diff ≤ gap extends; split only at
+    * diff > gap — measured in SessionWindowSpec's boundary probe, and
+    * the same split rule as e3, so the two spellings differ only in
+    * the emitted end timestamp). In streaming the state store
+    * merges overlapping candidate sessions per key and the watermark
+    * finalizes a session only when it can no longer extend; in batch
+    * the same plan degenerates to a sort-based merge per key. Scale
+    * shape: one shuffle on user_id (the session merge is
+    * partition-local after it), value sum in exact decimal
+    * (order-insensitive under partial aggregation — the dsum
+    * discipline), state bounded by the watermark.
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", s"$gapMinutes minutes") // no-op in batch
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.Agg.dsum(col("value")).as("session_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("session_value"))
+
   def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000000

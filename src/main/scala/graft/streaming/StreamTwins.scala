@@ -356,5 +356,48 @@ object StreamTwins {
         WHERE e.event_type = 'purchase'
         GROUP BY 1, 2"""),
     ),
+
+    // ---- e22: batch run of the NATIVE session_window aggregate —
+    //      the built-in merging-session operator beside e9's hand-
+    //      rolled flatMapGroupsWithState (same functions, different
+    //      machinery: here the STATE STORE merges sessions). The
+    //      oracle replays the native fine print exactly: sessions
+    //      merge at gap ≤ 30 min — an event landing exactly ON the
+    //      half-open session end still extends it (MEASURED in
+    //      SessionWindowSpec's boundary probe; the gate corpus never
+    //      exercises µs-exact gaps, so only a probe can pin this) —
+    //      and end = last event + gap. That makes the merge rule
+    //      identical to e3's `> gap` split, differing only in the
+    //      emitted end timestamp.
+    //      In batch every session emits (no watermark cut); the live
+    //      append-mode path — watermark-finalized sessions only — is
+    //      pinned against a MemoryStream in SessionWindowSpec.
+    //      Scale shape: one shuffle on user_id, then partition-local
+    //      merge; exact-decimal value sums (dsum) so parallel partial
+    //      aggregation is order-insensitive. ----
+    Q(
+      "e22_session_window",
+      (s, dir) =>
+        EventStream.sessionWindowAgg(
+          t(s, dir, "events").select(col("ts"), col("user_id"), col("value"))),
+      Some("""
+        WITH g AS (
+          SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
+          FROM events),
+        m AS (
+          SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 30 * 60 * 1000000
+                         THEN 1 ELSE 0 END AS new_session
+          FROM g),
+        sess AS (
+          SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+          FROM m)
+        SELECT user_id, min(ts_us) AS start_us,
+               max(ts_us) + 30 * 60 * 1000000 AS end_us,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS session_value
+        FROM sess GROUP BY user_id, session_seq"""),
+    ),
   )
 }
