@@ -140,6 +140,32 @@ object EventStream {
         unix_micros(col("sw.end")).as("end_us"),
         col("n_events"), col("session_value"))
 
+  /** NATIVE watermark-bounded dedup — `dropDuplicatesWithinWatermark`,
+    * the built-in answer to the problem e13 solves with a hand-rolled
+    * state ring. Semantics the live spec pins: the FIRST arrival of a
+    * key emits, later arrivals within the watermark delay are dropped,
+    * and once the watermark passes first-arrival + delay the key's
+    * state is EVICTED — a later re-send is re-admitted (that is the
+    * difference from streaming `dropDuplicates`, whose state never
+    * shrinks and whose memory therefore grows with distinct keys
+    * forever — unusable on an unbounded stream). Spark 4.1 REJECTS the
+    * operator in batch plans outright (UnsupportedOperationChecker —
+    * measured, not assumed), so the batch degeneration is routed
+    * explicitly: plain `dropDuplicates` on the same keys, which is
+    * exactly what the streaming operator converges to when every event
+    * fits one watermark window. e23's checked projection aggregates to
+    * per-type distinct counts (WHICH row survives a key is
+    * partition-order-dependent; the key set is not). Scale shape: one
+    * shuffle on the dedup key, state bounded by
+    * keys-per-watermark-window, map-side partial dedup before the
+    * exchange.
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame = {
+    val w = events.withWatermark("ts", "1 hour")
+    if (events.isStreaming) w.dropDuplicatesWithinWatermark("event_type", "props")
+    else w.dropDuplicates("event_type", "props")
+  }
+
   def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000000

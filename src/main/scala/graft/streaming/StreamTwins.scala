@@ -399,5 +399,29 @@ object StreamTwins {
                CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS session_value
         FROM sess GROUP BY user_id, session_seq"""),
     ),
+
+    // ---- e23: batch run of the NATIVE watermark-bounded dedup —
+    //      `dropDuplicatesWithinWatermark` beside e13's hand-rolled
+    //      state ring (the same pairing as e22/e9: framework operator
+    //      vs custom state machine). Spark rejects the operator in
+    //      batch plans, so the shared function routes batch to plain
+    //      dropDuplicates on the keys — the streaming operator's
+    //      single-window limit; WHICH row survives a key is
+    //      partition-order-dependent, so the checked projection is the
+    //      per-type distinct-key census, which is not. The live
+    //      semantics the batch path cannot show — drop within the
+    //      delay, EVICT at watermark, re-admit a late re-send — are
+    //      pinned in DropDupWatermarkSpec. ----
+    Q(
+      "e23_dropdup_watermark",
+      (s, dir) =>
+        EventStream.dedupWithinWatermark(
+          t(s, dir, "events").select(col("ts"), col("event_type"), col("props")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_distinct")),
+      Some("""
+        SELECT event_type, count(DISTINCT props) AS n_distinct
+        FROM events GROUP BY 1"""),
+    ),
   )
 }
