@@ -166,6 +166,83 @@ object EventStream {
     else w.dropDuplicates("event_type", "props")
   }
 
+  // ---- e24: transformWithState — Spark 4's arbitrary-state API ----
+
+  final case class TotalsAcc(n: Long, cents: Long)
+  final case class TotalsOut(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user lifetime totals as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * — the third stateful-machinery rung beside flatMapGroupsWithState
+    * (e9/e18) and the native operators (e22/e23): NAMED, TYPED state
+    * variables managed by the state store instead of one opaque state
+    * blob. The money total lives in state as exact integer cents
+    * (per-value HALF_UP to 2 decimals — the same Cast-to-DECIMAL the
+    * batch dsum performs, e18's discipline), so accumulation order
+    * cannot drift the float and the emitted double equals the oracle's
+    * decimal-sum-cast exactly. Each input batch emits the key's
+    * UPDATED RUNNING SNAPSHOT — the live-dashboard shape; in batch all
+    * of a key's rows arrive in one call over empty state, so exactly
+    * one final row per key emits (= groupBy count/sum, the oracle).
+    */
+  class TotalsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), TotalsOut] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[TotalsAcc] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[TotalsAcc](
+        "totals",
+        org.apache.spark.sql.Encoders.product[TotalsAcc],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TotalsOut] = {
+      val prev = if (totals.exists()) totals.get() else TotalsAcc(0L, 0L)
+      val next = rows.foldLeft(prev) { (a, r) =>
+        TotalsAcc(a.n + 1, a.cents + gapCents(r._2))
+      }
+      totals.update(next)
+      Iterator.single(TotalsOut(key, next.n, next.cents / 100.0))
+    }
+  }
+
+  /** e24's shared path: running per-user totals over (user_id, value)
+    * pairs. TimeMode.None — pure key state, no timers, so the SAME
+    * processor serves batch (one call per key, empty state) and
+    * streaming (snapshot per micro-batch). Streaming requires the
+    * RocksDB state store provider (the spec sets it); batch does not.
+    */
+  def runningTotals(events: Dataset[(Long, Double)]): Dataset[TotalsOut] = {
+    import events.sparkSession.implicits._
+    if (!events.isStreaming) {
+      // Batch transformWithState instantiates the RocksDB provider,
+      // whose snapshot-upload telemetry RPCs the StateStoreCoordinator
+      // endpoint that ONLY a streaming query registers — in a
+      // batch-only session the task dies with CANNOT_LOAD_STATE_STORE
+      // / RpcEndpointNotFoundException (measured on 4.1.2). Session
+      // conf can't reach it either: the batch operator builds its
+      // StateStoreConf from a FRESH default SQLConf
+      // (TransformWithStateExec.initNewStateStoreAndProcessData), so
+      // the telemetry kill-switch conf is ignored. Fix: register the
+      // coordinator endpoint ourselves — forDriver is public and
+      // idempotent (returns the existing ref when a streaming query
+      // beat us to it).
+      org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+        .forDriver(org.apache.spark.SparkEnv.get,
+          events.sparkSession.sessionState.conf)
+    }
+    events
+      .groupByKey(_._1)
+      .transformWithState(
+        new TotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[TotalsOut]])
+  }
+
   def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000000

@@ -423,5 +423,28 @@ object StreamTwins {
         SELECT event_type, count(DISTINCT props) AS n_distinct
         FROM events GROUP BY 1"""),
     ),
+
+    // ---- e24: batch run of the transformWithState processor — Spark
+    //      4's arbitrary-state API (typed named state variables in the
+    //      state store) computing per-user lifetime event counts and
+    //      exact-cents money totals. In batch each key's rows arrive in
+    //      ONE call over empty state, so the emitted running snapshot
+    //      is the final total = plain groupBy — which is exactly what
+    //      the oracle replays; the running-snapshot-per-micro-batch
+    //      live behavior is pinned in TransformWithStateSpec. ----
+    Q(
+      "e24_transform_state",
+      (s, dir) => {
+        import s.implicits._
+        EventStream.runningTotals(
+          t(s, dir, "events")
+            .select(col("user_id"), col("value")).as[(Long, Double)])
+          .toDF()
+      },
+      Some("""
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1"""),
+    ),
   )
 }
