@@ -163,6 +163,48 @@ object Events {
         WHERE p.event_type = 'purchase'"""),
     ),
 
+    // ---- e25: FULL-outer attribution — the last cell of the
+    //      stream-stream join matrix (inner e4, left-outer e21, full
+    //      here): every purchase with its preceding-hour clicks, PLUS
+    //      the unattributed purchases (NULL click side, e21's rows)
+    //      PLUS the clicks that converted nothing (NULL purchase side
+    //      — the audience-leak census only the full join surfaces).
+    //      Same shared attributionJoin body; in streaming both buffers
+    //      carry watermarks and the two-sided time bound lets Spark
+    //      emit each side's NULL-padded rows at state eviction. The
+    //      type filters live BEFORE the join in both engines — for a
+    //      full join a WHERE after it would silently drop the other
+    //      side's NULL rows (the classic outer-join-predicate trap;
+    //      the oracle spells it with filtered CTEs for the same
+    //      reason). user_id is emitted per SIDE: a coalesced key would
+    //      erase which side of an unmatched row carried it. ----
+    Q(
+      "e25_full_attribution",
+      (s, dir) =>
+        graft.streaming.EventStream
+          .attributionJoin(t(s, dir, "events"), "full_outer")
+          .select(
+            col("purchase_id"), col("p_user").as("purchase_user"),
+            unix_micros(col("purchase_ts")).as("purchase_us"), col("value"),
+            col("click_id"), col("c_user").as("click_user"),
+            unix_micros(col("click_ts")).as("click_us")),
+      Some("""
+        WITH p AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us
+          FROM events WHERE event_type = 'click')
+        SELECT p.event_id AS purchase_id, p.user_id AS purchase_user,
+               p.ts_us AS purchase_us, p.value AS value,
+               c.event_id AS click_id, c.user_id AS click_user,
+               c.ts_us AS click_us
+        FROM p FULL JOIN c
+          ON p.user_id = c.user_id
+         AND c.ts_us < p.ts_us
+         AND c.ts_us >= p.ts_us - 3600000000"""),
+    ),
+
     // ---- e5: ordered funnel — view → click → purchase, each stage
     //      strictly after the user's FIRST completion of the previous
     //      stage (the product-analytics sequence query). Running

@@ -251,6 +251,59 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Set((2L, 1L), (3L, -1L)), s"batch twin mismatch: $out")
   }
 
+  test("full attributionJoin: BOTH sides' unmatched rows emit NULL-padded after expiry") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = attributionJoin(df, "full_outer")
+      .writeStream.format("memory").queryName("attrib_full")
+      .outputMode("append").start()
+    try {
+      def rows = spark.table("attrib_full").collect()
+        .map { r =>
+          def idOr(f: String): Long =
+            if (r.isNullAt(r.fieldIndex(f))) -1L else r.getLong(r.fieldIndex(f))
+          (idOr("purchase_id"), idOr("click_id"))
+        }.toSet
+      mem.addData(
+        (1L, ts(0), 1L, "click", 0.0),     // attributable: inner row
+        (2L, ts(30), 1L, "purchase", 9.0), // matched purchase
+        (3L, ts(40), 2L, "purchase", 5.0), // no click for user 2
+        (4L, ts(50), 4L, "click", 0.0))    // converts nothing
+      query.processAllAvailable()
+      assert(rows == Set((2L, 1L)),
+        s"unmatched rows must be withheld before expiry: $rows")
+      // advance BOTH sides' watermarks past the bound, then one more
+      // batch so the advanced watermark evicts state (e21's recipe)
+      mem.addData((5L, ts(600), 3L, "click", 0.0))
+      query.processAllAvailable()
+      mem.addData((6L, ts(601), 3L, "purchase", 1.0))
+      query.processAllAvailable()
+      mem.addData((7L, ts(602), 3L, "click", 0.0))
+      query.processAllAvailable()
+      assert(rows.contains((3L, -1L)),
+        s"expired unmatched PURCHASE must emit NULL-padded: $rows")
+      assert(rows.contains((-1L, 4L)),
+        s"expired unmatched CLICK must emit NULL-padded (the full-only rows): $rows")
+      assert(rows.contains((6L, 5L)), s"cross-batch match must emit: $rows")
+    } finally query.stop()
+    // batch twin: both unmatched sides emit immediately
+    val batch = Seq(
+      (1L, ts(0), 1L, "click", 0.0),
+      (2L, ts(30), 1L, "purchase", 9.0),
+      (3L, ts(40), 2L, "purchase", 5.0),
+      (4L, ts(50), 4L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = attributionJoin(batch, "full_outer").collect()
+      .map { r =>
+        def idOr(f: String): Long =
+          if (r.isNullAt(r.fieldIndex(f))) -1L else r.getLong(r.fieldIndex(f))
+        (idOr("purchase_id"), idOr("click_id"))
+      }.toSet
+    assert(out == Set((2L, 1L), (3L, -1L), (-1L, 4L)), s"batch twin mismatch: $out")
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions and keeps open state") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
