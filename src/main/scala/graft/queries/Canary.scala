@@ -7,7 +7,7 @@ import graft.{Q, Tables}
 
 /** Oracle-environment canaries (`qc_*`) — one-row-ish probes that pin
   * the cross-engine (Spark vs the driver's DuckDB) evaluation of every
-  * "risky" SQL construct the 164-query oracle suite leans on, each in
+  * "risky" SQL construct the full oracle suite leans on, each in
   * ISOLATION. They exist because of the r08 incident: three queries
   * hash-failed ONLY on the driver (green under the repo's own DuckDB
   * 1.0.0 at the same SF and parallelism), and the root cause could not
@@ -300,6 +300,52 @@ object Canary {
         SELECT CAST(min(epoch_us(date_trunc('hour', ts))) AS BIGINT) AS mn,
                CAST(max(epoch_us(date_trunc('hour', ts))) AS BIGINT) AS mx
         FROM events"""),
+    ),
+
+    // ---- qc11: LIST-literal 1-based indexing — q63's Hilbert LUT
+    //      construct (`([..])[i]`), new in round-9 session 2, so it
+    //      gets its isolation probe per the r08 discipline. Probes the
+    //      first, an interior, and the last position, with the index
+    //      COMPUTED (x*4+y+1, the LUT's exact arithmetic shape), and
+    //      the element CAST AS BIGINT so only the indexing semantics
+    //      are under test, not INTEGER-vs-BIGINT rendering. ----
+    Q(
+      "qc11_list_index",
+      (s, _) => {
+        import s.implicits._
+        val lut = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L)
+        Seq(("first", 0L, 0L), ("mid", 1L, 1L), ("last", 1L, 3L))
+          .toDF("lbl", "x", "y")
+          .select(col("lbl"),
+            element_at(
+              array(lut.map(lit(_)): _*),
+              (col("x") * 4 + col("y") + 1).cast("int")).as("v"))
+      },
+      Some("""
+        SELECT lbl,
+               CAST(([10, 20, 30, 40, 50, 60, 70, 80])[CAST(x * 4 + y + 1 AS INT)] AS BIGINT) AS v
+        FROM (VALUES ('first', 0, 0), ('mid', 1, 1), ('last', 1, 3)) t(lbl, x, y)"""),
+    ),
+
+    // ---- qc12: FULL JOIN NULL-padding — e25's (and s15's) shape: both
+    //      sides' unmatched rows must surface with NULLs that hash
+    //      identically across engines (NULL canonicalization, column
+    //      order under the sorted-name compare). One matched pair, one
+    //      left-only, one right-only. ----
+    Q(
+      "qc12_full_join",
+      (s, _) => {
+        import s.implicits._
+        val l = Seq((1L, "a"), (2L, "b")).toDF("k", "lv")
+        val r = Seq((1L, 10L), (3L, 30L)).toDF("k2", "rv")
+        l.join(r, col("k") === col("k2"), "full_outer")
+          .select(col("k"), col("lv"), col("k2"), col("rv"))
+      },
+      Some("""
+        SELECT l.k, l.lv, r.k2, r.rv
+        FROM (VALUES (1, 'a'), (2, 'b')) l(k, lv)
+        FULL JOIN (VALUES (1, 10), (3, 30)) r(k2, rv)
+          ON l.k = r.k2"""),
     ),
   )
 }
