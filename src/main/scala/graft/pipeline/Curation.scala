@@ -563,7 +563,107 @@ object Curation {
           FROM r JOIN mix m ON r.lang = m.source)
         SELECT lang, doc_id, rk, repeats FROM plan WHERE repeats > 0"""),
     ),
+
+    // ---- p11: DATA CARD — the per-language profile every dataset
+    //      release ships, composing the sketch primitives (q62's
+    //      histogram quantile, q65's KMV cardinality) with the exact
+    //      scalars into ONE query: docs, BPE-token mass, median doc
+    //      length (histogram lower bound, bucket 100 chars), and the
+    //      distinct-3-gram richness estimate. This is what a 100 TB
+    //      profiler actually runs — every component is one
+    //      map-side-combinable aggregate over the same scan family
+    //      (scalars: one groupBy; histogram: |langs|·|buckets| cells;
+    //      KMV: WindowGroupLimit bottom-k), and the output is
+    //      |langs| rows of metadata. All integer except the KMV
+    //      estimate (one IEEE multiply+divide, round 6 — q65's
+    //      discipline). ----
+    Q(
+      "p11_data_card",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        import Portable.bpeTokens
+        val docs = t(s, dir, "documents")
+          .select(col("lang"), col("n_chars"), col("text"))
+        // materialized: the median's broadcast side AND the final join
+        // both read base, and its BPE regex pass over the corpus is the
+        // card's most expensive scan — cache the 5-row result, not the
+        // regex (same reuse discipline as q65's hash table)
+        val base = Materialized.getOrBuild(s, s"p11.base|$dir") {
+          docs.groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(bpeTokens(col("text")).cast("long")).as("n_tokens"))
+        }
+        val hist = docs
+          .select(col("lang"), expr("n_chars div 100").as("bkt"))
+          .groupBy(col("lang"), col("bkt")).agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy(col("lang")).orderBy(col("bkt").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val med = hist.withColumn("cum", sum(col("c")).over(wCum))
+          .join(broadcast(base.select(col("lang"), col("n_docs"))), "lang")
+          .groupBy(col("lang"))
+          .agg(min(when(col("cum") >= expr("(n_docs + 1) div 2"),
+            col("bkt") * lit(100L))).as("p50_chars_lb"))
+        // q65's discipline: ride the session-shared shingle index
+        // (identical 3-gram hash definition), re-keyed to lang — the
+        // card pays one doc_id join + distinct, never its own corpus
+        // explode
+        val hs = Materialized.getOrBuild(s, s"p11.hashes|$dir") {
+          Dedup.shingleIndex(s, dir)
+            .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+            .select(col("lang"), col("h"))
+            .distinct()
+        }
+        val kth = hs
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("h").asc)))
+          .filter(col("rk") === DataCardK) // WindowGroupLimit bottom-k
+          .select(col("lang"),
+            round(lit((DataCardK - 1).toDouble) * lit(1152921504606846976.0) /
+              col("h").cast("double"), 6).as("est_3gram_ndv"))
+        base.join(med, "lang").join(kth, "lang")
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+            col("p50_chars_lb"), col("est_3gram_ndv"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        hist AS (
+          SELECT lang, n_chars // 100 AS bkt, count(*) AS c
+          FROM documents GROUP BY 1, 2),
+        cum AS (
+          SELECT h.lang, h.bkt, b.n_docs,
+                 CAST(sum(h.c) OVER (PARTITION BY h.lang ORDER BY h.bkt ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM hist h JOIN base b USING (lang)),
+        med AS (
+          SELECT lang,
+                 CAST(min(CASE WHEN cum >= (n_docs + 1) // 2 THEN bkt * 100 END) AS BIGINT) AS p50_chars_lb
+          FROM cum GROUP BY 1),
+        w AS (SELECT lang, ${Portable.wordsSql("text")} AS ws FROM documents),
+        g AS (
+          SELECT lang, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          FROM (SELECT lang, ws, unnest(generate_series(1, len(ws)-2)) AS i
+                FROM w WHERE len(ws) >= 3)),
+        hs AS (SELECT DISTINCT lang, ${Portable.md5LongSql("gram")} AS h FROM g),
+        kth AS (
+          SELECT lang,
+                 round(${DataCardK - 1}.0 * 1152921504606846976.0 / h, 6) AS est_3gram_ndv
+          FROM (SELECT lang, h,
+                       row_number() OVER (PARTITION BY lang ORDER BY h ASC) AS rk
+                FROM hs)
+          WHERE rk = $DataCardK)
+        SELECT b.lang, b.n_docs, b.n_tokens, m.p50_chars_lb, k.est_3gram_ndv
+        FROM base b JOIN med m USING (lang) JOIN kth k USING (lang)"""),
+    ),
   )
+
+  /** p11's bottom-k sketch size (q65's k, applied per language — every
+    * gate language carries well over 64 distinct 3-gram hashes at
+    * every SF).
+    */
+  private val DataCardK = 64
 
   /** p8's fixed PageRank iteration count — enough for ppm-level
     * convergence on a domain-cardinality graph, small enough that the

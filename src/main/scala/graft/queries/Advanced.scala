@@ -416,12 +416,20 @@ object Advanced {
       "q65_kmv_ndv",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
-        import graft.pipeline.Portable.{md5Long, spansK, words}
-        val hs = t(s, dir, "documents")
-          .select(col("source"),
-            explode(spansK(words(col("text")), 3)).as("g"))
-          .select(col("source"), md5Long(col("g")).as("h"))
-          .distinct()
+        // Rides the SESSION-SHARED shingle index (the same (doc_id,
+        // 3-gram-md5) table d2/d3/t11 build once — shingles3 IS the
+        // spansK(words, 3) this sketch hashes), re-keyed to source by
+        // one doc_id join. Materialized because the window input, the
+        // per-source exact twin and the global exact twin all read it —
+        // a per-branch recompute made q65 the suite's slowest cell at
+        // 4.7 s sf0.1 (review r9s2), and a private re-explode would pay
+        // the corpus pass the shared index already paid.
+        val hs = graft.pipeline.Materialized.getOrBuild(s, s"q65.hashes|$dir") {
+          graft.pipeline.Dedup.shingleIndex(s, dir)
+            .join(t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+            .select(col("source"), col("h"))
+            .distinct()
+        }
         val bySrc = Window.partitionBy(col("source")).orderBy(col("h").asc)
         val sk = hs.withColumn("rk", row_number().over(bySrc))
           .filter(col("rk") <= KmvK) // WindowGroupLimit: map-side bottom-k

@@ -420,7 +420,14 @@ object StreamTwins {
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_distinct")),
       Some("""
-        SELECT event_type, count(DISTINCT props) AS n_distinct
+        -- + NULL-key term: Spark's dropDuplicates keeps a NULL props
+        -- as one surviving key, count(DISTINCT) would drop it — the
+        -- gate corpus is 100% non-null (term = 0) but the oracle must
+        -- encode the operator's semantics, not the corpus's accident
+        SELECT event_type,
+               count(DISTINCT props)
+                 + CAST(max(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_distinct
         FROM events GROUP BY 1"""),
     ),
 
