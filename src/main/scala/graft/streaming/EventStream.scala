@@ -243,6 +243,102 @@ object EventStream {
         implicitly[org.apache.spark.sql.Encoder[TotalsOut]])
   }
 
+  final case class TrendOut(hour_us: Long, event_type: String, n: Long, rk: Int)
+
+  /** e26: live hourly top-k trending — e10's batch window query as a
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]] exercising
+    * the OTHER half of the transformWithState API e24 doesn't touch:
+    * MAP state (per-type counters inside each hour's key) and
+    * EVENT-TIME TIMERS (one per open hour at the hour's end; the
+    * watermark delay supplies the lateness budget, so the timer fires
+    * exactly when the hour can no longer change). On expiry the hour
+    * emits its top-k (count desc, type asc — e10's tie rule) and
+    * clears state, so memory is |open hours|·|types|, never the
+    * stream. In batch the engine fires every registered timer after
+    * the input is exhausted (the end-of-data watermark), so the SAME
+    * processor degenerates to e10's full answer — the oracle replays
+    * that with the window spelling.
+    */
+  class TrendingProcessor(k: Int, batchMode: Boolean)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), TrendOut] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        hourUs: Long,
+        rows: Iterator[(Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TrendOut] = {
+      rows.foreach { case (_, et) =>
+        val prev = if (counts.containsKey(et)) counts.getValue(et) else 0L
+        counts.updateValue(et, prev + 1L)
+      }
+      if (batchMode) {
+        // batch TWS rejects event-time timers outright
+        // (INTERNAL_ERROR_TWS "Failed to find time values" — measured
+        // on 4.1.2), and batch delivers ALL of a key's rows in this one
+        // call anyway, so emission here IS the timer's end-of-hour
+        // emission
+        emitTopK(hourUs)
+      } else {
+        // one timer per open hour, at the hour's END (epoch ms); the
+        // watermark's delay already encodes allowed lateness.
+        // Re-register is idempotent (same key, same timestamp).
+        getHandle.registerTimer(hourUs / 1000L + 3600L * 1000L)
+        Iterator.empty
+      }
+    }
+
+    private def emitTopK(hourUs: Long): Iterator[TrendOut] = {
+      val top = counts.iterator().toSeq
+        .sortBy { case (et, n) => (-n, et) }
+        .take(k)
+      counts.clear()
+      top.iterator.zipWithIndex.map { case ((et, n), i) =>
+        TrendOut(hourUs, et, n, i + 1)
+      }
+    }
+
+    override def handleExpiredTimer(
+        hourUs: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[TrendOut] =
+      emitTopK(hourUs)
+  }
+
+  /** e26's shared path: hourly top-k event types, emitted when the
+    * watermark closes each hour. Same batch coordinator boot as
+    * [[runningTotals]].
+    */
+  def trendingTopK(events: DataFrame, k: Int = 3): Dataset[TrendOut] = {
+    val session = events.sparkSession
+    import session.implicits._
+    if (!events.isStreaming) {
+      org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+        .forDriver(org.apache.spark.SparkEnv.get, session.sessionState.conf)
+    }
+    events
+      .withWatermark("ts", "2 hours")
+      .select(unix_micros(date_trunc("HOUR", col("ts"))).as("hour_us"),
+        col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new TrendingProcessor(k, batchMode = !events.isStreaming),
+        if (events.isStreaming) org.apache.spark.sql.streaming.TimeMode.EventTime()
+        else org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[TrendOut]])
+  }
+
   def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000000

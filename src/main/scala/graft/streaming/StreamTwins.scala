@@ -453,5 +453,30 @@ object StreamTwins {
                CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
         FROM events GROUP BY 1"""),
     ),
+
+    // ---- e26: batch run of the trending top-k processor — the
+    //      MapState + event-time-timer half of transformWithState
+    //      (e24 covers ValueState). In batch every registered timer
+    //      fires once the input is exhausted, so each hour emits its
+    //      final top-3 = e10's window query, which the oracle replays.
+    //      The incremental live behavior (hours emit as the watermark
+    //      closes them, state clears per hour) is pinned in
+    //      TransformWithStateSpec. ----
+    Q(
+      "e26_stream_trending",
+      (s, dir) =>
+        EventStream.trendingTopK(
+          t(s, dir, "events").select(col("ts"), col("event_type"))).toDF(),
+      Some("""
+        WITH c AS (
+          SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT hour_us, event_type, n, rk FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY hour_us ORDER BY n DESC, event_type ASC) AS INT) AS rk
+          FROM c)
+        WHERE rk <= 3"""),
+    ),
   )
 }

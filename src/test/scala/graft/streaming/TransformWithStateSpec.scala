@@ -51,4 +51,48 @@ class TransformWithStateSpec extends SparkSpec {
       }
     }
   }
+
+  test("e26 live: hours emit their top-k when the watermark closes them") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "event_type")
+    val query = EventStream.trendingTopK(df, k = 2).toDF()
+      .writeStream.format("memory").queryName("trend26")
+      .outputMode("append").start()
+    try {
+      // hour 0: click x2, view x1, scroll x1 → top-2 = click, scroll? no:
+      // counts click=2, scroll=1, view=1 → rk1 click, rk2 scroll (tie on
+      // 1, type asc picks scroll < view)
+      mem.addData((ts(1), "click"), (ts(2), "click"), (ts(3), "view"), (ts(4), "scroll"))
+      query.processAllAvailable()
+      assert(spark.table("trend26").count() == 0,
+        "an open hour must not emit before the watermark closes it")
+      // advance the watermark past hour 0's end (+2h delay): event at
+      // minute 200 → watermark 80 > 60; one more batch applies it
+      mem.addData((ts(200), "click"))
+      query.processAllAvailable()
+      query.processAllAvailable()
+      val rows = spark.table("trend26")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+      assert(rows == Set((0L, "click", 2L, 1), (0L, "scroll", 1L, 2)),
+        s"hour 0 must emit exactly its top-2 with e10's tie rule: $rows")
+      // the emitting hour CLEARED its state: a (late-but-admissible)
+      // replay of the whole stream in batch mode still yields the full
+      // answer, but the live table gains nothing new without fresh hours
+      query.processAllAvailable()
+      assert(spark.table("trend26").count() == 2, "no re-emission after clear")
+    } finally {
+      query.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
