@@ -61,9 +61,16 @@ def save_hist(rows):
 
 def parse_bench(path):
     """Extract per-cell rows from a bench metrics JSON line (or a driver
-    BENCH_r*.json whose `parsed` field holds the same object)."""
+    BENCH_r*.json whose `parsed` field holds the same object).
+
+    Bench emits TWO lines since round 9 (detail + per-family summary);
+    pick the line with the most query cells — taking the LAST line
+    silently recorded the 8 summary aggregates as the round's cells and,
+    because `record` replaces the round's rows, destroyed its detailed
+    minima (round-9 session-2 incident; restored from git)."""
     with open(path) as f:
-        d = json.loads(f.read().strip().splitlines()[-1])
+        candidates = [json.loads(l) for l in f.read().strip().splitlines()]
+    d = max(candidates, key=lambda c: len(c.get("queries", {})))
     if "queries" not in d and isinstance(d.get("parsed"), dict):
         d = d["parsed"]
     cells = []
