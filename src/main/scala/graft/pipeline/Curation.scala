@@ -790,6 +790,11 @@ object Curation {
 
   private[graft] def temperatureAlloc(
       counts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // Unpartitioned windows = single partition, but their INPUT is the
+    // per-group allocation census (one row per source/lang — group-
+    // cardinality, metadata-scale), never the corpus. The corpus-sized
+    // pass is the groupBy that produced `counts`; don't copy these
+    // global windows onto corpus-scale data.
     val wAll = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     val wRank = Window.orderBy(col("rem").desc, col("source").asc)

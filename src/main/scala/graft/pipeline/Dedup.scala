@@ -1072,15 +1072,21 @@ object Dedup {
         val sizes = cc.groupBy("root").agg(count(lit(1)).as("k"))
         val weights = cc.join(sizes, "root")
           .select(col("doc_id"), expr("1000000L div k").as("w_ppm"))
+        // Size-gated broadcast (VERDICT r9 item 3): weights is
+        // near-dup-MEMBERSHIP scale — it grows with the corpus' dup
+        // fraction, unlike the bounded-metadata broadcast sides
+        // elsewhere in this file, so a FORCED hint has no fallback but
+        // executor OOM past the broadcast ceiling. Gate on the cluster
+        // member count (one cheap count on the session-materialized d6
+        // component table): under the cap the 100 TB corpus side never
+        // shuffles for this join; over it the hint is dropped and AQE
+        // picks broadcast-vs-shuffle from runtime size (the d5
+        // convention at :292).
+        val memberCap = 10000000L // ~16 B/row → ~160 MB hash side, ≪ ceiling
+        val weightsSide =
+          if (cc.count() <= memberCap) broadcast(weights) else weights
         t(s, dir, "documents").select(col("doc_id"), col("source"))
-          // broadcast caveat (ADVICE r8): weights is near-dup-MEMBERSHIP
-          // scale — it grows with the corpus' dup fraction, unlike the
-          // bounded-metadata broadcast sides elsewhere in this file. At
-          // gate SFs it is ≪ the 8 GB broadcast ceiling; a 100 TB
-          // deployment with a high dup rate drops the hint and lets AQE
-          // pick broadcast-vs-shuffle from the runtime size (the d5
-          // convention at :292).
-          .join(broadcast(weights), Seq("doc_id"), "left_outer")
+          .join(weightsSide, Seq("doc_id"), "left_outer")
           .withColumn("in_cluster", col("w_ppm").isNotNull)
           .withColumn("w_ppm", coalesce(col("w_ppm"), lit(1000000L)))
           .groupBy(col("source"))

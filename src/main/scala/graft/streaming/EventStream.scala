@@ -277,6 +277,17 @@ object EventStream {
         hourUs: Long,
         rows: Iterator[(Long, String)],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TrendOut] = {
+      val hourEndMs = hourUs / 1000L + 3600L * 1000L
+      if (!batchMode && hourEndMs <= timerValues.getCurrentWatermarkInMs()) {
+        // The hour's timer already fired (watermark passed its end):
+        // its top-k was emitted and its state cleared. The grouping key
+        // projected the ts column away, so Spark's built-in late-record
+        // filter can't run — without this guard a straggler row would
+        // rebuild MapState and re-register a past-due timer that fires
+        // on the NEXT batch, emitting a duplicate partial top-k for the
+        // same hour_us. Enforce clear-and-never-re-emit here instead.
+        return Iterator.empty
+      }
       rows.foreach { case (_, et) =>
         val prev = if (counts.containsKey(et)) counts.getValue(et) else 0L
         counts.updateValue(et, prev + 1L)

@@ -52,6 +52,29 @@ class WinnowSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.take(5).forall(_.getSeq[Long](1).nonEmpty))
   }
 
+  test("audio_stats registration rejects a non-numeric silence literal with a typed message") {
+    GraftFunctions.register(spark)
+    val base = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(call_function("pcm_gen", col("doc_id"), lit(4), lit(64)).as("pcm"))
+    // builder-time validation fires at analysis: a string literal where
+    // the silence threshold belongs must fail with the typed message,
+    // not an opaque ClassCastException (VERDICT r9 item 7)
+    val e = intercept[Exception] {
+      base.select(call_function("audio_stats", col("pcm"), lit(64), lit("loud"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("silence must be an integer literal")),
+      s"expected the typed builder message, got: $e")
+    // and a NULL silence literal is rejected too
+    val e2 = intercept[Exception] {
+      base.select(call_function("audio_stats", col("pcm"), lit(64),
+        lit(null).cast("long"))).collect()
+    }
+    assert(messages(e2).exists(_.contains("silence must not be NULL")),
+      s"expected the null-literal message, got: $e2")
+  }
+
   test("t5_winnow query runs over documents with one fingerprint set per doc") {
     val out = graft.SparkEntry.queries("t5_winnow")(spark, "/root/testdata/sf0.001")
     val rows = out.collect()

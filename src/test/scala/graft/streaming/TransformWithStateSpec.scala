@@ -87,6 +87,18 @@ class TransformWithStateSpec extends SparkSpec {
       // answer, but the live table gains nothing new without fresh hours
       query.processAllAvailable()
       assert(spark.table("trend26").count() == 2, "no re-emission after clear")
+      // a STRAGGLER row for the already-closed hour 0: the grouping key
+      // projected ts away, so the engine's late-record filter can't see
+      // it — the processor's own watermark guard must drop it, or it
+      // would rebuild MapState, re-register hour 0's past-due timer,
+      // and emit a duplicate partial top-k on the next batch.
+      mem.addData((ts(5), "straggler"))
+      query.processAllAvailable()
+      query.processAllAvailable()
+      val after = spark.table("trend26")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+      assert(after == rows,
+        s"a late row for a closed hour must never re-emit that hour: $after")
     } finally {
       query.stop()
       prior match {

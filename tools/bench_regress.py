@@ -69,8 +69,27 @@ def parse_bench(path):
     because `record` replaces the round's rows, destroyed its detailed
     minima (round-9 session-2 incident; restored from git)."""
     with open(path) as f:
-        candidates = [json.loads(l) for l in f.read().strip().splitlines()]
-    d = max(candidates, key=lambda c: len(c.get("queries", {})))
+        text = f.read()
+    try:
+        # driver BENCH_r*.json is pretty-printed multi-line JSON — parse
+        # the whole file first; per-line parsing would JSONDecodeError on
+        # its interior lines (and on any blank line in a bench dump)
+        candidates = [json.loads(text)]
+    except json.JSONDecodeError:
+        candidates = []
+        for l in text.splitlines():
+            l = l.strip()
+            if not l:
+                continue
+            try:
+                candidates.append(json.loads(l))
+            except json.JSONDecodeError:
+                continue
+    if not candidates:
+        sys.exit(f"no parseable JSON in {path}")
+    d = max(candidates, key=lambda c: len(c.get("queries", {})) if isinstance(c, dict) else -1)
+    if not isinstance(d, dict):
+        sys.exit(f"no JSON object found in {path}")
     if "queries" not in d and isinstance(d.get("parsed"), dict):
         d = d["parsed"]
     cells = []
