@@ -443,6 +443,13 @@ object Similarity {
   val CentroidLo = 100
   val NProbe = 4
 
+  /** s18 radius: on this random-ish corpus the top-10 cosine sits
+    * ≈0.4 (see s2's geometry note), so τ=0.3 admits a nonempty,
+    * corpus-density-derived result set at every gate SF while staying
+    * selective enough that the range output is ≪ the probed cells.
+    */
+  val RangeTau = 0.3
+
   /** Lloyd (k-means) refinement iterations over the sampled seeds. Fixed
     * small count: k-means converges fast from a data sample, every extra
     * iteration is a full corpus × K assignment pass, and a FIXED count
@@ -2615,6 +2622,57 @@ object Similarity {
           SELECT a.np, a.qid, CAST(count(*) AS BIGINT) AS n_hit
           FROM approx a JOIN exact x ON a.qid = x.qid AND a.vec_id = x.vec_id
           GROUP BY 1, 2) h ON g.np = h.np AND g.qid = h.qid"""),
+    ),
+
+    // ---- s18: IVF RANGE SEARCH — the radius twin of s4's top-k: every
+    //      vector within cosine ≥ τ of each audit probe, searched over
+    //      the SAME NProbe-pruned IVF cells. Range is the shape
+    //      retrieval dedup/decontam actually wants ("everything this
+    //      similar", not "the 10 nearest"), and it is CHEAPER than
+    //      top-k at scale: the τ filter is a plain predicate pushed
+    //      inside the candidate scan — no per-qid window, no rank
+    //      shuffle at all (the one exchange is the broadcast of the
+    //      bounded probe table). At 100 TB the s8 cid-partitioned
+    //      layout serves this with NProbe partition reads per probe.
+    //      Deterministic: candidates come from the decimal-exact Lloyd
+    //      assignment s4 pins, cos_sim is rounded to 6 before the
+    //      compare, so the row set hash-matches the oracle's replay. ----
+    Q(
+      "s18_range_search",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val k = numCentroids(corpusCount(s, dir))
+        val assigned = ivfAssigned(s, dir, e, k)
+        val qv = e.filter(col("vec_id") < AuditQueries)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        // ivfProbes strips qv (s8 collects it into a partition filter);
+        // re-attach the probe vectors by one bounded-table join
+        val probes = ivfProbes(s, dir).join(qv, Seq("qid"))
+        assigned.join(broadcast(probes), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos_sim", round(cosine("qv", "v"), 6))
+          .filter(col("cos_sim") >= RangeTau)
+          .select(col("qid"), col("vec_id"), col("cos_sim"))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        ivfpar AS (
+          SELECT k, CAST(ceil(k / ceil(sqrt(k))) AS BIGINT) AS m
+          FROM (SELECT $numCentroidsSql AS k)),
+        cent0 AS (
+          SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id >= $CentroidLo AND vec_id < $CentroidLo + $numCentroidsSql),
+        $lloydCtesSql,
+        probes AS (
+          SELECT qid, qv, cid FROM (
+            SELECT e.vec_id AS qid, e.v AS qv, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosSql("cv", "qv")} DESC, cid ASC) AS prn
+            FROM e, cent$LloydIters c WHERE e.vec_id < $AuditQueries)
+          WHERE prn <= $NProbe)
+        SELECT qid, asg.vec_id AS vec_id, ${cosSql("qv", "v")} AS cos_sim
+        FROM asg$LloydIters asg JOIN probes USING (cid)
+        WHERE asg.vec_id != qid AND ${cosSql("qv", "v")} >= $RangeTau"""),
     ),
   )
 

@@ -713,6 +713,49 @@ object Text {
         SELECT doc_id, count(*) AS n_hits, CAST(min(pos) AS BIGINT) AS first_pos
         FROM hit GROUP BY 1"""),
     ),
+
+    // ---- t16: LANGUAGE-ID CONFUSION MATRIX — t1's classifier audited
+    //      against the stored `lang` label: per (true, predicted) cell,
+    //      count + the cell's share of its true-language row (ppm
+    //      integer — exact long division, the d14/s11 discipline, so
+    //      the hash cannot drift). The per-pipeline point: a 100 TB
+    //      curation run gates on pred_lang (p1/p2), and this is the
+    //      query that tells you what that gate COSTS per language
+    //      before you run it. Scale shape: ONE map-side-combinable
+    //      groupBy over the corpus; the share window runs on the
+    //      ≤|langs|² confusion census (metadata-scale — don't copy that
+    //      unpartitioned pattern onto corpus rows). ----
+    Q(
+      "t16_langid_confusion",
+      (s, dir) => {
+        val c = t(s, dir, "documents")
+          .select(col("lang") +: langCountCols: _*)
+          .withColumn("pred_lang", predLangCol)
+        val mat = c.groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+        // unpartitioned-by-pred window over the confusion CENSUS
+        // (≤ |langs|² rows at any corpus size), never the corpus
+        import org.apache.spark.sql.expressions.Window
+        val byTrue = Window.partitionBy(col("lang"))
+        mat
+          .withColumn("lang_total", sum(col("n")).over(byTrue))
+          .select(col("lang"), col("pred_lang"), col("n"),
+            expr("1000000L * n div lang_total").as("share_ppm"))
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT lang,
+                 $langCountsSql
+          FROM documents),
+        p AS (SELECT lang, $predLangSql AS pred_lang FROM c),
+        m AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+              FROM p GROUP BY 1, 2),
+        tt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_total
+               FROM m GROUP BY 1)
+        SELECT m.lang, m.pred_lang, m.n,
+               CAST(1000000 * m.n // tt.lang_total AS BIGINT) AS share_ppm
+        FROM m JOIN tt ON m.lang = tt.lang"""),
+    ),
   )
 
   /** t15's gate phrase — present at every testdata SF (24–278 matching

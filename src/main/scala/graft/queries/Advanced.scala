@@ -31,6 +31,40 @@ object Advanced {
     */
   private val KmvK = 64
 
+  /** The per-source distinct shingle-hash table q65/q66 sketch over.
+    * Rides the SESSION-SHARED shingle index (the same (doc_id,
+    * 3-gram-md5) table d2/d3/t11 build once — shingles3 IS the
+    * spansK(words, 3) these sketches hash), re-keyed to source by one
+    * doc_id join. Materialized because q65's window input, its exact
+    * twins, and q66's pairwise sketch algebra all read it — a
+    * per-branch recompute made q65 the suite's slowest cell at 4.7 s
+    * sf0.1 (review r9s2).
+    */
+  private def sourceHashes(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.pipeline.Materialized.getOrBuild(s, s"q65.hashes|$dir") {
+      graft.pipeline.Dedup.shingleIndex(s, dir)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("h"))
+        .distinct()
+    }
+
+  /** DuckDB twin of [[sourceHashes]] — the w/g/hs CTE prefix shared by
+    * the q65 and q66 oracles (one spelling, so a hash-discipline edit
+    * lands in both).
+    */
+  private def srcHashCtesSql: String =
+    s"""w AS (
+          SELECT source, ${graft.pipeline.Portable.wordsSql("text")} AS ws
+          FROM documents),
+        g AS (
+          SELECT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          FROM (SELECT source, ws, unnest(generate_series(1, len(ws)-2)) AS i
+                FROM w WHERE len(ws) >= 3)),
+        hs AS (SELECT DISTINCT source,
+                      ${graft.pipeline.Portable.md5LongSql("gram")} AS h
+               FROM g)"""
+
   /** Dir-scoped unique temp-view name: createOrReplaceTempView mutates
     * SESSION catalog state, and a generic name ("lineitem_v") could be
     * rebound by a concurrent query or another SF dir on the same
@@ -438,20 +472,7 @@ object Advanced {
       "q65_kmv_ndv",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
-        // Rides the SESSION-SHARED shingle index (the same (doc_id,
-        // 3-gram-md5) table d2/d3/t11 build once — shingles3 IS the
-        // spansK(words, 3) this sketch hashes), re-keyed to source by
-        // one doc_id join. Materialized because the window input, the
-        // per-source exact twin and the global exact twin all read it —
-        // a per-branch recompute made q65 the suite's slowest cell at
-        // 4.7 s sf0.1 (review r9s2), and a private re-explode would pay
-        // the corpus pass the shared index already paid.
-        val hs = graft.pipeline.Materialized.getOrBuild(s, s"q65.hashes|$dir") {
-          graft.pipeline.Dedup.shingleIndex(s, dir)
-            .join(t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
-            .select(col("source"), col("h"))
-            .distinct()
-        }
+        val hs = sourceHashes(s, dir)
         val bySrc = Window.partitionBy(col("source")).orderBy(col("h").asc)
         val sk = hs.withColumn("rk", row_number().over(bySrc))
           .filter(col("rk") <= KmvK) // WindowGroupLimit: map-side bottom-k
@@ -475,16 +496,7 @@ object Advanced {
             estimate(col("kth_h")).as("est_ndv"), col("exact_ndv"))
       },
       Some(s"""
-        WITH w AS (
-          SELECT source, ${graft.pipeline.Portable.wordsSql("text")} AS ws
-          FROM documents),
-        g AS (
-          SELECT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
-          FROM (SELECT source, ws, unnest(generate_series(1, len(ws)-2)) AS i
-                FROM w WHERE len(ws) >= 3)),
-        hs AS (SELECT DISTINCT source,
-                      ${graft.pipeline.Portable.md5LongSql("gram")} AS h
-               FROM g),
+        WITH $srcHashCtesSql,
         rk AS (SELECT source, h,
                       row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk
                FROM hs),
@@ -503,6 +515,96 @@ object Advanced {
                round(${KmvK - 1}.0 * 1152921504606846976.0 / kth_h, 6) AS est_ndv,
                CAST(exact_ndv AS BIGINT) AS exact_ndv
         FROM u"""),
+    ),
+
+    // ---- q66: KMV SET ALGEBRA — union/intersection NDV estimates
+    //      between every source PAIR, from the same bottom-k sketches
+    //      q65 builds. This is the mergeable-sketch property doing real
+    //      work: kmv_k(A ∪ B) is computable from kmv_k(A) ∪ kmv_k(B)
+    //      alone (any of the k smallest of the union is among the k
+    //      smallest of its own side), and for an element of the union
+    //      sketch, membership in A is DECIDABLE from kmv_k(A) (its rank
+    //      in A is ≤ its rank in the union ≤ k) — so the entire
+    //      pairwise overlap matrix computes on 20·k sketch rows with
+    //      ZERO additional corpus passes. est_inter = (n_both/k) ·
+    //      est_union is the standard KMV Jaccard route (Beyer et al.
+    //      2007). Scale shape: the one corpus pass is the shared
+    //      materialized [[sourceHashes]]; everything after is
+    //      |sources|²-bounded metadata (the domain census, not the
+    //      corpus — at 100 TB sources number thousands, pairs millions,
+    //      still sketch-side work). All arithmetic is the q65 estimate
+    //      discipline (same double expression both engines), n_both is
+    //      an exact integer, so the full row hash-matches. ----
+    Q(
+      "q66_kmv_setops",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val hs = sourceHashes(s, dir)
+        val bySrc = Window.partitionBy(col("source")).orderBy(col("h").asc)
+        // map-side WindowGroupLimit bottom-k, exactly q65's cut
+        val sk = hs.withColumn("rk", row_number().over(bySrc))
+          .filter(col("rk") <= KmvK)
+          .select(col("source"), col("h"))
+        val srcs = sk.select(col("source")).distinct()
+        // |sources|² pair table — domain-census-scale, broadcast both ways
+        val pairs = srcs.as("x").join(srcs.as("y"),
+            col("x.source") < col("y.source"))
+          .select(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        val ta = pairs.join(sk, col("source") === col("src_a"))
+          .select(col("src_a"), col("src_b"), col("h"),
+            lit(1).as("ina"), lit(0).as("inb"))
+        val tb = pairs.join(sk, col("source") === col("src_b"))
+          .select(col("src_a"), col("src_b"), col("h"),
+            lit(0).as("ina"), lit(1).as("inb"))
+        val u = ta.unionByName(tb)
+          .groupBy(col("src_a"), col("src_b"), col("h"))
+          .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+        val uw = Window.partitionBy(col("src_a"), col("src_b"))
+          .orderBy(col("h").asc)
+        val est = lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
+          col("kth_u").cast("double")
+        u.withColumn("rk", row_number().over(uw))
+          .filter(col("rk") <= KmvK)
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(
+            max(when(col("rk") === KmvK, col("h"))).as("kth_u"),
+            sum(when(col("ina") === 1 && col("inb") === 1, 1L)
+              .otherwise(0L)).as("n_both"))
+          .filter(col("kth_u").isNotNull) // a pair thinner than k drops in BOTH engines
+          .select(col("src_a"), col("src_b"), col("kth_u"),
+            round(est, 6).as("est_union"),
+            col("n_both"),
+            round(est * col("n_both").cast("double") / lit(KmvK.toDouble), 6)
+              .as("est_inter"))
+      },
+      Some(s"""
+        WITH $srcHashCtesSql,
+        rk AS (SELECT source, h,
+                      row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk
+               FROM hs),
+        sk AS (SELECT source, h FROM rk WHERE rk <= $KmvK),
+        srcs AS (SELECT DISTINCT source FROM sk),
+        prs AS (SELECT a.source AS src_a, b.source AS src_b
+                FROM srcs a JOIN srcs b ON a.source < b.source),
+        u AS (SELECT src_a, src_b, h, max(ina) AS ina, max(inb) AS inb FROM (
+                SELECT p.src_a, p.src_b, s.h, 1 AS ina, 0 AS inb
+                FROM prs p JOIN sk s ON s.source = p.src_a
+                UNION ALL
+                SELECT p.src_a, p.src_b, s.h, 0 AS ina, 1 AS inb
+                FROM prs p JOIN sk s ON s.source = p.src_b)
+              GROUP BY 1, 2, 3),
+        urk AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+                                             ORDER BY h ASC) AS rk
+                FROM u),
+        agg AS (SELECT src_a, src_b,
+                       max(CASE WHEN rk = $KmvK THEN h END) AS kth_u,
+                       CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+                FROM urk WHERE rk <= $KmvK GROUP BY 1, 2)
+        SELECT src_a, src_b, kth_u,
+               round(${KmvK - 1}.0 * 1152921504606846976.0 / kth_u, 6) AS est_union,
+               n_both,
+               round(${KmvK - 1}.0 * 1152921504606846976.0 / kth_u * n_both / $KmvK.0, 6) AS est_inter
+        FROM agg WHERE kth_u IS NOT NULL"""),
     ),
 
     // ---- q30: GROUPING SETS — the general form cube/rollup specialize
