@@ -1,0 +1,176 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale probe (VERDICT r9 item 9): one measured datapoint
+  * ABOVE the bench SF per heavy cell, so the written 100 TB scale-shape
+  * arguments become observed scaling exponents instead of plan-audit
+  * claims.
+  *
+  * The scaled corpus is R stacked replicas of the sf0.1 tables with
+  * replica-disjoint content — the "linear content growth" model a real
+  * 10× corpus follows, NOT R exact copies (exact copies would inflate
+  * every LSH band bucket R-fold and measure a quadratic artifact of the
+  * replication itself, not the operator):
+  *
+  *  - `documents.text` is vowel-PERMUTED per replica (`translate` with
+  *    a replica-specific permutation of "aeiou"): length-preserving (so
+  *    the stored `n_chars` stays truthful), deterministic (so dup
+  *    structure WITHIN a replica is preserved exactly), and any 3-word
+  *    shingle containing a vowel differs across replicas (so replicas
+  *    share essentially no shingles/spans — each contributes its own
+  *    independent dup structure, which is what linear growth means).
+  *  - integer keys (`doc_id`, `vec_id`, `o_orderkey`, `l_*key`) shift
+  *    by replica·(max+1), so per-replica lakes/logs/clusters stay
+  *    disjoint; `source`/`lang`/`label` domains stay FIXED — at 100 TB
+  *    the domain census grows far slower than the corpus, and p8's
+  *    fixpoint graph is deliberately domain-cardinality-scale.
+  *  - dimension tables and `events` copy through unchanged (no probed
+  *    cell reads them at corpus scale).
+  *
+  * Protocol per factor: build dir (untimed) → index prewarm (timed as
+  * its own row — the shared shingle/IVF builds ARE corpus work, just
+  * billed outside cells exactly like Bench) → per cell 2 adjacent runs,
+  * min. noise_cal documents the host window per factor. Output: one
+  * JSON line per (factor, cell) plus fitted exponents
+  * log(t_R/t_1)/log(R) against each cell's predicted slope.
+  */
+object ScaleProbe {
+  val Cells: Seq[String] = Seq(
+    "d8_span_dedup", "q52_snapshot_expiry", "p8_domain_rank",
+    "q65_kmv_ndv", "q58_wap", "s14_mmr_diversify", "q43_time_travel",
+    "q26_approx_distinct")
+
+  private val vowelPerms: IndexedSeq[String] =
+    "aeiou".permutations.toIndexedSeq // perms(0) == "aeiou" == identity
+
+  private def keyCols(name: String): Seq[String] = name match {
+    case "documents" => Seq("doc_id")
+    case "embeddings" => Seq("vec_id")
+    case "orders" => Seq("o_orderkey")
+    case "lineitem" => Seq("l_orderkey", "l_partkey", "l_suppkey")
+    case _ => Seq.empty
+  }
+
+  /** Stack R content-disjoint replicas of `name` into `outDir`. */
+  private def buildTable(
+      s: SparkSession, baseDir: String, outDir: String, name: String, r: Int): Unit = {
+    val base = graft.Tables.t(s, baseDir, name)
+    val keys = keyCols(name)
+    if (keys.isEmpty && name != "documents") {
+      // unscaled pass-through (dims, events): byte-copy the single file
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      Files.copy(Paths.get(s"$baseDir/$name.parquet"),
+        Paths.get(s"$outDir/$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      return
+    }
+    val strides: Map[String, Long] = keys.map { k =>
+      k -> (base.agg(max(col(k))).head().getLong(0) + 1L)
+    }.toMap
+    val replicas = (0 until r).map { i =>
+      val shifted = keys.foldLeft(base) { (df, k) =>
+        df.withColumn(k, col(k) + lit(strides(k) * i))
+      }
+      if (name == "documents")
+        shifted.withColumn("text",
+          translate(col("text"), "aeiou", vowelPerms(i % vowelPerms.length)))
+      else shifted
+    }
+    replicas.reduce(_ unionByName _)
+      .repartition(math.max(4, r)) // multi-file output = scan parallelism at R×
+      .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+  }
+
+  def buildDir(s: SparkSession, baseDir: String, outRoot: String, r: Int): String = {
+    val outDir = s"$outRoot/x$r"
+    new java.io.File(outDir).mkdirs()
+    graft.Tables.names.foreach(n => buildTable(s, baseDir, outDir, n, r))
+    outDir
+  }
+
+  private def noiseCal(): Double = {
+    def once(): Double = {
+      var x = 0x9E3779B97F4A7C15L; var sum = 0L; var i = 0
+      val t0 = System.nanoTime()
+      while (i < 100000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; sum += x; i += 1 }
+      if (sum == 42) System.err.println("")
+      (System.nanoTime() - t0) / 1e6
+    }
+    Seq.fill(3)(once()).min
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10)
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      new java.io.File("target/scaleprobe").getAbsolutePath)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", graft.Scratch.dir)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // JIT warm pass at the smallest SF, exactly like Bench's warmup
+    val warmDir = "/root/testdata/sf0.001"
+    Cells.foreach { n =>
+      try graft.SparkEntry.queries(n)(spark, warmDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[scale] warm $n: ${e.getMessage}") }
+    }
+
+    def releasePhase(dir: String): Unit = {
+      graft.pipeline.Materialized.releaseMatching(_.endsWith(s"|$dir"))
+      graft.pipeline.Dedup.releaseIndex(spark, dir)
+      graft.pipeline.Similarity.releaseBlockStats(spark)
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[(Int, String), Double]
+    val cals = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
+    factors.foreach { r =>
+      val dir = if (r == 1) baseDir else buildDir(spark, baseDir, outRoot, r)
+      cals(r) = noiseCal()
+      val t0 = System.nanoTime()
+      graft.pipeline.Dedup.prewarmIndexes(spark, dir)
+      graft.pipeline.Similarity.prewarmIndexes(spark, dir)
+      results((r, "index_prewarm")) = (System.nanoTime() - t0) / 1e9
+      Cells.foreach { n =>
+        val q = graft.SparkEntry.queries(n)
+        def once(): Double = {
+          System.gc()
+          val t = System.nanoTime()
+          try {
+            q(spark, dir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] $n x$r failed: ${e.getMessage}"); -1.0
+          }
+        }
+        val samples = Seq(once(), once()).filter(_ >= 0)
+        results((r, n)) = if (samples.isEmpty) -1.0 else samples.min
+        System.err.println(f"[scale] x$r $n: ${results((r, n))}%.2f s")
+      }
+      releasePhase(dir)
+    }
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val rows = results.map { case ((r, n), v) => s"""{"factor":$r,"cell":"$n","sec":${num(v)}}""" }
+    rows.foreach(println)
+    val r0 = factors.min
+    factors.filter(_ != r0).foreach { r =>
+      (Cells :+ "index_prewarm").foreach { n =>
+        val t1 = results.getOrElse((r0, n), -1.0)
+        val tr = results.getOrElse((r, n), -1.0)
+        if (t1 > 0 && tr > 0) {
+          val exp = math.log(tr / t1) / math.log(r.toDouble / r0)
+          println(s"""{"cell":"$n","from":$r0,"to":$r,"ratio":${num(tr / t1)},"exponent":${num(exp)}}""")
+        }
+      }
+    }
+    println(s"""{"noise_cal_ms":{${cals.map { case (k, v) => s""""x$k":${num(v)}""" }.mkString(",")}}}""")
+    spark.stop()
+  }
+}

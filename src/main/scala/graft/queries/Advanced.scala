@@ -2055,8 +2055,12 @@ object Advanced {
     val touched = lake
       .filter(pmod(col("k"), lit(20)) === 0 || pmod(col("k"), lit(47)) === 0)
       .select(col("k"))
+    // touched is %-rule (corpus-proportional) — gate the hint like
+    // mergeResolved; under the cap the lake side never shuffles
+    val touchedSide =
+      if (cdcLogCount(s, dir) <= MergeBroadcastCap) broadcast(touched) else touched
     updates.unionByName(inserts).unionByName(
-      lake.join(broadcast(touched), Seq("k"), "left_anti"))
+      lake.join(touchedSide, Seq("k"), "left_anti"))
   }
 
   /** q43's append-only change log `(b, k, o_orderstatus, price, act)` —
@@ -2122,7 +2126,8 @@ object Advanced {
     val base = cdcLake(s, dir)
     val state =
       if (v == 0) base
-      else mergeResolved(base, resolveLog(cdcLogs(s, dir).filter(col("b") <= v)))
+      else mergeResolved(base, resolveLog(cdcLogs(s, dir).filter(col("b") <= v)),
+        hintSmall = cdcLogCount(s, dir) <= MergeBroadcastCap)
     state.withColumn("v", lit(v))
   }
 
@@ -2134,12 +2139,38 @@ object Advanced {
     * specs) — the merge convention must not be able to drift between
     * the batch and streaming spellings.
     */
+  /** Session-memoized CDC log census per corpus — the size-gate scalar
+    * for the merge family's broadcast hints (one tiny count over the
+    * materialized log table, then pure map reads).
+    */
+  private val logCountCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), Long]
+  private[graft] def cdcLogCount(
+      s: org.apache.spark.sql.SparkSession, dir: String): Long =
+    logCountCache.getOrElseUpdate((s, dir), cdcLogs(s, dir).count())
+
+  /** Broadcast cap for the merge family's touched-key sides: the log
+    * between snapshots is ≪ the lake but CORPUS-PROPORTIONAL (the %-rule
+    * feed touches a fixed fraction of keys), so a forced hint has no
+    * fallback but driver/executor OOM past the ceiling — the d14
+    * defect class, corroborated by the round-10 scale probe (q43's
+    * 1→10x exponent measured 1.12, the broadcast build being the
+    * super-linear term). Under the cap the 100 TB lake side never
+    * shuffles; over it the hint drops and AQE picks the join from
+    * runtime sizes (the d5 convention).
+    */
+  private val MergeBroadcastCap = 10000000L
+
   private[graft] def mergeResolved(
       lake: org.apache.spark.sql.DataFrame,
-      resolved: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    lake.join(broadcast(resolved.select(col("k"))), Seq("k"), "left_anti")
+      resolved: org.apache.spark.sql.DataFrame,
+      hintSmall: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val keys = resolved.select(col("k"))
+    lake.join(if (hintSmall) broadcast(keys) else keys, Seq("k"), "left_anti")
       .unionByName(resolved.filter(col("act") === "U")
         .select(col("k"), col("o_orderstatus"), col("price")))
+  }
 
   /** q50's net change feed over (`v1`, `v2`]: the final in-range action
     * per touched key ([[resolveLog]] — the ONE resolution convention),
@@ -2160,8 +2191,11 @@ object Advanced {
     // runs twice per read
     val rng = graft.pipeline.Materialized(s"q50.rng$v1-$v2|$dir",
       resolveLog(cdcLogs(s, dir).filter(col("b") > v1 && col("b") <= v2)))
+    val rngKeys = rng.select(col("k"))
     val pre = asOfState(s, dir, v1).drop("v")
-      .join(broadcast(rng.select(col("k"))), Seq("k"))
+      // rng ⊆ the log's touched keys: same size-gated hint as the merge
+      .join(if (cdcLogCount(s, dir) <= MergeBroadcastCap) broadcast(rngKeys)
+            else rngKeys, Seq("k"))
       .select(col("k"), col("o_orderstatus").as("pre_status"),
         col("price").as("pre_price"))
     changeFeedOf(rng, pre)
@@ -2232,7 +2266,8 @@ object Advanced {
     require(v >= cp, s"q47: version $v predates checkpoint $cp (retired by retention)")
     val base = checkpointBase(s, dir, cp)
     if (v == cp) base
-    else mergeResolved(base, resolveLog(truncatedLog(s, dir, cp).filter(col("b") <= v)))
+    else mergeResolved(base, resolveLog(truncatedLog(s, dir, cp).filter(col("b") <= v)),
+      hintSmall = cdcLogCount(s, dir) <= MergeBroadcastCap)
   }
 
   /** q51's data files `(k, c, o_orderstatus, price, seq)`: the orders
