@@ -43,6 +43,7 @@ class DriverScalarBoundSpec extends SparkSpec {
       "SkewBench.scala",  // bench fixture prep (1-row agg for the hot key)
       "Probe.scala", "KernelProbe.scala", "CCProbe.scala", "QProbe.scala", // debug mains
       "ProbeQuery.scala", // dev-loop single-query timer (collects to time the action)
+      "ScaleProbe.scala", // dev scale harness (1-row max-key scalar per table build)
     )
     // Dataset driver-pull spellings. `.take(`/`.head(n)` are EXCLUDED
     // deliberately: they collide textually with Scala-collection calls
