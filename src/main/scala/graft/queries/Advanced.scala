@@ -29,7 +29,7 @@ object Advanced {
     * (~1.2k); a thinner source would drop out of BOTH engines' output
     * identically (no k-th order statistic exists).
     */
-  private val KmvK = 64
+  private[graft] val KmvK = 64
 
   /** The per-source distinct shingle-hash table q65/q66 sketch over.
     * Rides the SESSION-SHARED shingle index (the same (doc_id,
@@ -40,7 +40,7 @@ object Advanced {
     * per-branch recompute made q65 the suite's slowest cell at 4.7 s
     * sf0.1 (review r9s2).
     */
-  private def sourceHashes(
+  private[graft] def sourceHashes(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.pipeline.Materialized.getOrBuild(s, s"q65.hashes|$dir") {
       graft.pipeline.Dedup.shingleIndex(s, dir)
@@ -53,7 +53,7 @@ object Advanced {
     * the q65 and q66 oracles (one spelling, so a hash-discipline edit
     * lands in both).
     */
-  private def srcHashCtesSql: String =
+  private[graft] def srcHashCtesSql: String =
     s"""w AS (
           SELECT source, ${graft.pipeline.Portable.wordsSql("text")} AS ws
           FROM documents),
@@ -1824,6 +1824,48 @@ object Advanced {
                min(l_orderkey) AS ok_min, max(l_orderkey) AS ok_max
         FROM lineitem"""),
     ),
+
+    // ---- q67: SALTED SKEW JOIN — the skew-mitigation technique as a
+    //      first-class, oracle-equal operator. A hot join key sends all
+    //      its rows to ONE reducer; salting splits the fact side's hot
+    //      key across [[SaltBuckets]] sub-keys (a deterministic per-row
+    //      salt) and replicates the OTHER side once per salt, so the
+    //      join key becomes (key, salt) and no reducer sees more than
+    //      1/S of any key's rows. The cost is the ×S replication of the
+    //      smaller side; the contract — pinned by the shared oracle —
+    //      is that the salted join's result is EXACTLY the plain
+    //      join's. This is the manual fallback for the regimes AQE's
+    //      skew-join split can't reach (aggregation-after-join keeps
+    //      partial aggregation per salt too: the hot key's partials
+    //      combine map-side per sub-key before the final merge). The
+    //      salt is pmod(l_linenumber, S) — a pure function of stored
+    //      data, so both engines and any replay agree row-for-row.
+    //      Benched on the skew fixture beside q5/q59/q60 (the hot
+    //      o_custkey head feeds a hot l_orderkey fan-in). ----
+    Q(
+      "q67_salted_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .withColumn("salt", pmod(col("l_linenumber"), lit(SaltBuckets)))
+        val salts = s.range(0, SaltBuckets.toLong)
+          .select(col("id").cast("int").as("o_salt"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .crossJoin(broadcast(salts)) // ×S replication = the salting cost
+        li.join(ord,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("salt") === col("o_salt"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            graft.Agg.dsum(col("l_extendedprice")).as("sum_price"))
+      },
+      Some("""
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1"""),
+    ),
   )
 
   /** q57's DSv2 session: aggregate pushdown lives only on the v2
@@ -2161,6 +2203,11 @@ object Advanced {
     * runtime sizes (the d5 convention).
     */
   private val MergeBroadcastCap = 10000000L
+
+  /** q67 salt fan-out: 8 sub-keys caps any reducer at 1/8 of a hot
+    * key's rows while the replicated side grows only ×8.
+    */
+  private val SaltBuckets = 8
 
   private[graft] def mergeResolved(
       lake: org.apache.spark.sql.DataFrame,

@@ -73,4 +73,78 @@ object DocStream {
     curationIngest(docs, watermark)
       .join(lake.select("fingerprint"), Seq("fingerprint"), "left_anti")
       .select("ingest_ts", "doc_id", "pred_lang", "n_words", "bpe_tokens", "fingerprint")
+
+  // ---- e27: live KMV sketch maintenance — the sketch-IVM rung beside
+  //      q38 (aggregate IVM), q59 (join IVM) and s10 (ANN delta) ----
+
+  final case class KmvAcc(mins: Array[Long])
+  final case class KmvSnap(source: String, kth_h: Long)
+
+  /** Per-source bottom-k sketch as a
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]]: state is the
+    * k smallest distinct shingle hashes seen so far — FIXED-SIZE per
+    * source however much stream passes (the mergeable-summary property
+    * q65's global row proves in batch, here doing maintenance work:
+    * folding a micro-batch into the sketch IS the KMV merge). Each
+    * batch emits the touched source's updated k-th order statistic
+    * (the live NDV estimate, e24's running-snapshot shape); sources
+    * still thinner than k emit nothing, exactly q65's drop rule. In
+    * batch all of a source's hashes arrive in one call over empty
+    * state, so exactly one final row per source emits — q65's
+    * per-source answer, which the oracle replays.
+    */
+  class KmvProcessor(k: Int) extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long), KmvSnap] {
+    @transient private var acc: org.apache.spark.sql.streaming.ValueState[KmvAcc] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      acc = getHandle.getValueState[KmvAcc](
+        "kmv",
+        org.apache.spark.sql.Encoders.product[KmvAcc],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        source: String,
+        rows: Iterator[(String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[KmvSnap] = {
+      val prev: Array[Long] = if (acc.exists()) acc.get().mins else Array.emptyLongArray
+      // distinct-merge then keep the k smallest — the KMV merge; per
+      // call this sorts |batch hashes for this source| + k longs
+      val merged = (prev ++ rows.map(_._2)).distinct.sorted.take(k)
+      acc.update(KmvAcc(merged))
+      if (merged.length == k) Iterator.single(KmvSnap(source, merged(k - 1)))
+      else Iterator.empty
+    }
+  }
+
+  /** e27's shared path over `(source, h)` hash rows. TimeMode.None —
+    * pure key state, no timers, so the SAME processor serves batch
+    * (one call per source = q65's answer) and streaming (snapshot per
+    * micro-batch). The estimate column is attached OUTSIDE the
+    * processor with q65's exact round(…, 6) Spark expression, so the
+    * emitted double renders engine-identically. Batch coordinator boot
+    * as [[EventStream.runningTotals]].
+    */
+  def kmvMaintain(rows: org.apache.spark.sql.Dataset[(String, Long)],
+      k: Int): DataFrame = {
+    import rows.sparkSession.implicits._
+    if (!rows.isStreaming) {
+      org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+        .forDriver(org.apache.spark.SparkEnv.get,
+          rows.sparkSession.sessionState.conf)
+    }
+    rows
+      .groupByKey(_._1)
+      .transformWithState(
+        new KmvProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[KmvSnap]])
+      .toDF()
+      .withColumn("est_ndv",
+        round(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+          col("kth_h").cast("double"), 6))
+  }
 }

@@ -478,5 +478,41 @@ object StreamTwins {
           FROM c)
         WHERE rk <= 3"""),
     ),
+
+    // ---- e27: batch run of the KMV sketch maintainer — the sketch-IVM
+    //      rung of the IVM family (q38 aggregates, q59 joins, s10 ANN
+    //      postings; sketches were the missing summary class). The
+    //      processor folds hash arrivals into fixed-size per-source
+    //      bottom-k state (folding a batch IS the KMV merge); in batch
+    //      every source's hashes arrive in one call, so the output
+    //      degenerates to exactly q65's per-source k-th order
+    //      statistic + estimate, which the oracle replays from the
+    //      shared w/g/hs CTE spelling. Scale shape: the one corpus
+    //      pass is the session-shared shingle index re-key; state and
+    //      output are |sources|·k longs forever. Live semantics
+    //      (snapshots ACROSS micro-batches tighten monotonically)
+    //      pinned in KmvStreamSpec. ----
+    Q(
+      "e27_stream_kmv",
+      (s, dir) => {
+        import s.implicits._
+        val hs = graft.queries.Advanced.sourceHashes(s, dir)
+          .as[(String, Long)]
+        DocStream.kmvMaintain(hs, KmvK)
+      },
+      Some(s"""
+        WITH ${graft.queries.Advanced.srcHashCtesSql},
+        rk AS (SELECT source, h,
+                      row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk
+               FROM hs)
+        SELECT source, h AS kth_h,
+               round(${KmvK - 1}.0 * 1152921504606846976.0 / h, 6) AS est_ndv
+        FROM rk WHERE rk = $KmvK"""),
+    ),
   )
+
+  /** e27 shares q65's sketch size (and therefore its oracle estimate
+    * arithmetic verbatim).
+    */
+  private def KmvK: Int = graft.queries.Advanced.KmvK
 }
