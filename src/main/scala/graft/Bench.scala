@@ -251,8 +251,13 @@ object Bench {
     // orders skew (hot o_custkey head, high-value hot order) makes the
     // IVM delta-join and the runtime bloom filter face the same
     // adversarial keys d2/s3/q5 do
+    // q67 joined in round 10: the salted join IS the skew-mitigation
+    // operator — the hot o_custkey head's l_orderkey fan-in is exactly
+    // the regime its salt splits, so its skew cell vs uniform twin is
+    // the measured value of the technique
     val skewQs = Seq("d2_ngram_jaccard", "s3_cosine_neardup", "q5_star_join",
-        "d4b_simhash_pairs", "s4_knn_ivf", "q59_join_ivm", "q60_runtime_filter")
+        "d4b_simhash_pairs", "s4_knn_ivf", "q59_join_ivm", "q60_runtime_filter",
+        "q67_salted_join")
       .map(qn => SparkEntry.inventory.find(_.name == qn)
         .getOrElse(sys.error(s"unknown skew query $qn")))
     val skewResults =

@@ -147,6 +147,17 @@ object GraftFunctions {
         Md5Long(exprs.head)
       }),
     (
+      FunctionIdentifier("kmv_kth"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_kth"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "kmv_kth(h, k)")
+        val k = literalInt(exprs(1), "kmv_kth", "k")
+        require(k > 0, s"kmv_kth: k must be positive, got $k")
+        // raw AggregateFunction: the analyzer wraps it in an
+        // AggregateExpression exactly as for built-in aggregates
+        KmvSketchAgg(exprs.head, k)
+      }),
+    (
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       { exprs: Seq[Expression] =>

@@ -1866,6 +1866,40 @@ object Advanced {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1"""),
     ),
+
+    // ---- q68: CUSTOM AGGREGATE — q65's per-source bottom-k computed by
+    //      the native `kmv_kth` TypedImperativeAggregate
+    //      ([[graft.functions.KmvSketchAgg]]) instead of a row_number
+    //      window: ONE ObjectHashAggregate whose buffer IS the ≤k-long
+    //      sketch, merged map-side, so the shuffle carries at most k
+    //      longs per (partition, source) partial — strictly less
+    //      machinery than the WindowGroupLimit route (no per-partition
+    //      sort, no rank column) and the library's first custom
+    //      AGGREGATE extension (its scalar Expressions are winnow_fp /
+    //      md5_long / vec_dot etc.). The oracle is the same rk-window
+    //      replay as e27's, so the equality PROVES the aggregate's
+    //      insert/merge/eval against an independent spelling. ----
+    Q(
+      "q68_kmv_agg",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val est = lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
+          col("kth_h").cast("double")
+        sourceHashes(s, dir)
+          .groupBy(col("source"))
+          .agg(call_function("kmv_kth", col("h"), lit(KmvK)).as("kth_h"))
+          .filter(col("kth_h").isNotNull) // thinner-than-k sources drop, q65's rule
+          .select(col("source"), col("kth_h"), round(est, 6).as("est_ndv"))
+      },
+      Some(s"""
+        WITH $srcHashCtesSql,
+        rk AS (SELECT source, h,
+                      row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk
+               FROM hs)
+        SELECT source, h AS kth_h,
+               round(${KmvK - 1}.0 * 1152921504606846976.0 / h, 6) AS est_ndv
+        FROM rk WHERE rk = $KmvK"""),
+    ),
   )
 
   /** q57's DSv2 session: aggregate pushdown lives only on the v2
