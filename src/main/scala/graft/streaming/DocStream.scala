@@ -114,7 +114,14 @@ object DocStream {
       // call this sorts |batch hashes for this source| + k longs
       val merged = (prev ++ rows.map(_._2)).distinct.sorted.take(k)
       acc.update(KmvAcc(merged))
-      if (merged.length == k) Iterator.single(KmvSnap(source, merged(k - 1)))
+      // emit only when the k-th statistic actually TIGHTENED (or the
+      // sketch just filled): the output is then exactly the strictly
+      // decreasing snapshot sequence KmvStreamSpec pins — a batch of
+      // already-above-kth hashes re-emitting an identical row would be
+      // append-mode noise for downstream consumers
+      val prevKth = if (prev.length == k) prev(k - 1) else Long.MaxValue
+      if (merged.length == k && merged(k - 1) < prevKth)
+        Iterator.single(KmvSnap(source, merged(k - 1)))
       else Iterator.empty
     }
   }

@@ -45,6 +45,12 @@ class KmvStreamSpec extends SparkSpec {
       // monotone: across the emitted sequence kth never increased
       val ks = snaps.map(_._2)
       assert(ks.sorted.reverse.sameElements(ks), s"kth must tighten: ${ks.toSeq}")
+      // a batch of hashes all ABOVE the current kth changes nothing and
+      // must emit nothing (no duplicate append-mode snapshots)
+      mem.addData(("a", 900L), ("a", 30L))
+      query.processAllAvailable()
+      assert(spark.table("kmv27").count() == snaps.length,
+        "an above-kth batch (and a duplicate min) must not re-emit")
       // batch replay of the SAME rows = one final row at the same kth
       val batch = DocStream.kmvMaintain(
         Seq(("a", 50L), ("a", 40L), ("a", 30L), ("a", 40L), ("a", 60L),
