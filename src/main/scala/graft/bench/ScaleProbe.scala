@@ -42,16 +42,46 @@ object ScaleProbe {
     "q65_kmv_ndv", "q58_wap", "s14_mmr_diversify", "q43_time_travel",
     "q26_approx_distinct")
 
-  private val vowelPerms: IndexedSeq[String] =
-    "aeiou".permutations.toIndexedSeq // perms(0) == "aeiou" == identity
+  private val vowelPerms: IndexedSeq[String] = {
+    val all = "aeiou".permutations.toIndexedSeq
+    // index 0 = identity; replicas ≥ 1 use DERANGEMENTS (no vowel maps
+    // to itself — 44 exist), so every vowel-bearing word differs from
+    // every other replica's copy; a lexicographic-neighbor permutation
+    // like "aeiuo" would leave a/e/i-only shingles shared
+    all.head +: all.filter(p => p.zip("aeiou").forall { case (a, b) => a != b })
+  }
 
   private def keyCols(name: String): Seq[String] = name match {
     case "documents" => Seq("doc_id")
     case "embeddings" => Seq("vec_id")
-    case "orders" => Seq("o_orderkey")
+    case "orders" => Seq("o_orderkey", "o_custkey")
     case "lineitem" => Seq("l_orderkey", "l_partkey", "l_suppkey")
+    // dims shift too, so replica≥1 fact keys keep resolving (referential
+    // integrity holds across the whole scaled star, not just the probed
+    // cells' joins)
+    case "customer" => Seq("c_custkey")
+    case "part" => Seq("p_partkey")
+    case "supplier" => Seq("s_suppkey")
     case _ => Seq.empty
   }
+
+  /** Per-replica deterministic SIGN-FLIP pattern for embedding vectors:
+    * flipping a replica-specific pseudo-random subset of coordinates
+    * preserves norms and all WITHIN-replica cosines exactly (both sides
+    * of a dot product flip together), while cross-replica cosines
+    * decorrelate — so each replica contributes its own independent
+    * similarity structure instead of 9 exact duplicates of every
+    * vector, matching the linear-content-growth model the text
+    * perturbation provides for documents. Replica 0 is identity.
+    */
+  private def flipVec(vec: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+    if (i == 0) vec
+    else {
+      import org.apache.spark.sql.functions.{transform => atransform}
+      atransform(vec, (x, j) =>
+        when(pmod(j * lit(2654435761L) + lit(i.toLong * 1013904223L), lit(97L)) < 48,
+          -x).otherwise(x))
+    }
 
   /** Stack R content-disjoint replicas of `name` into `outDir`. */
   private def buildTable(
@@ -75,6 +105,9 @@ object ScaleProbe {
       if (name == "documents")
         shifted.withColumn("text",
           translate(col("text"), "aeiou", vowelPerms(i % vowelPerms.length)))
+      else if (name == "embeddings")
+        shifted.withColumn("embedding",
+          flipVec(col("embedding"), i).cast("array<float>"))
       else shifted
     }
     replicas.reduce(_ unionByName _)

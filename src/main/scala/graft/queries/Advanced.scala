@@ -31,6 +31,20 @@ object Advanced {
     */
   private[graft] val KmvK = 64
 
+  /** ONE spelling of the KMV estimate (k−1)·2⁶⁰ / kth on the Spark
+    * side — the Scala twin of the constant srcHashCtesSql centralizes
+    * for SQL. Every sketch cell (q65/q66/q68/e27) renders its estimate
+    * through this, so a discipline change cannot silently split one
+    * cell's cross-engine hash. Unrounded: callers apply q65's
+    * round(…, 6) (q66 composes before rounding).
+    */
+  private[graft] def kmvEstRaw(
+      kth: org.apache.spark.sql.Column,
+      k: Int = KmvK): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.lit((k - 1).toDouble) *
+      org.apache.spark.sql.functions.lit(1152921504606846976.0) /
+      kth.cast("double")
+
   /** The per-source distinct shingle-hash table q65/q66 sketch over.
     * Rides the SESSION-SHARED shingle index (the same (doc_id,
     * 3-gram-md5) table d2/d3/t11 build once — shingles3 IS the
@@ -477,8 +491,7 @@ object Advanced {
         val sk = hs.withColumn("rk", row_number().over(bySrc))
           .filter(col("rk") <= KmvK) // WindowGroupLimit: map-side bottom-k
         def estimate(kth: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-          round(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
-            kth.cast("double"), 6)
+          round(kmvEstRaw(kth), 6)
         val per = sk.filter(col("rk") === KmvK)
           .select(col("source"), col("h").as("kth_h"))
           .join(hs.groupBy("source").agg(count(lit(1)).as("exact_ndv")), "source")
@@ -561,8 +574,7 @@ object Advanced {
           .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
         val uw = Window.partitionBy(col("src_a"), col("src_b"))
           .orderBy(col("h").asc)
-        val est = lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
-          col("kth_u").cast("double")
+        val est = kmvEstRaw(col("kth_u"))
         u.withColumn("rk", row_number().over(uw))
           .filter(col("rk") <= KmvK)
           .groupBy(col("src_a"), col("src_b"))
@@ -1838,8 +1850,10 @@ object Advanced {
     //      skew-join split can't reach (aggregation-after-join keeps
     //      partial aggregation per salt too: the hot key's partials
     //      combine map-side per sub-key before the final merge). The
-    //      salt is pmod(l_linenumber, S) — a pure function of stored
-    //      data, so both engines and any replay agree row-for-row.
+    //      salt is pmod(murmur3(l_orderkey, l_linenumber), S) — a pure
+    //      function of stored data; it never crosses the engine
+    //      boundary because the RESULT is salt-invariant (the oracle
+    //      equality is the operator's contract).
     //      Benched on the skew fixture beside q5/q59/q60 (the hot
     //      o_custkey head feeds a hot l_orderkey fan-in). ----
     Q(
@@ -1847,7 +1861,14 @@ object Advanced {
       (s, dir) => {
         val li = t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-          .withColumn("salt", pmod(col("l_linenumber"), lit(SaltBuckets)))
+          // hash salt, not pmod(l_linenumber, S): linenumbers are 1..7 in
+          // this schema, which would leave bucket 0 permanently empty and
+          // cap the split at 7 uneven ways. The salt never crosses the
+          // engine boundary (the result is salt-invariant, which is the
+          // oracle's whole point), so Spark's codegen'd murmur3 hash is
+          // the right spelling: uniform over all S buckets, no md5 cost.
+          .withColumn("salt",
+            pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(SaltBuckets)))
         val salts = s.range(0, SaltBuckets.toLong)
           .select(col("id").cast("int").as("o_salt"))
         val ord = t(s, dir, "orders")
@@ -1883,8 +1904,7 @@ object Advanced {
       "q68_kmv_agg",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
-        val est = lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
-          col("kth_h").cast("double")
+        val est = kmvEstRaw(col("kth_h"))
         sourceHashes(s, dir)
           .groupBy(col("source"))
           .agg(call_function("kmv_kth", col("h"), lit(KmvK)).as("kth_h"))
@@ -2223,8 +2243,14 @@ object Advanced {
     scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.sql.SparkSession, String), Long]
   private[graft] def cdcLogCount(
-      s: org.apache.spark.sql.SparkSession, dir: String): Long =
+      s: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    // sweep dead sessions' entries on every touch (the Materialized
+    // convention) — a JVM cycling sessions must not pin stopped
+    // SparkSessions through this cache
+    logCountCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(logCountCache.remove)
     logCountCache.getOrElseUpdate((s, dir), cdcLogs(s, dir).count())
+  }
 
   /** Broadcast cap for the merge family's touched-key sides: the log
     * between snapshots is ≪ the lake but CORPUS-PROPORTIONAL (the %-rule
@@ -2236,7 +2262,7 @@ object Advanced {
     * shuffles; over it the hint drops and AQE picks the join from
     * runtime sizes (the d5 convention).
     */
-  private val MergeBroadcastCap = 10000000L
+  private[graft] val MergeBroadcastCap = 10000000L
 
   /** q67 salt fan-out: 8 sub-keys caps any reducer at 1/8 of a hot
     * key's rows while the replicated side grows only ×8.
@@ -2246,7 +2272,11 @@ object Advanced {
   private[graft] def mergeResolved(
       lake: org.apache.spark.sql.DataFrame,
       resolved: org.apache.spark.sql.DataFrame,
-      hintSmall: Boolean = true): org.apache.spark.sql.DataFrame = {
+      hintSmall: Boolean): org.apache.spark.sql.DataFrame = {
+    // hintSmall is deliberately REQUIRED: a defaulted hint let the
+    // streaming twin (q44) keep force-broadcasting after the batch
+    // spelling was gated — the convention-drift failure this family's
+    // docs warn about. Every caller passes the cdcLogCount gate.
     val keys = resolved.select(col("k"))
     lake.join(if (hintSmall) broadcast(keys) else keys, Seq("k"), "left_anti")
       .unionByName(resolved.filter(col("act") === "U")

@@ -151,7 +151,6 @@ object DocStream {
         implicitly[org.apache.spark.sql.Encoder[KmvSnap]])
       .toDF()
       .withColumn("est_ndv",
-        round(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
-          col("kth_h").cast("double"), 6))
+        round(graft.queries.Advanced.kmvEstRaw(col("kth_h"), k), 6))
   }
 }

@@ -242,7 +242,9 @@ object StreamTwins {
             .select(col("b"), col("k"), col("o_orderstatus"), col("price"), col("act"))
             .as[LakeStream.Chg]).toDF()
         graft.queries.Advanced
-          .mergeResolved(graft.queries.Advanced.cdcLake(s, dir), resolved)
+          .mergeResolved(graft.queries.Advanced.cdcLake(s, dir), resolved,
+            hintSmall = graft.queries.Advanced.cdcLogCount(s, dir) <=
+              graft.queries.Advanced.MergeBroadcastCap)
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"),
             graft.Agg.dsum(col("price")).as("sum_price"),
