@@ -62,7 +62,9 @@ class LakeStreamSpec extends SparkSpec {
         .select(col("b"), col("k"), col("o_orderstatus"), col("price"), col("act"))
         .as[Chg]).toDF()
     val merged = graft.queries.Advanced
-      .mergeResolved(graft.queries.Advanced.cdcLake(spark, dir), resolved)
+      .mergeResolved(graft.queries.Advanced.cdcLake(spark, dir), resolved,
+        hintSmall = graft.queries.Advanced.cdcLogCount(spark, dir) <=
+          graft.queries.Advanced.MergeBroadcastCap)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("k", "o_orderstatus", "price").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
