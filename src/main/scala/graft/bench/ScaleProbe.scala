@@ -26,8 +26,13 @@ import org.apache.spark.sql.functions._
   *    disjoint; `source`/`lang`/`label` domains stay FIXED — at 100 TB
   *    the domain census grows far slower than the corpus, and p8's
   *    fixpoint graph is deliberately domain-cardinality-scale.
-  *  - dimension tables and `events` copy through unchanged (no probed
-  *    cell reads them at corpus scale).
+  *  - `embeddings` vectors sign-flip a replica-specific pseudo-random
+  *    coordinate subset: norms and within-replica cosines are
+  *    preserved EXACTLY, cross-replica cosines decorrelate — linear
+  *    similarity-structure growth, not R duplicates of every vector.
+  *  - customer/part/supplier keys shift with the facts (referential
+  *    integrity holds across the scaled star); region/nation and
+  *    `events` copy through unchanged.
   *
   * Protocol per factor: build dir (untimed) → index prewarm (timed as
   * its own row — the shared shingle/IVF builds ARE corpus work, just
