@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
   * every LSH band bucket R-fold and measure a quadratic artifact of the
   * replication itself, not the operator):
   *
-  *  - `documents.text` is vowel-PERMUTED per replica (`translate` with
-  *    a replica-specific permutation of "aeiou"): length-preserving (so
-  *    the stored `n_chars` stays truthful), deterministic (so dup
-  *    structure WITHIN a replica is preserved exactly), and any 3-word
-  *    shingle containing a vowel differs across replicas (so replicas
-  *    share essentially no shingles/spans — each contributes its own
-  *    independent dup structure, which is what linear growth means).
+  *  - `documents.text` is letter-SUBSTITUTED per replica (`translate`
+  *    with a replica-specific cycle of the 26 lowercase letters, see
+  *    [[alphaPerm]]): length-preserving (so the stored `n_chars` stays
+  *    truthful), deterministic (so dup structure WITHIN a replica is
+  *    preserved exactly), and any letter-bearing shingle differs from
+  *    replica 0's copy with pairwise cross-replica collisions
+  *    negligible (so replicas share essentially no shingles/spans —
+  *    each contributes its own independent dup structure, which is
+  *    what linear growth means).
   *  - integer keys (`doc_id`, `vec_id`, `o_orderkey`, `l_*key`) shift
   *    by replica·(max+1), so per-replica lakes/logs/clusters stay
   *    disjoint; `source`/`lang`/`label` domains stay FIXED — at 100 TB
@@ -47,13 +49,39 @@ object ScaleProbe {
     "q65_kmv_ndv", "q58_wap", "s14_mmr_diversify", "q43_time_travel",
     "q26_approx_distinct")
 
-  private val vowelPerms: IndexedSeq[String] = {
-    val all = "aeiou".permutations.toIndexedSeq
-    // index 0 = identity; replicas ≥ 1 use DERANGEMENTS (no vowel maps
-    // to itself — 44 exist), so every vowel-bearing word differs from
-    // every other replica's copy; a lexicographic-neighbor permutation
-    // like "aeiuo" would leave a/e/i-only shingles shared
-    all.head +: all.filter(p => p.zip("aeiou").forall { case (a, b) => a != b })
+  private[bench] val Alphabet = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Replica i's full-alphabet substitution: a seeded random CYCLE over
+    * the 26 lowercase letters (Sattolo's algorithm), so replica 0 is
+    * identity and every replica ≥ 1 is a derangement — EVERY letter
+    * moves, so any letter-bearing shingle in replica i ≥ 1 differs from
+    * replica 0's copy, guaranteed. PAIRWISE (i, j ≥ 1) disjointness is
+    * statistical, not guaranteed: two replicas share a shingle only if
+    * their cycles agree on every distinct letter in it, and two
+    * independent seeded cycles agree on any single letter with
+    * probability ~1/26 — a ~10-distinct-letter shingle collides with
+    * probability < 26^-9 (ADVICE r10: the old 5-vowel derangement pool
+    * only guaranteed disjointness against replica 0, wrapped at 45
+    * replicas, and its doc overclaimed pairwise disjointness).
+    * [[buildDir]] asserts all r perms are at least pairwise DISTINCT.
+    */
+  private[bench] def alphaPerm(i: Int): String = {
+    val a = Alphabet.toCharArray
+    if (i == 0) return new String(a)
+    var x = 0x9E3779B97F4A7C15L * (i + 1)
+    def next(n: Int): Int = {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      ((x >>> 33) % n).toInt
+    }
+    // Sattolo: swap a(k) with a uniformly-drawn j < k — yields a single
+    // 26-cycle, which has no fixed point by construction
+    var m = a.length - 1
+    while (m > 0) {
+      val j = next(m)
+      val t = a(m); a(m) = a(j); a(j) = t
+      m -= 1
+    }
+    new String(a)
   }
 
   private def keyCols(name: String): Seq[String] = name match {
@@ -109,7 +137,7 @@ object ScaleProbe {
       }
       if (name == "documents")
         shifted.withColumn("text",
-          translate(col("text"), "aeiou", vowelPerms(i % vowelPerms.length)))
+          translate(col("text"), Alphabet, alphaPerm(i)))
       else if (name == "embeddings")
         shifted.withColumn("embedding",
           flipVec(col("embedding"), i).cast("array<float>"))
@@ -121,6 +149,9 @@ object ScaleProbe {
   }
 
   def buildDir(s: SparkSession, baseDir: String, outRoot: String, r: Int): String = {
+    val perms = (0 until r).map(alphaPerm)
+    require(perms.distinct.size == r,
+      s"alphaPerm produced colliding substitutions for r=$r") // seeded cycles: astronomically unlikely
     val outDir = s"$outRoot/x$r"
     new java.io.File(outDir).mkdirs()
     graft.Tables.names.foreach(n => buildTable(s, baseDir, outDir, n, r))

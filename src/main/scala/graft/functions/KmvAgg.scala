@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -30,11 +30,17 @@ case class KmvSketchAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with ImplicitCastInputTypes {
 
   require(k > 0, s"kmv_kth: k must be positive, got $k")
 
   override def children: Seq[Expression] = Seq(child)
+  // analysis-time typing: an int column widens via implicit cast, a
+  // mistyped column fails with a typed analyzer message — never a
+  // runtime ClassCastException in an executor (ADVICE r10). Result
+  // type inferred: AbstractDataType is private[sql] by Scala access.
+  override def inputTypes = Seq(LongType)
   override def nullable: Boolean = true
   override def dataType: DataType = LongType
   override def prettyName: String = "kmv_kth"
@@ -42,14 +48,8 @@ case class KmvSketchAgg(
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 
-  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
-    if (buf.size < k) { buf.add(h); () }
-    else if (h < buf.last()) {
-      // strictly under the current kth: displaces it (a duplicate of an
-      // existing min returns add=false and must NOT evict)
-      if (buf.add(h)) { buf.pollLast(); () }
-    }
-  }
+  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit =
+    KmvSketchAgg.boundedInsert(buf, k, h)
 
   override def update(
       buf: java.util.TreeSet[java.lang.Long],
@@ -94,4 +94,20 @@ case class KmvSketchAgg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): KmvSketchAgg =
     copy(child = newChildren.head)
+}
+
+object KmvSketchAgg {
+  /** Bounded ordered-set insert — the KMV sketch's one mutation, shared
+    * with the streaming processor ([[graft.streaming.DocStream.KmvProcessor]])
+    * so the batch aggregate and the stateful fold cannot drift: O(log k)
+    * per row, O(k) memory, whatever the input size.
+    */
+  def boundedInsert(buf: java.util.TreeSet[java.lang.Long], k: Int, h: Long): Unit = {
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last()) {
+      // strictly under the current kth: displaces it (a duplicate of an
+      // existing min returns add=false and must NOT evict)
+      if (buf.add(h)) { buf.pollLast(); () }
+    }
+  }
 }

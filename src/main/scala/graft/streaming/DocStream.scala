@@ -110,9 +110,22 @@ object DocStream {
         rows: Iterator[(String, Long)],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[KmvSnap] = {
       val prev: Array[Long] = if (acc.exists()) acc.get().mins else Array.emptyLongArray
-      // distinct-merge then keep the k smallest — the KMV merge; per
-      // call this sorts |batch hashes for this source| + k longs
-      val merged = (prev ++ rows.map(_._2)).distinct.sorted.take(k)
+      // distinct-merge keeping the k smallest — the KMV merge, folded
+      // through the bounded ordered-set insert the batch aggregate uses
+      // (KmvSketchAgg.boundedInsert): O(log k) per delivered row, O(k)
+      // transient memory. The previous spelling concatenated and sorted
+      // the ENTIRE call's input, which in the batch degeneration (e27's
+      // oracle replay delivers a source's whole hash stream in one call)
+      // materialized every distinct hash in one executor array
+      // (ADVICE r10).
+      val buf = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i < prev.length) { buf.add(prev(i)); i += 1 }
+      rows.foreach(r => graft.functions.KmvSketchAgg.boundedInsert(buf, k, r._2))
+      val merged = new Array[Long](buf.size())
+      val it = buf.iterator() // TreeSet iterates ascending: merged stays sorted
+      i = 0
+      while (it.hasNext) { merged(i) = it.next(); i += 1 }
       acc.update(KmvAcc(merged))
       // emit only when the k-th statistic actually TIGHTENED (or the
       // sketch just filled): the output is then exactly the strictly

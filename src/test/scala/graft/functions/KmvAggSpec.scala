@@ -41,6 +41,23 @@ class KmvAggSpec extends SparkSpec {
       s"TypedImperativeAggregate must plan as ObjectHashAggregate (map-side partials):\n$plan")
   }
 
+  test("kmv_kth types its input at analysis: int widens, string fails typed") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // an int column used to pass analysis and ClassCastException in the
+    // executor (ADVICE r10); ImplicitCastInputTypes now widens it
+    val got = Seq(5, 1, 3, 2, 4, 3).toDF("h")
+      .agg(call_function("kmv_kth", col("h"), lit(3)))
+      .head().getLong(0)
+    assert(got == 3L, s"int column must widen to long: got $got")
+    // a non-castable column fails AT ANALYSIS with a typed message
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Array(1L)).toDF("h")
+        .agg(call_function("kmv_kth", col("h"), lit(3))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("kmv_kth"), s"got: ${e.getMessage}")
+  }
+
   test("kmv_kth registration rejects a non-literal or non-positive k") {
     GraftFunctions.register(spark)
     import spark.implicits._
