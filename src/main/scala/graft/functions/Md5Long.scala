@@ -40,10 +40,16 @@ object Md5LongKernel {
     */
   def hash(s: UTF8String): Long = hashBytes(s.getBytes)
 
-  def hashBytes(bytes: Array[Byte]): Long = {
+  def hashBytes(bytes: Array[Byte]): Long = hashBytes(bytes, bytes.length)
+
+  /** Prefix variant for callers that reuse a concat buffer (the
+    * shingle generator) — digests `bytes[0, len)` without a copy.
+    */
+  def hashBytes(bytes: Array[Byte], len: Int): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(bytes)
+    md.update(bytes, 0, len)
+    val d = md.digest()
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }

@@ -158,6 +158,15 @@ object GraftFunctions {
         KmvSketchAgg(exprs.head, k)
       }),
     (
+      FunctionIdentifier("shingle_gen"),
+      new ExpressionInfo(classOf[ShingleGenerator].getName, "shingle_gen"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "shingle_gen(text, n)")
+        val n = literalInt(exprs(1), "shingle_gen", "n")
+        require(n > 0, s"shingle_gen: n must be positive, got $n")
+        ShingleGenerator(exprs.head, n)
+      }),
+    (
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       { exprs: Seq[Expression] =>

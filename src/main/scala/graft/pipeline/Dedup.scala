@@ -125,12 +125,21 @@ object Dedup {
     * (distinct) because Jaccard and MinHash are defined over shingle
     * SETS; hashing first means the distinct shuffles 16-byte long pairs,
     * never the ~20-char shingle strings.
+    *
+    * The explode pass is the fused [[graft.functions.ShingleGenerator]]
+    * (`shingle_gen(text, 3)`): one Generate node emitting hash longs
+    * directly, replacing the words-array → shingle-string-array →
+    * explode → md5 chain — hash-identical to that chain by the
+    * generator's contract (its spec pins the differential), so every
+    * dedup oracle is unchanged by construction.
     */
-  private[graft] def rawShingles(docs: DataFrame): DataFrame =
+  private[graft] def rawShingles(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .select(col("doc_id"), explode(shingles3(words(col("text")))).as("shingle"))
-      .select(col("doc_id"), md5Long(col("shingle")).as("h"))
+      .select(col("doc_id"),
+        call_function("shingle_gen", col("text"), lit(3)).as("h"))
       .distinct()
+  }
 
   /** Drop hot shingles (df > [[ShingleDfCap]]) from an index. The hot set
     * is small by definition (few boilerplate shingles exceed an absolute
