@@ -72,6 +72,31 @@ object Bench {
     }
     val cal = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
+    // Anchor artifacts to the repo, not the process CWD: honor
+    // SPARK_GRAFT_RESULTS_DIR if set, else walk up from CWD to the
+    // nearest directory containing build.sbt (the repo root) so a
+    // bench launched from a subdirectory still lands artifacts in the
+    // committed results/ tree (ADVICE r5). Resolved up front because
+    // the cardinality manifest is READ from the same tree.
+    val resultsOut: java.nio.file.Path = {
+      import java.nio.file.{Files, Path, Paths}
+      def repoRootFrom(p: Path): Option[Path] =
+        Iterator.iterate(p.toAbsolutePath)(_.getParent)
+          .takeWhile(_ != null)
+          .find(d => Files.exists(d.resolve("build.sbt")))
+      // the compiled classes/jar live under the repo's target/, so the
+      // code-source location anchors the repo even when CWD is elsewhere
+      def codeSourceDir: Option[Path] =
+        Option(Bench.getClass.getProtectionDomain.getCodeSource)
+          .map(cs => Paths.get(cs.getLocation.toURI))
+      sys.env.get("SPARK_GRAFT_RESULTS_DIR").map(Paths.get(_)).getOrElse {
+        repoRootFrom(Paths.get(""))
+          .orElse(codeSourceDir.flatMap(repoRootFrom))
+          .getOrElse(Paths.get("").toAbsolutePath)
+          .resolve("results")
+      }
+    }
+
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.inventory.foreach { q =>
       try q.run(spark, warmDir).write.format("noop").mode("overwrite").save()
@@ -168,11 +193,28 @@ object Bench {
     // wall-clock is meaningless and must not masquerade as a fast cell
     // in round-over-round comparisons (the failure itself also prints
     // to stderr, which the driver captures in the bench tail).
-    def once(q: Q, dir: String): Double = {
+    //
+    // recordCard: the main pass's FIRST sample of each cell also
+    // observes the result's row count (a CollectMetrics node at the
+    // root — computed during the same noop action, no extra pass) for
+    // the cardinality gate below: a silently emptier result must not
+    // hide behind a green wall-time (VERDICT r10 item 7).
+    val cardCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def once(q: Q, dir: String, recordCard: Boolean = false): Double = {
       System.gc() // stabilize: don't bill query N for query N-1's garbage
       val t0 = System.nanoTime()
       try {
-        q.run(spark, dir).write.format("noop").mode("overwrite").save()
+        val df = q.run(spark, dir)
+        if (recordCard) {
+          val obs = org.apache.spark.sql.Observation()
+          df.observe(obs,
+              org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+            .write.format("noop").mode("overwrite").save()
+          cardCounts(q.name) = obs.get.apply("n_rows").asInstanceOf[Long]
+        } else {
+          df.write.format("noop").mode("overwrite").save()
+        }
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
@@ -196,8 +238,8 @@ object Bench {
       * bounds them). Cache billing is unchanged: first runs build the
       * shared indexes in inventory order, re-runs measure steady state.
       */
-    def timePass(qs: Seq[Q], dir: String): Seq[(String, Double)] = {
-      val firsts = qs.map(q => q -> once(q, dir))
+    def timePass(qs: Seq[Q], dir: String, recordCard: Boolean = false): Seq[(String, Double)] = {
+      val firsts = qs.map(q => q -> once(q, dir, recordCard))
       firsts.map { case (q, t1) =>
         val t2 = if (t1 >= 0) once(q, dir) else -1.0
         val t3 = if (t1 >= 0 && math.max(t1, t2) < 1.5) once(q, dir) else -1.0
@@ -231,7 +273,7 @@ object Bench {
     SparkEntry.inventory.headOption.foreach(q => once(q, sfDir))
 
     cal("queries") = noiseCal()
-    val results = timePass(SparkEntry.inventory, sfDir)
+    val results = timePass(SparkEntry.inventory, sfDir, recordCard = true)
     cal("queries_end") = noiseCal()
     releasePhase(sfDir)
     mark("query pass")
@@ -255,9 +297,12 @@ object Bench {
     // operator — the hot o_custkey head's l_orderkey fan-in is exactly
     // the regime its salt splits, so its skew cell vs uniform twin is
     // the measured value of the technique
+    // q67b joined in round 11: the census-gated variant — its uniform
+    // twin must price like the PLAIN join (empty hot set = no ×S tax)
+    // while its skew cell stays flat like q67's
     val skewQs = Seq("d2_ngram_jaccard", "s3_cosine_neardup", "q5_star_join",
         "d4b_simhash_pairs", "s4_knn_ivf", "q59_join_ivm", "q60_runtime_filter",
-        "q67_salted_join")
+        "q67_salted_join", "q67b_hotkey_salted_join")
       .map(qn => SparkEntry.inventory.find(_.name == qn)
         .getOrElse(sys.error(s"unknown skew query $qn")))
     val skewResults =
@@ -317,6 +362,47 @@ object Bench {
     }
     mark("twin re-sample")
 
+    // Cardinality gate (VERDICT r10 item 7): each cell's observed row
+    // count at the bench SF against the committed manifest
+    // (results/cardinality_manifest.tsv, written by
+    // graft.bench.CardManifest) — a query that silently went empty or
+    // exploded fails HERE even when its wall-time stayed green. Checked
+    // only when the manifest's sf tag matches this run's; cells absent
+    // from the manifest (new this round) are advisory on stderr, and
+    // regenerating the manifest is part of adding a query.
+    val cardFailed: Seq[String] = {
+      val mf = resultsOut.resolve("cardinality_manifest.tsv")
+      if (!java.nio.file.Files.exists(mf)) {
+        System.err.println(s"[bench] no cardinality manifest at $mf; counts unchecked")
+        Seq.empty
+      } else {
+        val lines = scala.jdk.CollectionConverters
+          .ListHasAsScala(java.nio.file.Files.readAllLines(mf)).asScala.toSeq
+        val sfTag = lines.collectFirst { case l if l.startsWith("# sf=") => l.drop(5) }
+        if (!sfTag.contains(new java.io.File(sfDir).getName)) {
+          System.err.println(
+            s"[bench] manifest sf ${sfTag.getOrElse("?")} != run sf; counts unchecked")
+          Seq.empty
+        } else {
+          val expected = lines.filterNot(_.startsWith("#")).flatMap { l =>
+            l.split('\t') match {
+              case Array(n, c) => Some(n -> c.toLong)
+              case _ => None
+            }
+          }.toMap
+          cardCounts.keys.filterNot(expected.contains).foreach(n =>
+            System.err.println(s"[bench] $n not in cardinality manifest (new cell?)"))
+          val bad = cardCounts.toSeq.collect {
+            case (n, got) if expected.get(n).exists(_ != got) =>
+              System.err.println(
+                s"[bench] CARDINALITY MISMATCH $n: got $got, manifest ${expected(n)}")
+              n
+          }
+          bad
+        }
+      }
+    }
+
     // Second sweep pass AFTER the query pass (~minutes later), min-merged
     // per cell: this container's single-core throughput swings ~1.5x over
     // minutes (co-tenant load), and the in-task sweep medians are fully
@@ -358,8 +444,11 @@ object Bench {
     // stale results/bench_local.json can no longer masquerade as the
     // round's run (ADVICE r4/r5 asked the same of the driver artifacts)
     val ts = java.time.Instant.now().toString
+    val cardJson = cardFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val countsJson = cardCounts.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"ts":"$ts","queries":$qs,"skew_queries":$sk,"sort_sweep_us":$sw,"sort_sweep_avg_us":$swAvg,"noise_cal_ms":$calJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"card_failed":$cardJson,"ts":"$ts","queries":$qs,"skew_queries":$sk,"sort_sweep_us":$sw,"sort_sweep_avg_us":$swAvg,"noise_cal_ms":$calJson,"row_counts":$countsJson,"sf":"$sfDir"}"""
     // stdout protocol: the driver keeps only a fixed-size TAIL of stdout
     // (~2000 chars) and its harness appends its own lines after ours —
     // rounds 4-6 all captured the metrics line with its head cut off
@@ -383,34 +472,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
     val summaryLine =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","failed":$nFailed,"n_queries":${resultsMerged.size},"queries":$famTotals,"slowest":$slowest,"full_artifact":"results/bench_local.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","failed":$nFailed,"card_failed":$cardJson,"n_queries":${resultsMerged.size},"queries":$famTotals,"slowest":$slowest,"full_artifact":"results/bench_local.json","sf":"$sfDir"}"""
     println(summaryLine)
     // Durable copy: the driver's fixed-size stdout tail capture truncated
     // round 4's metrics line mid-JSON once the inventory grew past ~70
     // queries (ADVICE r4). The committed file is the full self-contained
     // artifact regardless of how much tail the capture keeps.
     try {
-      // Anchor the artifact to the repo, not the process CWD: honor
-      // SPARK_GRAFT_RESULTS_DIR if set, else walk up from CWD to the
-      // nearest directory containing build.sbt (the repo root) so a
-      // bench launched from a subdirectory still lands the artifact in
-      // the committed results/ tree (ADVICE r5).
-      import java.nio.file.{Files, Path, Paths}
-      def repoRootFrom(p: Path): Option[Path] =
-        Iterator.iterate(p.toAbsolutePath)(_.getParent)
-          .takeWhile(_ != null)
-          .find(d => Files.exists(d.resolve("build.sbt")))
-      // the compiled classes/jar live under the repo's target/, so the
-      // code-source location anchors the repo even when CWD is elsewhere
-      def codeSourceDir: Option[Path] =
-        Option(Bench.getClass.getProtectionDomain.getCodeSource)
-          .map(cs => Paths.get(cs.getLocation.toURI))
-      val out: Path = sys.env.get("SPARK_GRAFT_RESULTS_DIR").map(Paths.get(_)).getOrElse {
-        repoRootFrom(Paths.get(""))
-          .orElse(codeSourceDir.flatMap(repoRootFrom))
-          .getOrElse(Paths.get("").toAbsolutePath)
-          .resolve("results")
-      }
+      import java.nio.file.Files
+      val out = resultsOut
       Files.createDirectories(out)
       Files.writeString(out.resolve("bench_local.json"), line + "\n")
       // Bare-JSON twin of the bounded stdout summary at a FIXED path: if

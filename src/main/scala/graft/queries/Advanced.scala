@@ -555,10 +555,16 @@ object Advanced {
         val hs = sourceHashes(s, dir)
         val bySrc = Window.partitionBy(col("source")).orderBy(col("h").asc)
         // map-side WindowGroupLimit bottom-k, exactly q65's cut
-        val sk = hs.withColumn("rk", row_number().over(bySrc))
+        val skr = hs.withColumn("rk", row_number().over(bySrc))
           .filter(col("rk") <= KmvK)
-          .select(col("source"), col("h"))
-        val srcs = sk.select(col("source")).distinct()
+        val sk = skr.select(col("source"), col("h"))
+        // pair census over FULL sketches only (a source with a k-th row
+        // has ≥ k distinct hashes) — q65's drop rule applied up front,
+        // so the pair count is C(|q65 sources|, 2) by construction even
+        // on a fixture with thinner-than-k sources (ADVICE r10: deriving
+        // srcs from sk retained thin sources and only the downstream
+        // kth_u filter dropped them)
+        val srcs = skr.filter(col("rk") === KmvK).select(col("source"))
         // |sources|² pair table — domain-census-scale, broadcast both ways
         val pairs = srcs.as("x").join(srcs.as("y"),
             col("x.source") < col("y.source"))
@@ -595,7 +601,7 @@ object Advanced {
                       row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk
                FROM hs),
         sk AS (SELECT source, h FROM rk WHERE rk <= $KmvK),
-        srcs AS (SELECT DISTINCT source FROM sk),
+        srcs AS (SELECT source FROM rk WHERE rk = $KmvK),
         prs AS (SELECT a.source AS src_a, b.source AS src_b
                 FROM srcs a JOIN srcs b ON a.source < b.source),
         u AS (SELECT src_a, src_b, h, max(ina) AS ina, max(inb) AS inb FROM (
@@ -1888,6 +1894,28 @@ object Advanced {
         GROUP BY 1"""),
     ),
 
+    // ---- q67b: HOT-KEY-ONLY SALTING — q67 with the ×S replication tax
+    //      confined to keys a frequency census marks hot (VERDICT r10
+    //      item 1). q67 replicates the ENTIRE build side ×S; at 100 TB
+    //      the tax must land on the skewed minority, so this spelling
+    //      splits the build side on a broadcast hot-key census: hot keys
+    //      join on (key, hash-salt) exactly like q67, cold keys join on
+    //      (key, 0) — a plain join in disguise. On uniform data the hot
+    //      set is EMPTY and the whole operator degenerates to the plain
+    //      q5-class join (its bench twin pins that equivalence); on the
+    //      zipf fixture the head still splits S ways. Same oracle as
+    //      q67: the result is salt- and census-invariant, which is the
+    //      operator's contract. ----
+    Q(
+      "q67b_hotkey_salted_join",
+      (s, dir) => hotKeySaltedJoin(s, dir),
+      Some("""
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1"""),
+    ),
+
     // ---- q68: CUSTOM AGGREGATE — q65's per-source bottom-k computed by
     //      the native `kmv_kth` TypedImperativeAggregate
     //      ([[graft.functions.KmvSketchAgg]]) instead of a row_number
@@ -2268,6 +2296,63 @@ object Advanced {
     * key's rows while the replicated side grows only ×8.
     */
   private val SaltBuckets = 8
+
+  /** q67b hot-key cut: a fact-side join key is HOT when it carries more
+    * than this many rows. Uniform TPC-H-ish data tops out at 7 lineitems
+    * per order, the skew fixture's zipf head carries ~20% of the corpus
+    * — any cut between those regimes identifies exactly the head. The
+    * absolute-count shape is what makes the hot SET small by definition
+    * (at most |corpus|/HotKeyRows keys can exceed it), hence
+    * broadcastable at any corpus size; at 100 TB the census itself runs
+    * on a sample (a key hot enough to matter is dense in any sample)
+    * with the cut scaled by the sampling rate.
+    */
+  private[graft] val HotKeyRows = 1000L
+
+  /** q67b's operator body, callable on any corpus dir (the skew
+    * differential spec runs it against the zipf fixture, where the
+    * salted branch actually carries rows — the uniform oracle corpus
+    * exercises only the cold branch).
+    */
+  private[graft] def hotKeySaltedJoin(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    // skew census: one map-side-combinable aggregate over the fact side;
+    // the output above the cut is tiny by the absolute-count argument,
+    // so it broadcasts to tag both join sides
+    val hot = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > HotKeyRows)
+      .select(col("l_orderkey").as("hk"))
+    val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+    val salts = s.range(0, SaltBuckets.toLong)
+      .select(col("id").cast("int").as("o_salt"))
+    // fact side: hot rows get q67's hash salt, cold rows salt 0 — ONE
+    // pass, no fact-side split/union
+    val liTagged = li
+      .join(broadcast(hot), col("l_orderkey") === col("hk"), "left")
+      .withColumn("salt",
+        when(col("hk").isNotNull,
+          pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(SaltBuckets)))
+          .otherwise(lit(0)))
+      .drop("hk")
+    // build side: ONLY hot keys pay the ×S replication (q67 replicates
+    // the whole side — correct, but at 100 TB the tax must land on the
+    // skewed minority); cold keys ride through once at salt 0
+    val ordHot = ord
+      .join(broadcast(hot), col("o_orderkey") === col("hk"), "left_semi")
+      .crossJoin(broadcast(salts))
+    val ordCold = ord
+      .join(broadcast(hot), col("o_orderkey") === col("hk"), "left_anti")
+      .withColumn("o_salt", lit(0))
+    liTagged
+      .join(ordHot.unionByName(ordCold),
+        col("l_orderkey") === col("o_orderkey") && col("salt") === col("o_salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.Agg.dsum(col("l_extendedprice")).as("sum_price"))
+  }
 
   private[graft] def mergeResolved(
       lake: org.apache.spark.sql.DataFrame,
