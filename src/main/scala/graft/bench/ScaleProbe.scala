@@ -33,8 +33,9 @@ import org.apache.spark.sql.functions._
   *    preserved EXACTLY, cross-replica cosines decorrelate — linear
   *    similarity-structure growth, not R duplicates of every vector.
   *  - customer/part/supplier keys shift with the facts (referential
-  *    integrity holds across the scaled star); region/nation and
-  *    `events` copy through unchanged.
+  *    integrity holds across the scaled star); `events` replicas shift
+  *    event/user ids (R× the users over the same time range);
+  *    region/nation copy through unchanged.
   *
   * Protocol per factor: build dir (untimed) → index prewarm (timed as
   * its own row — the shared shingle/IVF builds ARE corpus work, just
@@ -47,7 +48,14 @@ object ScaleProbe {
   val Cells: Seq[String] = Seq(
     "d8_span_dedup", "q52_snapshot_expiry", "p8_domain_rank",
     "q65_kmv_ndv", "q58_wap", "s14_mmr_diversify", "q43_time_travel",
-    "q26_approx_distinct")
+    "q26_approx_distinct",
+    // round 11 (VERDICT r10 item 4): the e-family heavyweights — their
+    // events input now scales too (id-shifted replicas: more users,
+    // same time range = linear traffic growth) — plus one more
+    // s-family cell (IVF-PQ probes over the sign-flip-decorrelated
+    // embedding replicas)
+    "e14_watermark_audit", "e22_session_window", "e26_stream_trending",
+    "s7_knn_ivfpq")
 
   private[bench] val Alphabet = "abcdefghijklmnopqrstuvwxyz"
 
@@ -95,6 +103,13 @@ object ScaleProbe {
     case "customer" => Seq("c_custkey")
     case "part" => Seq("p_partkey")
     case "supplier" => Seq("s_suppkey")
+    // events scale as id-shifted replicas: R× the users emitting the
+    // same traffic shape over the SAME time range — lateness/session/
+    // hour-bucket distributions are preserved while per-hour and
+    // per-watermark state volume grows linearly, which is what the
+    // e-family's scale claims are about (round 11; previously events
+    // copied through unscaled and the e-cells had no 10× datapoint)
+    case "events" => Seq("event_id", "user_id")
     case _ => Seq.empty
   }
 
@@ -148,13 +163,15 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
   }
 
-  def buildDir(s: SparkSession, baseDir: String, outRoot: String, r: Int): String = {
+  def buildDir(s: SparkSession, baseDir: String, outRoot: String, r: Int,
+      only: Option[Seq[String]] = None): String = {
     val perms = (0 until r).map(alphaPerm)
     require(perms.distinct.size == r,
       s"alphaPerm produced colliding substitutions for r=$r") // seeded cycles: astronomically unlikely
     val outDir = s"$outRoot/x$r"
     new java.io.File(outDir).mkdirs()
-    graft.Tables.names.foreach(n => buildTable(s, baseDir, outDir, n, r))
+    graft.Tables.names.filter(n => only.forall(_.contains(n)))
+      .foreach(n => buildTable(s, baseDir, outDir, n, r))
     outDir
   }
 
@@ -170,7 +187,17 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10)
+    // `ScaleProbe [factor...] [--cells=a,b] [--tables=t1,t2]` — cells
+    // narrows the probe (e.g. ONE cell at 100×), tables narrows the dir
+    // build to what that cell reads (a 100× all-tables build would bill
+    // minutes of fixture writes to a one-cell probe)
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    def flag(name: String): Option[Seq[String]] =
+      flags.find(_.startsWith(s"--$name=")).map(_.drop(name.length + 3).split(',').toSeq)
+    val cells = flag("cells").getOrElse(Cells)
+    cells.foreach(c => require(graft.SparkEntry.queries.contains(c), s"unknown cell $c"))
+    val onlyTables = flag("tables")
+    val factors = if (pos.nonEmpty) pos.map(_.toInt).toSeq else Seq(1, 10)
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       new java.io.File("target/scaleprobe").getAbsolutePath)
@@ -184,7 +211,7 @@ object ScaleProbe {
 
     // JIT warm pass at the smallest SF, exactly like Bench's warmup
     val warmDir = "/root/testdata/sf0.001"
-    Cells.foreach { n =>
+    cells.foreach { n =>
       try graft.SparkEntry.queries(n)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[scale] warm $n: ${e.getMessage}") }
@@ -200,13 +227,17 @@ object ScaleProbe {
       .empty[(Int, String), Double]
     val cals = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
     factors.foreach { r =>
-      val dir = if (r == 1) baseDir else buildDir(spark, baseDir, outRoot, r)
+      val dir = if (r == 1) baseDir else buildDir(spark, baseDir, outRoot, r, onlyTables)
       cals(r) = noiseCal()
       val t0 = System.nanoTime()
-      graft.pipeline.Dedup.prewarmIndexes(spark, dir)
-      graft.pipeline.Similarity.prewarmIndexes(spark, dir)
+      // prewarm only what the probed cells read: a documents-only 100×
+      // dir has no embeddings table for the similarity prewarm to scan
+      if (cells.exists(c => c.startsWith("d") || c.startsWith("q65")))
+        graft.pipeline.Dedup.prewarmIndexes(spark, dir)
+      if (cells.exists(_.startsWith("s")))
+        graft.pipeline.Similarity.prewarmIndexes(spark, dir)
       results((r, "index_prewarm")) = (System.nanoTime() - t0) / 1e9
-      Cells.foreach { n =>
+      cells.foreach { n =>
         val q = graft.SparkEntry.queries(n)
         def once(): Double = {
           System.gc()
@@ -230,7 +261,7 @@ object ScaleProbe {
     rows.foreach(println)
     val r0 = factors.min
     factors.filter(_ != r0).foreach { r =>
-      (Cells :+ "index_prewarm").foreach { n =>
+      (cells :+ "index_prewarm").foreach { n =>
         val t1 = results.getOrElse((r0, n), -1.0)
         val tr = results.getOrElse((r, n), -1.0)
         if (t1 > 0 && tr > 0) {
