@@ -54,11 +54,12 @@ object SkewMatrix {
     aqe.conf.set("spark.sql.adaptive.enabled", "true")
     aqe.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     // engage the splitter at bench-scale sizes: a partition is "skewed"
-    // past 2x the median AND 4 MB (defaults: 5x / 256 MB — cluster
-    // sizes), split target 1 MB
+    // past 2x the median AND 512 KB (defaults: 5x / 256 MB — cluster
+    // sizes; the fixture's hot partition is ~2 MB at sf0.1, so the
+    // cluster defaults never fire here), split target 256 KB
     aqe.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
-    aqe.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
-    aqe.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+    aqe.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512k")
+    aqe.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
 
     val variants: Seq[(String, String => DataFrame)] = Seq(
       "plain" -> (d => plainJoin(noBcast, d)),
@@ -78,6 +79,19 @@ object SkewMatrix {
 
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // single-core noise cal (the Bench kernel): stamps the host window
+    // so two matrix runs are comparable
+    def noiseCal(): Double = {
+      def once(): Double = {
+        var x = 0x9E3779B97F4A7C15L; var s = 0L; var i = 0
+        val t0 = System.nanoTime()
+        while (i < 100000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; s += x; i += 1 }
+        if (s == 42) System.err.println("")
+        (System.nanoTime() - t0) / 1e6
+      }
+      Seq.fill(3)(once()).min
+    }
+    println(s"""{"noise_cal_ms":${num(noiseCal())}}""")
     val results = scala.collection.mutable.LinkedHashMap.empty[(String, String), Double]
     fixtures.foreach { case (fn, dir) =>
       variants.foreach { case (vn, f) =>

@@ -2309,27 +2309,41 @@ object Advanced {
     */
   private[graft] val HotKeyRows = 1000L
 
+  /** q67b census sampling rate: the hot-key census runs on a 1% sample
+    * — a key at the [[HotKeyRows]] cut appears ~10 times in expectation
+    * (P[absent] ≈ e⁻¹⁰), a cold ≤7-row key essentially never crosses
+    * the scaled cut, and the census shuffle shrinks by 100×. The
+    * RESULT is census-invariant either way (a missed marginal key just
+    * isn't salted), which is why sampling is safe here and is the
+    * production spelling at 100 TB.
+    */
+  private[graft] val CensusRate = 0.01
+
   /** q67b's operator body, callable on any corpus dir (the skew
     * differential spec runs it against the zipf fixture, where the
     * salted branch actually carries rows — the uniform oracle corpus
-    * exercises only the cold branch).
+    * exercises only the cold branch). Plan shape: ONE scan of each
+    * side. The fact side tags rows hot/cold via the broadcast census
+    * and salts hot rows; the build side explodes hot rows into S
+    * salted copies and cold rows into one (a per-row array explode —
+    * no hot/cold split, no second orders scan, no whole-side
+    * crossJoin). Catalyst reuses the single broadcast census exchange
+    * across both joins.
     */
   private[graft] def hotKeySaltedJoin(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-    // skew census: one map-side-combinable aggregate over the fact side;
-    // the output above the cut is tiny by the absolute-count argument,
-    // so it broadcasts to tag both join sides
-    val hot = li.groupBy(col("l_orderkey"))
+    // skew census on a sample: map-side-combinable, 1/100th the shuffle;
+    // the output above the cut is tiny by the absolute-count argument
+    // (at most |corpus|/HotKeyRows keys can exceed it), so it broadcasts
+    val hot = li.sample(withReplacement = false, CensusRate, seed = 42)
+      .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > HotKeyRows)
+      .filter(col("cnt") > HotKeyRows * CensusRate)
       .select(col("l_orderkey").as("hk"))
     val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
-    val salts = s.range(0, SaltBuckets.toLong)
-      .select(col("id").cast("int").as("o_salt"))
-    // fact side: hot rows get q67's hash salt, cold rows salt 0 — ONE
-    // pass, no fact-side split/union
+    // fact side: hot rows get q67's hash salt, cold rows salt 0
     val liTagged = li
       .join(broadcast(hot), col("l_orderkey") === col("hk"), "left")
       .withColumn("salt",
@@ -2339,15 +2353,15 @@ object Advanced {
       .drop("hk")
     // build side: ONLY hot keys pay the ×S replication (q67 replicates
     // the whole side — correct, but at 100 TB the tax must land on the
-    // skewed minority); cold keys ride through once at salt 0
-    val ordHot = ord
-      .join(broadcast(hot), col("o_orderkey") === col("hk"), "left_semi")
-      .crossJoin(broadcast(salts))
-    val ordCold = ord
-      .join(broadcast(hot), col("o_orderkey") === col("hk"), "left_anti")
-      .withColumn("o_salt", lit(0))
+    // skewed minority); cold rows explode into a 1-element array
+    val ordSalted = ord
+      .join(broadcast(hot), col("o_orderkey") === col("hk"), "left")
+      .withColumn("o_salt",
+        explode(when(col("hk").isNotNull,
+          sequence(lit(0), lit(SaltBuckets - 1))).otherwise(array(lit(0)))))
+      .drop("hk")
     liTagged
-      .join(ordHot.unionByName(ordCold),
+      .join(ordSalted,
         col("l_orderkey") === col("o_orderkey") && col("salt") === col("o_salt"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),

@@ -25,14 +25,20 @@ class HotKeySaltSpec extends SparkSpec {
   }
 
   test("skew fixture: salted branch carries the zipf head, result equals the plain join") {
-    val skewDir = graft.bench.SkewBench.prepare(spark, dir)
+    // sf0.01, not sf0.001: the operator's census runs on a 1% sample,
+    // and the smallest fixture's head (~1200 rows) sits ON the sampled
+    // cut (λ≈12 vs cut 10) — at sf0.01 the head samples λ≈120, so the
+    // hot branch engages deterministically
+    val skewDir = graft.bench.SkewBench.prepare(spark, "/root/testdata/sf0.01")
     try {
       // the fixture's hot key exceeds the cut (20% of the corpus on one
-      // key), so the census is non-empty and the ×S branch actually runs
+      // key) UNDER THE OPERATOR'S OWN SAMPLED CENSUS, so the ×S branch
+      // actually runs
       val hotCount = graft.Tables.t(spark, skewDir, "lineitem")
+        .sample(withReplacement = false, Advanced.CensusRate, seed = 42)
         .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > Advanced.HotKeyRows).count()
-      assert(hotCount >= 1, "fixture must produce at least one hot key")
+        .filter(col("cnt") > Advanced.HotKeyRows * Advanced.CensusRate).count()
+      assert(hotCount >= 1, "fixture must produce at least one sampled-hot key")
       val got = Advanced.hotKeySaltedJoin(spark, skewDir)
         .orderBy("o_orderstatus").collect().toSeq
       val exp = plainJoin(skewDir)
