@@ -37,10 +37,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * than the string-array intermediate it replaces, which is what the
   * 100 TB explode pass cares about.
   */
-case class ShingleGenerator(child: Expression, n: Int)
+case class ShingleGenerator(child: Expression, n: Int, positional: Boolean = false)
     extends UnaryExpression with Generator {
 
-  require(n > 0, s"shingle_gen: n must be positive, got $n")
+  require(n > 0, s"$prettyName: n must be positive, got $n")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -48,18 +48,27 @@ case class ShingleGenerator(child: Expression, n: Int)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"shingle_gen: text must be STRING, got ${other.simpleString}")
+          s"$prettyName: text must be STRING, got ${other.simpleString}")
     }
 
+  /** `span_gen` (positional = true) additionally emits the 1-based
+    * window start `i` — the spelling d8/d9's span-position table needs
+    * (`posexplode` is 0-based; the fused row carries the oracle's
+    * `generate_series(1, …)` convention directly, absorbing the
+    * `(pos + 1).cast(long)` projection too).
+    */
   override def elementSchema: StructType =
-    StructType(Seq(StructField("h", LongType, nullable = false)))
+    if (positional)
+      StructType(Seq(StructField("i", LongType, nullable = false),
+        StructField("h", LongType, nullable = false)))
+    else StructType(Seq(StructField("h", LongType, nullable = false)))
 
-  override def prettyName: String = "shingle_gen"
+  override def prettyName: String = if (positional) "span_gen" else "shingle_gen"
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = child.eval(input)
     if (t == null) Iterator.empty
-    else ShingleGenKernel.rows(t.asInstanceOf[UTF8String], n)
+    else ShingleGenKernel.rows(t.asInstanceOf[UTF8String], n, positional)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -72,7 +81,7 @@ case class ShingleGenerator(child: Expression, n: Int)
          |${childGen.code}
          |$iterClass ${ev.value} = ${childGen.isNull}
          |  ? graft.functions.ShingleGenKernel.empty()
-         |  : graft.functions.ShingleGenKernel.rows(${childGen.value}, $n);
+         |  : graft.functions.ShingleGenKernel.rows(${childGen.value}, $n, $positional);
        """.stripMargin, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
@@ -89,10 +98,11 @@ object ShingleGenKernel {
 
   def empty(): IterableOnce[InternalRow] = Iterator.empty
 
-  /** All word n-gram hashes of `text` as generator rows. Called from
+  /** All word n-gram hashes of `text` as generator rows — `(h)` or,
+    * positional, `(i, h)` with 1-based window starts. Called from
     * generated code — keep the signature static.
     */
-  def rows(text: UTF8String, n: Int): IterableOnce[InternalRow] = {
+  def rows(text: UTF8String, n: Int, positional: Boolean): IterableOnce[InternalRow] = {
     // trim-then-lowercase on the UTF8String, exactly lower(trim(c))
     val s = text.trim().toLowerCase().toString
     val words = Ws.split(s, -1)
@@ -121,8 +131,9 @@ object ShingleGenKernel {
         len += w.length
         j += 1
       }
+      val h = Md5LongKernel.hashBytes(buf, len)
       out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](Md5LongKernel.hashBytes(buf, len)))
+        if (positional) Array[Any](i + 1L, h) else Array[Any](h))
       i += 1
     }
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out)

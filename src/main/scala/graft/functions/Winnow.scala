@@ -167,6 +167,15 @@ object GraftFunctions {
         ShingleGenerator(exprs.head, n)
       }),
     (
+      FunctionIdentifier("span_gen"),
+      new ExpressionInfo(classOf[ShingleGenerator].getName, "span_gen"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "span_gen(text, k)")
+        val k = literalInt(exprs(1), "span_gen", "k")
+        require(k > 0, s"span_gen: k must be positive, got $k")
+        ShingleGenerator(exprs.head, k, positional = true)
+      }),
+    (
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       { exprs: Seq[Expression] =>

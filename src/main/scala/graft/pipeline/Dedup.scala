@@ -82,19 +82,21 @@ object Dedup {
 
   /** Span-position table shared by d8 (duplicated-span islands) and d9
     * (decontamination): one row `(doc_id, i, h)` per K-word window —
-    * 1-based start i, 60-bit span hash h. posexplode is 0-based; +1
-    * aligns with the oracle's generate_series(1, ..). Re-shard before
-    * the ×n_tokens explode for the same reason the shingle index does.
-    * Session-materialized per corpus dir: d8 reads it twice (dup agg +
-    * semi-join probe) and d9's probe adds no further corpus pass.
+    * 1-based start i (the oracle's generate_series(1, ..) convention),
+    * 60-bit span hash h, emitted by the fused positional generator
+    * `span_gen` ([[graft.functions.ShingleGenerator]] with positions —
+    * replaces the posexplode(spansK) → (pos+1) → md5 chain,
+    * hash-identical by the generator spec's differential). Re-shard
+    * before the ×n_tokens fan-out for the same reason the shingle
+    * index does. Session-materialized per corpus dir: d8 reads it
+    * twice (dup agg + semi-join probe) and d9's probe adds no further
+    * corpus pass.
     */
   private[pipeline] def spanIndex(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s) // md5_long used below
+    graft.functions.GraftFunctions.register(s)
     Materialized.getOrBuild(s, s"d8.pos|$dir")(
       docsSharded(s, dir)
-        .select(col("doc_id"), posexplode(spansK(words(col("text")), SpanK)))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
-          md5Long(col("col")).as("h")))
+        .select(col("doc_id"), call_function("span_gen", col("text"), lit(SpanK))))
   }
 
   /** DuckDB twin of [[spanIndex]] (docs + pos CTE bodies). */

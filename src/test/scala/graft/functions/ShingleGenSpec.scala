@@ -58,6 +58,21 @@ class ShingleGenSpec extends SparkSpec {
     assert(byDoc(6L) == 2)
   }
 
+  test("span_gen differential: (i, h) rows == posexplode+1+md5 rows (d8's chain, k=8)") {
+    GraftFunctions.register(spark)
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val a = docs.select(col("doc_id"), call_function("span_gen", col("text"), lit(8)))
+    val b = docs
+      .select(col("doc_id"), posexplode(Portable.spansK(Portable.words(col("text")), 8)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+        Portable.md5Long(col("col")).as("h"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "span_gen and the posexplode chain must emit identical (doc_id, i, h) bags")
+    // 1-based: every doc's minimum i is exactly 1
+    val minI = a.groupBy("doc_id").agg(min(col("i")).as("m")).select("m").distinct().collect()
+    assert(minI.map(_.getLong(0)).toSeq == Seq(1L), "window starts must be 1-based")
+  }
+
   test("plan: ONE Generate node with the generator, no shingle-string intermediates") {
     val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val plan = gen(docs, 3).queryExecution.executedPlan.toString
