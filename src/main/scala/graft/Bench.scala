@@ -99,7 +99,10 @@ object Bench {
 
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.inventory.foreach { q =>
-      try q.run(spark, warmDir).write.format("noop").mode("overwrite").save()
+      // warm the spelling the bench will time (benched); where a bench
+      // twin exists the oracle spelling shares its operators, so one
+      // warm pass per cell still heats everything the measured pass runs
+      try q.benched(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
     releasePhase(warmDir)
@@ -204,7 +207,7 @@ object Bench {
       System.gc() // stabilize: don't bill query N for query N-1's garbage
       val t0 = System.nanoTime()
       try {
-        val df = q.run(spark, dir)
+        val df = q.benched(spark, dir)
         if (recordCard) {
           val obs = org.apache.spark.sql.Observation()
           df.observe(obs,
@@ -270,10 +273,15 @@ object Bench {
     // inventory query at the measured SF moves that tax out of every
     // measured cell; min-merged sampling then measures steady state from
     // cell one.
-    SparkEntry.inventory.headOption.foreach(q => once(q, sfDir))
+    // Headline inventory: every Verify-gated cell except the pedagogical
+    // twins (benchHeadline = false — currently q67, whose uniform ×S
+    // replication tax is documented cost, not a production plan; its
+    // skew-regime numbers still ride the skew pass and SkewMatrix).
+    val headline = SparkEntry.inventory.filter(_.benchHeadline)
+    headline.headOption.foreach(q => once(q, sfDir))
 
     cal("queries") = noiseCal()
-    val results = timePass(SparkEntry.inventory, sfDir, recordCard = true)
+    val results = timePass(headline, sfDir, recordCard = true)
     cal("queries_end") = noiseCal()
     releasePhase(sfDir)
     mark("query pass")
@@ -435,8 +443,12 @@ object Bench {
     // the survivors (with or without the -1 sentinels) would still rank
     // the crashed round as FASTER than a healthy one. total = -1 makes
     // the round incomparable at the metric consumers actually read;
-    // per-query sentinels and stderr carry the detail.
-    val nFailed = resultsMerged.count(_._2 < 0)
+    // per-query sentinels and stderr carry the detail. Cardinality-gate
+    // mismatches count as failures too (ADVICE r11): a silently-wrong
+    // row count is a wrong RESULT, and a green positive total must mean
+    // "every cell ran AND returned the manifest's cardinality" — the
+    // card_failed field itemizes which cells tripped the gate.
+    val nFailed = resultsMerged.count(_._2 < 0) + cardFailed.size
     val total = if (nFailed > 0) -1.0 else resultsMerged.map(_._2).sum
     val calJson = cal.map { case (k, v) => "\"" + k + "\":" + num(v, 1) }
       .mkString("{", ",", "}")

@@ -29,10 +29,12 @@ object CardManifest {
     spark.sparkContext.setLogLevel("WARN")
     graft.pipeline.Dedup.prewarmIndexes(spark, sfDir)
     graft.pipeline.Similarity.prewarmIndexes(spark, sfDir)
-    val counts = graft.SparkEntry.inventory.flatMap { q =>
+    // benched + headline-only: the manifest exists for Bench's gate, so
+    // it records exactly the cells (and spellings) the bench observes
+    val counts = graft.SparkEntry.inventory.filter(_.benchHeadline).flatMap { q =>
       try {
         val obs = org.apache.spark.sql.Observation()
-        q.run(spark, sfDir)
+        q.benched(spark, sfDir)
           .observe(obs, count(lit(1)).as("n_rows"))
           .write.format("noop").mode("overwrite").save()
         val n = obs.get.apply("n_rows").asInstanceOf[Long]

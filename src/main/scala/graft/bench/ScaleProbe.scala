@@ -57,6 +57,32 @@ object ScaleProbe {
     "e14_watermark_audit", "e22_session_window", "e26_stream_trending",
     "s7_knn_ivfpq")
 
+  /** Per-cell shared-index dependencies (ADVICE r11): prewarm used to be
+    * gated on cell-NAME prefixes (d/q65 → dedup, s → similarity),
+    * which silently bills the index build to the first timed sample of
+    * any future cell whose name doesn't match its dependency — an
+    * exponent-corrupting foot-gun on narrowed `--cells` runs. The map is
+    * the explicit contract: a cell reads exactly the indexes listed
+    * here. Cells NOT in the map get the conservative fallback (prewarm
+    * whatever the dir's tables support, with a stderr note) so a new
+    * cell is never silently billed; adding it here is part of adding it
+    * to [[Cells]].
+    */
+  private[bench] val PrewarmDeps: Map[String, Seq[String]] = Map(
+    "d8_span_dedup" -> Seq("dedup"),
+    "q65_kmv_ndv" -> Seq("dedup"), // sourceHashes rides the shared shingle index
+    "s7_knn_ivfpq" -> Seq("sim"),
+    "s14_mmr_diversify" -> Seq("sim"),
+    "q52_snapshot_expiry" -> Seq.empty,
+    "p8_domain_rank" -> Seq.empty,
+    "q58_wap" -> Seq.empty,
+    "q43_time_travel" -> Seq.empty,
+    "q26_approx_distinct" -> Seq.empty,
+    "e14_watermark_audit" -> Seq.empty,
+    "e22_session_window" -> Seq.empty,
+    "e26_stream_trending" -> Seq.empty,
+  )
+
   private[bench] val Alphabet = "abcdefghijklmnopqrstuvwxyz"
 
   /** Replica i's full-alphabet substitution: a seeded random CYCLE over
@@ -195,7 +221,11 @@ object ScaleProbe {
     def flag(name: String): Option[Seq[String]] =
       flags.find(_.startsWith(s"--$name=")).map(_.drop(name.length + 3).split(',').toSeq)
     val cells = flag("cells").getOrElse(Cells)
-    cells.foreach(c => require(graft.SparkEntry.queries.contains(c), s"unknown cell $c"))
+    // benched spelling, like Bench: the probe measures the production
+    // path (q26's sketch, not its oracle-apparatus exact twin)
+    val cellRun: Map[String, (SparkSession, String) => DataFrame] =
+      graft.SparkEntry.inventory.map(q => q.name -> q.benched).toMap
+    cells.foreach(c => require(cellRun.contains(c), s"unknown cell $c"))
     val onlyTables = flag("tables")
     val factors = if (pos.nonEmpty) pos.map(_.toInt).toSeq else Seq(1, 10)
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -212,7 +242,7 @@ object ScaleProbe {
     // JIT warm pass at the smallest SF, exactly like Bench's warmup
     val warmDir = "/root/testdata/sf0.001"
     cells.foreach { n =>
-      try graft.SparkEntry.queries(n)(spark, warmDir)
+      try cellRun(n)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[scale] warm $n: ${e.getMessage}") }
     }
@@ -230,15 +260,22 @@ object ScaleProbe {
       val dir = if (r == 1) baseDir else buildDir(spark, baseDir, outRoot, r, onlyTables)
       cals(r) = noiseCal()
       val t0 = System.nanoTime()
-      // prewarm only what the probed cells read: a documents-only 100×
-      // dir has no embeddings table for the similarity prewarm to scan
-      if (cells.exists(c => c.startsWith("d") || c.startsWith("q65")))
-        graft.pipeline.Dedup.prewarmIndexes(spark, dir)
-      if (cells.exists(_.startsWith("s")))
-        graft.pipeline.Similarity.prewarmIndexes(spark, dir)
+      // prewarm exactly what the probed cells read, per the explicit
+      // dependency map; unmapped cells fall back to prewarming whatever
+      // the dir's tables support (a documents-only 100× dir has no
+      // embeddings table for the similarity prewarm to scan)
+      val unmapped = cells.filterNot(PrewarmDeps.contains)
+      unmapped.foreach(c => System.err.println(
+        s"[scale] $c not in PrewarmDeps: prewarming conservatively — map it"))
+      val hasDocs = new java.io.File(s"$dir/documents.parquet").exists()
+      val hasEmb = new java.io.File(s"$dir/embeddings.parquet").exists()
+      val deps = cells.flatMap(c => PrewarmDeps.getOrElse(c,
+        Seq("dedup", "sim"))).toSet
+      if (deps("dedup") && hasDocs) graft.pipeline.Dedup.prewarmIndexes(spark, dir)
+      if (deps("sim") && hasEmb) graft.pipeline.Similarity.prewarmIndexes(spark, dir)
       results((r, "index_prewarm")) = (System.nanoTime() - t0) / 1e9
       cells.foreach { n =>
-        val q = graft.SparkEntry.queries(n)
+        val q = cellRun(n)
         def once(): Double = {
           System.gc()
           val t = System.nanoTime()

@@ -6,12 +6,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * an equivalent ANSI-SQL oracle the driver runs in DuckDB over the same
   * parquet tables. Column names are aligned between the two by contract
   * (the driver's compare sorts columns by name before hashing).
+  *
+  * `benchRun` (rare): a production-path spelling the BENCH times when the
+  * oracle-checkable `run` carries verification apparatus the operator
+  * itself never pays — q26's exact `countDistinct` twin exists only to
+  * let DuckDB assert the sketch's accuracy, and billing it to the bench
+  * cell graded the oracle harness, not the sketch (VERDICT r11 item 4).
+  * Verify ALWAYS runs `run`; a `benchRun` must keep the same result
+  * cardinality so the bench's row-count gate still applies.
+  *
+  * `benchHeadline = false` (rare): the cell runs under Verify (full
+  * oracle contract) but is excluded from the bench's headline total —
+  * for pedagogical twins whose cost profile is the documented TAX of a
+  * technique, not a production plan (q67's whole-side ×S salt; q67b is
+  * the production spelling and keeps the headline cell — VERDICT r11
+  * item 5).
   */
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-)
+    benchRun: Option[(SparkSession, String) => DataFrame] = None,
+    benchHeadline: Boolean = true,
+) {
+  /** The spelling the bench (and scale probe) times. */
+  def benched: (SparkSession, String) => DataFrame = benchRun.getOrElse(run)
+}
 
 /** Cross-engine aggregation recipes shared by every query module. */
 object Agg {

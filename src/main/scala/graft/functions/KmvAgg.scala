@@ -37,10 +37,32 @@ case class KmvSketchAgg(
 
   override def children: Seq[Expression] = Seq(child)
   // analysis-time typing: an int column widens via implicit cast, a
-  // mistyped column fails with a typed analyzer message — never a
-  // runtime ClassCastException in an executor (ADVICE r10). Result
-  // type inferred: AbstractDataType is private[sql] by Scala access.
+  // non-castable column (array, struct) fails with a typed analyzer
+  // message — never a runtime ClassCastException in an executor
+  // (ADVICE r10). ImplicitCastInputTypes would ALSO silently accept a
+  // string column (string→long casts per ANSI store-assignment, turning
+  // unparseable values into nulls the sketch just skips), so
+  // checkInputDataTypes below rejects string-origin children explicitly:
+  // a hash column is integral by contract, and a string arriving here is
+  // a wiring mistake that must fail analysis, not estimate garbage
+  // (ADVICE r11). Result type inferred: AbstractDataType is private[sql]
+  // by Scala access.
   override def inputTypes = Seq(LongType)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // the implicit-cast rule has already wrapped the child by the time
+    // CheckAnalysis calls this, so unwrap casts to find the stored type
+    @annotation.tailrec
+    def origin(e: Expression): DataType = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => origin(c.child)
+      case other => other.dataType
+    }
+    if (origin(child).isInstanceOf[org.apache.spark.sql.types.StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kmv_kth expects an integral hash column, got a string input " +
+          s"(${child.sql}): hash it to a long first (e.g. md5_long)")
+    else super.checkInputDataTypes()
+  }
   override def nullable: Boolean = true
   override def dataType: DataType = LongType
   override def prettyName: String = "kmv_kth"

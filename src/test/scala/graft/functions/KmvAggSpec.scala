@@ -56,6 +56,14 @@ class KmvAggSpec extends SparkSpec {
         .agg(call_function("kmv_kth", col("h"), lit(3))).collect()
     }
     assert(e.getMessage.toLowerCase.contains("kmv_kth"), s"got: ${e.getMessage}")
+    // a STRING column also fails at analysis (ADVICE r11): the implicit
+    // string→long cast would silently turn unparseable values into nulls
+    // the sketch skips — garbage estimates instead of a wiring error
+    val es = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("42", "oops").toDF("h")
+        .agg(call_function("kmv_kth", col("h"), lit(3))).collect()
+    }
+    assert(es.getMessage.contains("integral hash column"), s"got: ${es.getMessage}")
   }
 
   test("kmv_kth registration rejects a non-literal or non-positive k") {
