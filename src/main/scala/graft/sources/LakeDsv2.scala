@@ -1,0 +1,295 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 `TableProvider` over the CDC lake's SNAPSHOT layout —
+  * the library's custom-source extension point (VERDICT r11 item 3,
+  * completing the Catalyst surface beside its Expressions, Generators
+  * and the TypedImperativeAggregate).
+  *
+  * The layout ([[LakeLayout.ensure]]) is the q52 model made physical:
+  * immutable data files sharded by key hash (`fid = k % 251`), each log
+  * batch copy-on-write rewriting exactly the files holding touched keys,
+  * and one MANIFEST per version naming, per fid, the newest rewrite
+  * `≤ v` — plus per-file stats (min/max key, rows, bytes). Reading
+  * "as of v" through the provider:
+  *
+  *  - **Manifest-pruned listing**: the scan lists ONLY the files the
+  *    version's manifest names — never a directory walk of the data
+  *    tree, which at 100 TB is the difference between an O(|manifest|)
+  *    metadata read and an object-store LIST storm. An expired or
+  *    orphaned file is invisible by construction.
+  *  - **Stats-based file skip**: pushed `k` bounds prune files whose
+  *    `[min_k, max_k]` cannot intersect (the Iceberg/Delta data-skipping
+  *    shape). Filters are reported via `pushedFilters` (visible in the
+  *    plan) but ALSO left in the residual set, so Spark re-evaluates
+  *    them row-level — pruning is a pure optimization, never a
+  *    correctness dependency.
+  *  - **Column pruning**: `pruneColumns` narrows what the reader
+  *    materializes; the scan's `description()` (visible in
+  *    `explain(formatted)`) names the surviving file count, pushed
+  *    bounds and read columns, which is what PlanSpec pins.
+  *  - **File-granular splits, bin-packed**: the file is the unit of
+  *    parallelism (like parquet row groups); files bin-pack into
+  *    InputPartitions by byte size toward [[LakeLayout.TargetSplitBytes]]
+  *    so a 100× lake yields proportionally more splits while a tiny one
+  *    doesn't schedule 251 near-empty tasks.
+  *
+  * q43 consumes this provider for its three as-of reads; the DuckDB
+  * oracle replays the same states from the raw tables, so the
+  * correctness gate covers the writer, the manifests, the pruning and
+  * the reader end to end. Reference layout semantics: Iceberg/Delta
+  * manifests as described in the public specs; no reference-repo
+  * counterpart (the 527-line Rust reference has no sources).
+  */
+object LakeLayout {
+  val Schema: StructType = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("o_orderstatus", StringType, nullable = true),
+    StructField("price", DoubleType, nullable = false)))
+
+  /** Bin-pack target per InputPartition. 4 MB of CSV ≈ a few hundred
+    * thousand rows — small enough for split parallelism at bench scale,
+    * large enough that a 100× lake plans ~hundreds of tasks, not tens
+    * of thousands.
+    */
+  val TargetSplitBytes: Long = 4L << 20
+
+  /** One manifest entry = one immutable data file group `(b, fid)` with
+    * its stats. `path` is relative to the layout root.
+    */
+  final case class Entry(
+      b: Int, fid: Long, path: String,
+      minK: Long, maxK: Long, rows: Long, bytes: Long)
+
+  /** Build (once per corpus dir, memoized on disk) the physical
+    * snapshot layout under the scratch volume; returns its root.
+    * Data files are written DISTRIBUTED (one Spark CSV write per
+    * version, partitioned by fid); only the manifests — file-count
+    * metadata, ≤ 3·SnapFidMod entries — pass through the driver, via
+    * the [[graft.BoundedCollect]] guard.
+    */
+  def ensure(s: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val fidMod = graft.queries.Advanced.SnapFidMod
+    val root = s"${graft.Scratch.dir}/graft-lake/${graft.Scratch.pathKey(dir)}"
+    graft.Scratch.buildOnce(root) {
+      val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
+      for (b <- 0 to 2) {
+        val state = graft.queries.Advanced.asOfState(s, dir, b).drop("v")
+          .withColumn("fid", pmod(col("k"), lit(fidMod)))
+        // CoW: batch b rewrites ONLY the files holding keys its log
+        // batch touched; base (b=0) materializes every occupied fid
+        val part =
+          if (b == 0) state
+          else state.join(
+            broadcast(graft.queries.Advanced.cdcLogs(s, dir)
+              .filter(col("b") === b)
+              .select(pmod(col("k"), lit(fidMod)).as("fid")).distinct()),
+            Seq("fid"), "left_semi")
+        // repartition by fid before partitionBy: one part file per
+        // (b, fid) dir instead of one per (input partition × fid)
+        part.select(col("k"), col("o_orderstatus"), col("price"), col("fid"))
+          .repartition(col("fid"))
+          .write.partitionBy("fid").option("header", "false")
+          .mode("overwrite").csv(s"$root/data/b=$b")
+        val st = part.groupBy(col("fid"))
+          .agg(min(col("k")).as("mn"), max(col("k")).as("mx"), count(lit(1)).as("n"))
+        graft.BoundedCollect.rows(st, fidMod + 1, s"lake manifest b=$b stats")
+          .foreach(r => stats += ((b, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+      }
+      // manifest v: per fid, the newest rewrite ≤ v; bytes from the
+      // written tree (driver-side walk of ≤ 3·fidMod dirs — metadata)
+      def dirBytes(b: Int, fid: Long): Long = {
+        val d = new java.io.File(s"$root/data/b=$b/fid=$fid")
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.startsWith("part-")).map(_.length()).sum
+      }
+      for (v <- 0 to 2) {
+        val lines = stats.filter(_._1 <= v)
+          .groupBy(_._2).map { case (_, es) => es.maxBy(_._1) }
+          .toSeq.sortBy(e => (e._2, e._1))
+          .map { case (b, fid, mn, mx, n) =>
+            s"$b,$fid,data/b=$b/fid=$fid,$mn,$mx,$n,${dirBytes(b, fid)}"
+          }
+        java.nio.file.Files.writeString(
+          java.nio.file.Path.of(s"$root/manifest-$v.csv"),
+          lines.mkString("", "\n", "\n"))
+      }
+    }
+  }
+
+  /** Read version v's manifest — the ONLY listing the scan performs. */
+  def manifest(root: String, v: Int): Seq[Entry] = {
+    val f = java.nio.file.Path.of(s"$root/manifest-$v.csv")
+    require(java.nio.file.Files.exists(f), s"graft-lake: no manifest for version $v at $root")
+    java.nio.file.Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty).map { l =>
+      val a = l.split(',')
+      Entry(a(0).toInt, a(1).toLong, a(2), a(3).toLong, a(4).toLong, a(5).toLong, a(6).toLong)
+    }
+  }
+}
+
+/** The provider itself — registered as `graft-lake` via
+  * DataSourceRegister (META-INF/services), consumed as
+  * `spark.read.format("graft-lake").option("path", root).option("asOf", v)`.
+  */
+class LakeTableProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-lake"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = LakeLayout.Schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val root = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-lake: `path` option is required"))
+    val asOf = Option(opts.get("asof")).map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("graft-lake: `asOf` option is required"))
+    new LakeTable(root, asOf)
+  }
+}
+
+class LakeTable(root: String, asOf: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_lake(asOf=$asOf)"
+  override def schema(): StructType = LakeLayout.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(root, asOf)
+}
+
+class LakeScanBuilder(root: String, asOf: Int) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = LakeLayout.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  private def isKBound(f: Filter): Boolean = f match {
+    case EqualTo("k", _: Long) => true
+    case GreaterThan("k", _: Long) => true
+    case GreaterThanOrEqual("k", _: Long) => true
+    case LessThan("k", _: Long) => true
+    case LessThanOrEqual("k", _: Long) => true
+    case _ => false
+  }
+
+  /** Accept `k` bounds for FILE pruning only: every filter is returned
+    * as a residual, so Spark keeps row-level evaluation and a stats bug
+    * can lose performance but never rows.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(isKBound)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new LakeScan(root, asOf, required, pushed)
+}
+
+class LakeScan(
+    root: String, asOf: Int, required: StructType, pushed: Array[Filter])
+  extends Scan with Batch {
+
+  private lazy val all: Seq[LakeLayout.Entry] = LakeLayout.manifest(root, asOf)
+
+  private def survives(e: LakeLayout.Entry): Boolean = pushed.forall {
+    case EqualTo("k", v: Long) => e.minK <= v && v <= e.maxK
+    case GreaterThan("k", v: Long) => e.maxK > v
+    case GreaterThanOrEqual("k", v: Long) => e.maxK >= v
+    case LessThan("k", v: Long) => e.minK < v
+    case LessThanOrEqual("k", v: Long) => e.minK <= v
+    case _ => true
+  }
+
+  /** The post-pruning file set — exposed so PlanSpec can pin exactly
+    * which files a version + predicate reads.
+    */
+  def plannedFiles: Seq[LakeLayout.Entry] = all.filter(survives)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftLakeScan asOf=$asOf files=${plannedFiles.size}/${all.size}" +
+      s" pushedK=[${pushed.mkString(", ")}]" +
+      s" cols=[${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // bin-pack by bytes: file-granular splits, proportional task count
+    val packs = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    var curBytes = 0L
+    plannedFiles.foreach { e =>
+      if (cur.nonEmpty && curBytes + e.bytes > LakeLayout.TargetSplitBytes) {
+        packs += cur.toArray; cur.clear(); curBytes = 0L
+      }
+      cur += s"$root/${e.path}"; curBytes += e.bytes
+    }
+    if (cur.nonEmpty) packs += cur.toArray
+    packs.map(ds => LakeInputPartition(ds): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(required.fieldNames)
+}
+
+final case class LakeInputPartition(dirs: Array[String]) extends InputPartition
+
+class LakeReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new LakeReader(p.asInstanceOf[LakeInputPartition].dirs, cols)
+}
+
+/** Streams the part files of a split's (b, fid) dirs line by line.
+  * CSV column order is fixed by the writer (k, o_orderstatus, price);
+  * `cols` projects to the pruned read schema. Doubles round-trip
+  * exactly: the writer emits Java's shortest-uniquely-parsing decimal
+  * form and `parseDouble` inverts it bit-for-bit.
+  */
+class LakeReader(dirs: Array[String], cols: Array[String])
+  extends PartitionReader[InternalRow] {
+
+  private val files: Iterator[java.io.File] = dirs.iterator.flatMap { d =>
+    Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-")).sortBy(_.getName)
+  }
+  private var reader: java.io.BufferedReader = null
+  private var line: String = null
+
+  override def next(): Boolean = {
+    while (true) {
+      if (reader != null) {
+        line = reader.readLine()
+        if (line != null) return true
+        reader.close(); reader = null
+      }
+      if (!files.hasNext) return false
+      reader = java.nio.file.Files.newBufferedReader(files.next().toPath)
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    val a = line.split(',')
+    val vals: Array[Any] = cols.map {
+      case "k" => a(0).toLong
+      case "o_orderstatus" => UTF8String.fromString(a(1))
+      case "price" => java.lang.Double.parseDouble(a(2))
+      case other => throw new IllegalStateException(s"graft-lake: unknown column $other")
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = if (reader != null) { reader.close(); reader = null }
+}

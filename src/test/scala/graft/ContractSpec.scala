@@ -46,4 +46,16 @@ class ContractSpec extends AnyFunSuite {
         s"$name oracle references unknown tables: ${unknown -- ctes}")
     }
   }
+
+  test("bench-twin flags stay confined to their adjudicated cells") {
+    // q67 is the one pedagogical twin excluded from the headline total
+    // (VERDICT r11 item 5); q26 is the one cell whose bench spelling
+    // drops oracle apparatus (item 4). A new benchRun/benchHeadline
+    // use must be adjudicated here — the flags weaken the bench gate if
+    // they spread silently.
+    val nonHeadline = SparkEntry.inventory.filterNot(_.benchHeadline).map(_.name)
+    assert(nonHeadline == Seq("q67_salted_join"), s"non-headline cells: $nonHeadline")
+    val twinned = SparkEntry.inventory.filter(_.benchRun.isDefined).map(_.name)
+    assert(twinned == Seq("q26_approx_distinct"), s"benchRun twins: $twinned")
+  }
 }

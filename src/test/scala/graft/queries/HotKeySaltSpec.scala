@@ -13,6 +13,12 @@ class HotKeySaltSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  private def salted(d: String) =
+    Advanced.hotKeySaltedJoined(spark, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.Agg.dsum(col("l_extendedprice")).as("sum_price"))
+
   private def plainJoin(d: String) = {
     val li = graft.Tables.t(spark, d, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"))
@@ -39,7 +45,7 @@ class HotKeySaltSpec extends SparkSpec {
         .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") > Advanced.HotKeyRows * Advanced.CensusRate).count()
       assert(hotCount >= 1, "fixture must produce at least one sampled-hot key")
-      val got = Advanced.hotKeySaltedJoin(spark, skewDir)
+      val got = salted(skewDir)
         .orderBy("o_orderstatus").collect().toSeq
       val exp = plainJoin(skewDir)
         .orderBy("o_orderstatus").collect().toSeq
@@ -54,7 +60,7 @@ class HotKeySaltSpec extends SparkSpec {
       .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > Advanced.HotKeyRows)
     assert(hot.isEmpty, "uniform data (<=7 rows/key) must produce no hot keys")
-    val got = Advanced.hotKeySaltedJoin(spark, dir)
+    val got = salted(dir)
       .orderBy("o_orderstatus").collect().toSeq
     val exp = plainJoin(dir).orderBy("o_orderstatus").collect().toSeq
     assert(got == exp)

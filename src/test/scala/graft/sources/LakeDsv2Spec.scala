@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** The DSv2 `graft-lake` provider's contracts (VERDICT r11 item 3):
+  * the custom BatchScan appears in the plan, the manifest-pruned file
+  * set is exactly the CoW model's (newest rewrite ≤ v per fid), k-bound
+  * pushdown skips files by stats without changing results, and the
+  * provider's rows equal the logical asOfState spelling row-for-row.
+  */
+class LakeDsv2Spec extends graft.SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def lakeRead(v: Int) = {
+    val root = LakeLayout.ensure(spark, dir)
+    spark.read.format("graft-lake")
+      .option("path", root).option("asOf", v.toString).load()
+  }
+
+  private def lakeScan(df: org.apache.spark.sql.DataFrame): LakeScan =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec if b.scan.isInstanceOf[LakeScan] =>
+        b.scan.asInstanceOf[LakeScan]
+    }.getOrElse(fail("no GraftLakeScan in plan:\n" +
+      df.queryExecution.executedPlan.toString))
+
+  test("provider rows equal asOfState for every version") {
+    graft.functions.GraftFunctions.register(spark)
+    for (v <- 0 to 2) {
+      val got = lakeRead(v).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      val want = graft.queries.Advanced.asOfState(spark, dir, v).drop("v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == want,
+        s"asOf=$v: ${got.size} vs ${want.size} rows; " +
+          s"only-lake=${(got -- want).take(3)}, only-logical=${(want -- got).take(3)}")
+    }
+  }
+
+  test("plan shows the custom BatchScan with manifest-pruned file listing") {
+    val df = lakeRead(2)
+    val scan = lakeScan(df)
+    assert(scan.description().contains("GraftLakeScan asOf=2"))
+    // the CoW contract: per fid exactly ONE file survives, the newest
+    // rewrite ≤ v — pinned against the manifest union
+    val root = LakeLayout.ensure(spark, dir)
+    val planned = scan.plannedFiles
+    assert(planned.map(_.fid).distinct.size == planned.size,
+      "a fid must appear once per as-of read")
+    val newest = (0 to 2).flatMap(b => LakeLayout.manifest(root, b))
+      .groupBy(_.fid).map { case (fid, es) => fid -> es.map(_.b).max }
+    planned.foreach(e => assert(e.b == newest(e.fid),
+      s"fid ${e.fid}: planned b=${e.b}, newest rewrite ≤2 is ${newest(e.fid)}"))
+    // v=0 reads only base files
+    assert(lakeScan(lakeRead(0)).plannedFiles.forall(_.b == 0))
+  }
+
+  test("k-bound pushdown prunes files by stats without changing rows") {
+    val root = LakeLayout.ensure(spark, dir)
+    val total = LakeLayout.manifest(root, 1).size
+    // a selective k bound: most files' [minK, maxK] sit above it
+    val cut = LakeLayout.manifest(root, 1).map(_.minK).min + 1
+    val filtered = lakeRead(1).filter(col("k") <= cut)
+    val scan = lakeScan(filtered)
+    assert(scan.plannedFiles.size < total,
+      s"pushdown pruned nothing: ${scan.plannedFiles.size}/$total " +
+        s"(desc: ${scan.description()})")
+    assert(scan.description().contains("pushedK=[LessThanOrEqual(k,"))
+    // pruning is an optimization, never a row filter: results match the
+    // residual-only spelling exactly
+    val want = lakeRead(1).collect().map(_.getLong(0)).filter(_ <= cut).sorted.toSeq
+    val got = filtered.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("column pruning reaches the reader") {
+    val df = lakeRead(1).select(col("o_orderstatus"))
+    val scan = lakeScan(df)
+    assert(scan.readSchema().fieldNames.toSeq == Seq("o_orderstatus"),
+      s"read schema: ${scan.readSchema()}")
+    assert(scan.description().contains("cols=[o_orderstatus]"))
+    assert(df.distinct().count() >= 1)
+  }
+}
