@@ -3,13 +3,26 @@ package graft.bench
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev-only probe (VERDICT r10 item 6): the q67 join measured
-  * uniform/skew × {plain, AQE skew-join, full salt (q67), hot-key salt
-  * (q67b)} — the comparison a 100-TB operator owner actually needs,
-  * documenting when the manual salt beats Spark's built-in skew-join
-  * split and what the census-gated variant saves on uniform data.
+/** Dev-only probe (VERDICT r10 item 6, extended r12 per VERDICT r11
+  * item 1): the orders⋈lineitem join measured across
   *
-  * All four variants run in child sessions with
+  *   fixtures  {uniform, skew (20% head), harsh (60% head × 4× rows)}
+  * × variants  {plain, AQE skew-join, full salt (q67), hot-key salt (q67b)}
+  * × shapes    {status_agg, key_agg}
+  *
+  * — the comparison a 100-TB operator owner actually needs. The two
+  * downstream SHAPES are the decision matrix's real axis: with the
+  * aggregate on a FOREIGN column (status_agg) AQE is free to split the
+  * skewed partition, so the built-in skew-join competes with the manual
+  * salt; with the aggregate on the JOIN KEY (key_agg) the join's output
+  * partitioning feeds the aggregation directly, splitting it would
+  * break that contract, and AQE's OptimizeSkewedJoin declines (it
+  * refuses to introduce an extra shuffle by default) — the regime where
+  * the salt is the only lever. The round-11 matrix showed the 20% head
+  * below the pain threshold at local[32]; the harsh fixture exists so
+  * the "when does the salt WIN" row is measured, not extrapolated.
+  *
+  * All variants run in child sessions with
   * `autoBroadcastJoinThreshold = -1`: at the bench SF the orders side
   * fits a broadcast, which would erase the shuffle the whole comparison
   * is about (at 100 TB neither side of an orders⋈lineitem join
@@ -19,21 +32,39 @@ import org.apache.spark.sql.functions._
   * q60Session. The salted variants keep their explicit broadcast()
   * hints (census + salt table): those ARE the operators.
   *
-  * Output: one JSON line per (fixture, variant), min of `iters`
+  * Output: one JSON line per (fixture, shape, variant), min of `iters`
   * adjacent runs, plus a markdown table on stderr for BENCH_NOTES.
   */
 object SkewMatrix {
 
-  private def plainJoin(s: SparkSession, dir: String): DataFrame = {
+  private def plainJoined(s: SparkSession, dir: String): DataFrame = {
     val li = graft.Tables.t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"))
     val ord = graft.Tables.t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderstatus"))
+      .select(col("l_orderkey"), col("o_orderstatus"), col("l_extendedprice"))
+  }
+
+  /** status_agg: group on a column the join does NOT partition by —
+    * downstream needs its own exchange either way, so AQE may re-split
+    * the join freely.
+    */
+  private def aggStatus(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         graft.Agg.dsum(col("l_extendedprice")).as("sum_price"))
-  }
+
+  /** key_agg: group on the JOIN KEY — the shuffle-reuse shape (per-key
+    * rollups after enrichment joins are the most common pipeline step
+    * there is). The plain plan satisfies the aggregation with the
+    * join's own partitioning (no second exchange); AQE won't split the
+    * skewed partition because that would break the reused partitioning.
+    */
+  private def aggKey(df: DataFrame): DataFrame =
+    df.groupBy(col("l_orderkey"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.Agg.dsum(col("l_extendedprice")).as("sum_price"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,20 +92,32 @@ object SkewMatrix {
     aqe.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512k")
     aqe.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
 
-    val variants: Seq[(String, String => DataFrame)] = Seq(
-      "plain" -> (d => plainJoin(noBcast, d)),
-      "aqe_skewjoin" -> (d => plainJoin(aqe, d)),
-      "salted_full" -> (d => graft.SparkEntry.queries("q67_salted_join")(noBcast, d)),
-      "salted_hotkey" -> (d => graft.SparkEntry.queries("q67b_hotkey_salted_join")(noBcast, d)),
+    val joins: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "plain" -> ((s, d) => plainJoined(s, d)),
+      "aqe_skewjoin" -> ((_, d) => plainJoined(aqe, d)),
+      "salted_full" -> ((s, d) => graft.queries.Advanced.fullSaltedJoined(s, d)),
+      "salted_hotkey" -> ((s, d) => graft.queries.Advanced.hotKeySaltedJoined(s, d)),
     )
+    val shapes: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "status_agg" -> aggStatus,
+      "key_agg" -> aggKey,
+    )
+    def cell(vn: String, shape: DataFrame => DataFrame, d: String): DataFrame = {
+      val session = if (vn == "aqe_skewjoin") aqe else noBcast
+      shape(joins.find(_._1 == vn).get._2(session, d))
+    }
 
     val skewDir = SkewBench.prepare(spark, sfDir)
-    val fixtures = Seq("uniform" -> sfDir, "skew" -> skewDir)
+    val harshDir = SkewBench.prepareHarsh(spark, sfDir)
+    val fixtures = Seq("uniform" -> sfDir, "skew" -> skewDir, "harsh" -> harshDir)
 
-    // JIT warm pass per variant at the smallest SF
-    variants.foreach { case (_, f) =>
-      try f("/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[skewmatrix] warm: ${e.getMessage}") }
+    // JIT warm pass per (variant, shape) at the smallest SF
+    joins.foreach { case (vn, _) =>
+      shapes.foreach { case (_, sh) =>
+        try cell(vn, sh, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[skewmatrix] warm: ${e.getMessage}") }
+      }
     }
 
     def num(v: Double): String =
@@ -92,27 +135,32 @@ object SkewMatrix {
       Seq.fill(3)(once()).min
     }
     println(s"""{"noise_cal_ms":${num(noiseCal())}}""")
-    val results = scala.collection.mutable.LinkedHashMap.empty[(String, String), Double]
+    val results = scala.collection.mutable.LinkedHashMap.empty[(String, String, String), Double]
     fixtures.foreach { case (fn, dir) =>
-      variants.foreach { case (vn, f) =>
-        def once(): Double = {
-          System.gc()
-          val t0 = System.nanoTime()
-          try { f(dir).write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 }
-          catch { case e: Throwable =>
-            System.err.println(s"[skewmatrix] $fn/$vn failed: ${e.getMessage}"); -1.0 }
+      shapes.foreach { case (shn, sh) =>
+        joins.foreach { case (vn, _) =>
+          def once(): Double = {
+            System.gc()
+            val t0 = System.nanoTime()
+            try { cell(vn, sh, dir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9 }
+            catch { case e: Throwable =>
+              System.err.println(s"[skewmatrix] $fn/$shn/$vn failed: ${e.getMessage}"); -1.0 }
+          }
+          val ts = Seq.fill(iters)(once()).filter(_ >= 0)
+          results((fn, shn, vn)) = if (ts.isEmpty) -1.0 else ts.min
+          println(s"""{"fixture":"$fn","shape":"$shn","variant":"$vn","sec":${num(results((fn, shn, vn)))}}""")
         }
-        val ts = Seq.fill(iters)(once()).filter(_ >= 0)
-        results((fn, vn)) = if (ts.isEmpty) -1.0 else ts.min
-        println(s"""{"fixture":"$fn","variant":"$vn","sec":${num(results((fn, vn)))}}""")
       }
     }
     // markdown table for BENCH_NOTES
-    System.err.println("| fixture | " + variants.map(_._1).mkString(" | ") + " |")
-    System.err.println("|---|" + variants.map(_ => "---|").mkString)
+    System.err.println("| fixture/shape | " + joins.map(_._1).mkString(" | ") + " |")
+    System.err.println("|---|" + joins.map(_ => "---|").mkString)
     fixtures.foreach { case (fn, _) =>
-      System.err.println(s"| $fn | " +
-        variants.map { case (vn, _) => num(results((fn, vn))) + " s" }.mkString(" | ") + " |")
+      shapes.foreach { case (shn, _) =>
+        System.err.println(s"| $fn/$shn | " +
+          joins.map { case (vn, _) => num(results((fn, shn, vn))) + " s" }.mkString(" | ") + " |")
+      }
     }
     spark.stop()
   }
