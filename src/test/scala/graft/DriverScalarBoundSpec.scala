@@ -44,6 +44,7 @@ class DriverScalarBoundSpec extends SparkSpec {
       "Probe.scala", "KernelProbe.scala", "CCProbe.scala", "QProbe.scala", // debug mains
       "ProbeQuery.scala", // dev-loop single-query timer (collects to time the action)
       "ScaleProbe.scala", // dev scale harness (1-row max-key scalar per table build)
+      "SkewPlanCheck.scala", // dev plan probe: collect() finalizes the AQE plan
     )
     // Dataset driver-pull spellings. `.take(`/`.head(n)` are EXCLUDED
     // deliberately: they collide textually with Scala-collection calls
