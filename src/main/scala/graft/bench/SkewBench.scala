@@ -112,11 +112,17 @@ object SkewBench {
     * Here 60% of a ×4-replicated lineitem collapses onto ONE hot order
     * key: the plain sort-merge join's hot reducer sorts ~60% of ~2.4M
     * rows (sf0.1) while a uniform reducer carries ~3% — the ≥3× regime
-    * the decision matrix needs. Replicas shift `l_linenumber` so
-    * `(l_orderkey, l_linenumber)` stays DISTINCT — q67's
-    * hash(key, linenumber) salt must split the head 8 uniform ways,
-    * not collide on replicated pairs. Only the two joined tables are
-    * written: this dir serves SkewMatrix's join variants, nothing else.
+    * the decision matrix needs. `l_linenumber` is remapped to a value
+    * UNIQUE PER SOURCE ROW (the original orderkey folded in below the
+    * replica shift), so `(l_orderkey, l_linenumber)` stays distinct
+    * even after 60% of keys collapse onto the hot one — q67's
+    * hash(key, linenumber) salt then splits the head 8 near-uniform
+    * ways. The prior spelling kept only the 28 replica-shifted
+    * linenumbers on the hot key, so the salt had 28 lumpy inputs, not
+    * a per-row hash (ADVICE r12). The fold overflows Int only past
+    * orderkey ≈ 7.6e7 (~sf10); the fixture runs at ≤ sf0.1. Only the
+    * two joined tables are written: this dir serves SkewMatrix's join
+    * variants, nothing else.
     */
   def prepareHarsh(spark: SparkSession, sfDir: String): String = {
     val out = s"${graft.Scratch.dir}/skewdata-harsh/${new java.io.File(sfDir).getName}"
@@ -130,7 +136,7 @@ object SkewBench {
     li
       .withColumn("rep", explode(sequence(lit(0), lit(3))))
       .withColumn("l_linenumber",
-        (col("l_linenumber") + col("rep") * lit(7))
+        (col("l_orderkey") * lit(28) + col("l_linenumber") + col("rep") * lit(7))
           .cast(li.schema("l_linenumber").dataType))
       .drop("rep")
       .withColumn("l_orderkey",
