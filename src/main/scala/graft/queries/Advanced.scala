@@ -1028,6 +1028,54 @@ object Advanced {
         FROM states GROUP BY 1, 2"""),
     ),
 
+    // ---- q69: MANIFEST-STATS AGGREGATES over the lake — the table
+    //      format answering COUNT(*)/MIN(k)/MAX(k) from its own
+    //      metadata, zero data-file opens (VERDICT r12 item 3; the q57
+    //      parquet-footer trick lifted to the custom DSv2 source via
+    //      SupportsPushDownAggregates). Each version's scan collapses
+    //      to a single manifest-derived row — at 100 TB the difference
+    //      between a metadata read and a full lake scan for the
+    //      row-count/key-range probes every pipeline health check
+    //      runs. The oracle replays all three as-of states from the
+    //      raw tables and aggregates them for real, so a stats-path
+    //      bug (stale manifest, wrong tombstone handling, off-by-one
+    //      min/max) splits the hash. LakeDsv2Spec additionally pins
+    //      FilesOpened == 0 on this exact plan shape. ----
+    Q(
+      "q69_lake_stats_agg",
+      (s, dir) => {
+        val root = graft.sources.LakeLayout.ensure(s, dir)
+        (0 to 2).map { v =>
+          s.read.format("graft-lake")
+            .option("path", root).option("asOf", v.toString).load()
+            .agg(count(lit(1)).as("n"),
+              min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+            .select(lit(v).as("v"), col("n"), col("min_k"), col("max_k"))
+        }.reduce(_ unionByName _)
+      },
+      Some(s"""
+        WITH $cdcLogCtesSql,
+        vs AS (SELECT * FROM (VALUES (1), (2)) AS t(v)),
+        resolved AS (
+          SELECT vs.v, l.k,
+                 max_by(l.act, l.b) AS act,
+                 max_by(l.o_orderstatus, l.b) AS o_orderstatus,
+                 max_by(l.price, l.b) AS price
+          FROM logs l JOIN vs ON l.b <= vs.v
+          GROUP BY 1, 2),
+        states AS (
+          SELECT 0 AS v, k FROM base
+          UNION ALL
+          SELECT vs.v, b.k
+          FROM base b CROSS JOIN vs
+          WHERE NOT EXISTS (
+            SELECT 1 FROM resolved r WHERE r.v = vs.v AND r.k = b.k)
+          UNION ALL
+          SELECT v, k FROM resolved WHERE act = 'U')
+        SELECT v, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+        FROM states GROUP BY 1"""),
+    ),
+
     // ---- q41: CDC MERGE (copy-on-write) — the refresh every
     //      lake-resident dataset runs when a changes feed arrives:
     //      updates REPLACE their lake twins on the key, tombstones

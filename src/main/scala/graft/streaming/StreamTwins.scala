@@ -231,14 +231,20 @@ object StreamTwins {
     //      must therefore equal q43's "as of latest" read — the oracle
     //      is q43's replay restricted to v = 2. Scale shape: one
     //      shuffle of the day-scale log on key; state is one row per
-    //      touched key; the lake never shuffles. ----
+    //      touched key; the lake never shuffles. Round 13: the log is
+    //      consumed through the `graft-lake` provider's LOG VIEW — the
+    //      same physical source the streaming twin reads as a
+    //      MicroBatchStream (VERDICT r12 item 6), so batch and stream
+    //      cannot drift on what "the log" is. ----
     Q(
       "q44_cdc_stream",
       (s, dir) => {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
+        val root = graft.sources.LakeLayout.ensure(s, dir)
         val resolved = LakeStream.cdcCompact(
-          graft.queries.Advanced.cdcLogs(s, dir)
+          s.read.format("graft-lake").option("path", root)
+            .option("view", "log").option("asOf", "2").load()
             .select(col("b"), col("k"), col("o_orderstatus"), col("price"), col("act"))
             .as[LakeStream.Chg]).toDF()
         graft.queries.Advanced

@@ -3,11 +3,16 @@ package graft.sources
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
 
-/** The DSv2 `graft-lake` provider's contracts (VERDICT r11 item 3):
+/** The DSv2 `graft-lake` provider's contracts (VERDICT r11 item 3;
+  * round 13 rebuilt the layout on parquet with a DSv2 write path,
+  * columnar reads, manifest-stats aggregate pushdown and a log view):
   * the custom BatchScan appears in the plan, the manifest-pruned file
   * set is exactly the CoW model's (newest rewrite ≤ v per fid), k-bound
-  * pushdown skips files by stats without changing results, and the
-  * provider's rows equal the logical asOfState spelling row-for-row.
+  * pushdown skips files by stats without changing results, runtime
+  * pruning is bucket-exact (and floorMod-correct on negative keys),
+  * emptied buckets tombstone instead of resurrecting, aggregates are
+  * answered from the manifest with zero file opens, and the provider's
+  * rows equal the logical asOfState spelling row-for-row.
   */
 class LakeDsv2Spec extends graft.SparkSpec {
   private val dir = "/root/testdata/sf0.001"
@@ -56,6 +61,24 @@ class LakeDsv2Spec extends graft.SparkSpec {
     assert(lakeScan(lakeRead(0)).plannedFiles.forall(_.b == 0))
   }
 
+  test("data files are parquet and the scan serves columnar batches") {
+    val root = LakeLayout.ensure(spark, dir)
+    val planned = lakeScan(lakeRead(1)).plannedFiles
+    assert(planned.nonEmpty && planned.forall(_.path.endsWith(".parquet")),
+      s"manifest must name parquet files: ${planned.take(3).map(_.path)}")
+    // magic bytes: the shards really are parquet, not renamed text
+    val head = java.nio.file.Files.readAllBytes(
+      java.nio.file.Path.of(s"$root/${planned.head.path}")).take(4)
+    assert(new String(head, "US-ASCII") == "PAR1")
+    // the reader factory commits to columnar reads and the physical
+    // plan crosses a ColumnarToRow boundary — the scan feeds
+    // whole-stage codegen as vectorized batches, not row-at-a-time
+    val factory = lakeScan(lakeRead(1)).createReaderFactory()
+    assert(factory.supportColumnarReads(LakeInputPartition(Array.empty)))
+    val plan = lakeRead(1).queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"no columnar boundary in:\n$plan")
+  }
+
   test("k-bound pushdown prunes files by stats without changing rows") {
     val root = LakeLayout.ensure(spark, dir)
     val total = LakeLayout.manifest(root, 1).size
@@ -88,6 +111,18 @@ class LakeDsv2Spec extends graft.SparkSpec {
     assert(kept.size == 1 && kept.head.fid == e.fid,
       s"kept ${kept.map(f => (f.b, f.fid))} for value ${e.minK} (fid ${e.fid})")
     assert(s.description().contains("runtimeK=[In(k,"))
+  }
+
+  test("a non-Long runtime IN value keeps the file (safe fallthrough)") {
+    val root = LakeLayout.ensure(spark, dir)
+    val s = new LakeScanBuilder(root, 1).build().asInstanceOf[LakeScan]
+    val total = s.plannedFiles.size
+    // runtime pruning is correctness-bearing, so an untyped value must
+    // fail OPEN: keep every file and let the join re-check rows
+    s.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array[Any]("not-a-long"))))
+    assert(s.plannedFiles.size == total,
+      s"non-Long IN value must not prune: ${s.plannedFiles.size}/$total")
   }
 
   test("runtime filtering (DPP) prunes lake files through a broadcast join") {
@@ -131,5 +166,105 @@ class LakeDsv2Spec extends graft.SparkSpec {
       s"read schema: ${scan.readSchema()}")
     assert(scan.description().contains("cols=[o_orderstatus]"))
     assert(df.distinct().count() >= 1)
+  }
+
+  test("aggregate pushdown answers count/min/max from the manifest, zero file opens") {
+    val base = lakeRead(1)
+    val want = base.agg(count(lit(1)), min(col("k")), max(col("k"))).collect()(0)
+    LakeReader.FilesOpened.set(0)
+    val df = lakeRead(1).agg(count(lit(1)).as("n"),
+      min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    val got = df.collect()(0)
+    assert(LakeReader.FilesOpened.get() == 0L,
+      s"stats pushdown must open no data files; plan:\n" +
+        df.queryExecution.executedPlan.toString.take(1500))
+    assert(df.queryExecution.executedPlan.toString.contains("GraftLakeStatsScan"))
+    assert(got.getLong(0) == want.getLong(0) &&
+      got.getLong(1) == want.getLong(1) && got.getLong(2) == want.getLong(2),
+      s"stats row $got != recomputed $want")
+    // a filtered aggregate must NOT take the stats path (residuals
+    // cannot re-filter rows the stats never materialize)
+    val filtered = lakeRead(1).filter(col("k") > 100L).agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("GraftLakeStatsScan"))
+  }
+
+  test("CoW tombstone: a batch that empties a bucket shades it out of later manifests") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-lake-tomb").toString
+    // fid(1) = fid(252) = 1; fid(2) = 2 (mod 251)
+    Seq((1L, "A", 1.0), (252L, "B", 2.0), (2L, "C", 3.0))
+      .toDF("k", "o_orderstatus", "price")
+      .write.format("graft-lake").option("path", root).option("batch", "0")
+      .mode("append").save()
+    // batch 1 TOUCHES fid 1 and deletes every key in it: zero survivors.
+    // The manifest entry set must derive from the touched set, not from
+    // surviving rows — otherwise manifest-1 falls back to the stale
+    // b=0 file and keys 1/252 resurrect (ADVICE r12).
+    spark.emptyDataset[(Long, String, Double)]
+      .toDF("k", "o_orderstatus", "price")
+      .write.format("graft-lake").option("path", root).option("batch", "1")
+      .option("touchedFids", "1").mode("append").save()
+    LakeLayout.commitManifests(root, 1)
+    assert(LakeLayout.manifest(root, 0).map(_.fid).toSet == Set(1L, 2L))
+    assert(LakeLayout.manifest(root, 1).map(_.fid).toSet == Set(2L),
+      s"emptied fid 1 must be omitted from manifest-1: ${LakeLayout.manifest(root, 1)}")
+    def keysAt(v: Int) = spark.read.format("graft-lake")
+      .option("path", root).option("asOf", v.toString).load()
+      .collect().map(_.getLong(0)).toSet
+    assert(keysAt(0) == Set(1L, 252L, 2L))
+    assert(keysAt(1) == Set(2L), "deleted keys must not resurrect in as-of reads")
+  }
+
+  test("negative keys bucket identically in the writer and runtime pruning") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-lake-neg").toString
+    // floorMod(-5, 251) = 246; Scala's -5 % 251 = -5 — the mismatch
+    // ADVICE r12 flagged would prune this row's file and LOSE it
+    Seq((-5L, "N", 1.0), (7L, "P", 2.0)).toDF("k", "o_orderstatus", "price")
+      .write.format("graft-lake").option("path", root).option("batch", "0")
+      .mode("append").save()
+    LakeLayout.commitManifests(root, 0)
+    assert(LakeLayout.manifest(root, 0).map(_.fid).toSet == Set(246L, 7L))
+    val s = new LakeScanBuilder(root, 0).build().asInstanceOf[LakeScan]
+    s.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array(-5L))))
+    assert(s.plannedFiles.map(_.fid) == Seq(246L),
+      s"runtime IN(-5) must keep exactly fid 246: ${s.plannedFiles.map(_.fid)}")
+  }
+
+  test("empty projection falls back to footer-counted rows, no column reads") {
+    val root = LakeLayout.ensure(spark, dir)
+    val e = LakeLayout.manifest(root, 0).head
+    val factory = new LakeReaderFactory(Array.empty)
+    val p = LakeInputPartition(Array(s"$root/${e.path}"))
+    assert(!factory.supportColumnarReads(p))
+    val r = factory.createReader(p)
+    var n = 0L
+    while (r.next()) { assert(r.get().numFields == 0); n += 1 }
+    r.close()
+    assert(n == e.rows, s"footer count $n != manifest rows ${e.rows}")
+  }
+
+  test("log view: batch read equals the CDC log; stream arrives through batch offsets") {
+    val root = LakeLayout.ensure(spark, dir)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("b").cast("int"), col("k"), col("o_orderstatus"),
+        col("price"), col("act"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+          r.getDouble(3), r.getString(4))).toSet
+    val want = canon(graft.queries.Advanced.cdcLogs(spark, dir))
+    val batch = spark.read.format("graft-lake")
+      .option("path", root).option("view", "log").option("asOf", "2").load()
+    assert(canon(batch) == want, "provider log view must equal the logical CDC log")
+    // streaming: the same provider serves the log as a MicroBatchStream
+    val q = spark.readStream.format("graft-lake")
+      .option("path", root).option("view", "log").load()
+      .writeStream.format("memory").queryName("lake_log_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(canon(spark.table("lake_log_stream")) == want,
+        "provider MicroBatchStream must deliver the full log")
+    } finally q.stop()
   }
 }
