@@ -9,6 +9,9 @@ that got meaningfully slower than its previous round.
 Usage:
   bench_regress.py record <round> [bench_json]   # default results/bench_local.json
   bench_regress.py check  [round]                # default: latest recorded round
+  bench_regress.py probe  [round] [sfDir]        # auto-adjudicate check's flags:
+                                                 # QProbe warm floors per flagged
+                                                 # query cell -> BENCH_NOTES.md
 
 `record` parses the bench metrics line (queries + skew_queries seconds,
 sort_sweep_us microseconds) and MIN-MERGES into that round's rows in
@@ -124,10 +127,9 @@ def record(rnd, path, replace=False):
     print(f"[bench_regress] recorded round {rnd}: {len(cells)} cells{kept} -> {HIST}")
 
 
-def check(rnd):
-    rows = load_hist()
-    if not rows:
-        sys.exit(f"no history at {HIST}; run `record` first")
+def flags_for(rnd, rows):
+    """The check gate's core, reusable: (resolved_round, flagged, missing,
+    compared). flagged rows are (cell, prev_round, prev_value, value, unit)."""
     rounds = sorted({r["round"] for r in rows})
     if rnd is None:
         rnd = rounds[-1]
@@ -142,8 +144,6 @@ def check(rnd):
     if prev_rounds:
         prev_cells = {r["cell"] for r in rows if r["round"] == prev_rounds[-1]}
         missing = sorted(prev_cells - set(cur))
-        for cell in missing:
-            print(f"MISSING    {cell}: present in round {prev_rounds[-1]}, absent in round {rnd}")
     flagged = []
     compared = 0
     for cell, r in sorted(cur.items()):
@@ -155,21 +155,118 @@ def check(rnd):
         worse = r["value"] - p["value"]
         if r["value"] > RATIO * p["value"] and worse > FLOOR[r["unit"]]:
             flagged.append((cell, p["round"], p["value"], r["value"], r["unit"]))
-            print("REGRESSION %-40s r%d %.3f -> r%d %.3f %s (%.1fx)"
-                  % (cell, p["round"], p["value"], rnd, r["value"], r["unit"],
-                     r["value"] / p["value"]))
+    return rnd, flagged, missing, compared
+
+
+def check(rnd):
+    rows = load_hist()
+    if not rows:
+        sys.exit(f"no history at {HIST}; run `record` first")
+    rnd, flagged, missing, compared = flags_for(rnd, rows)
+    prev_round = max((r["round"] for r in rows if r["round"] < rnd), default=None)
+    for cell in missing:
+        print(f"MISSING    {cell}: present in round {prev_round}, absent in round {rnd}")
+    for cell, pr, pv, v, unit in flagged:
+        print("REGRESSION %-40s r%d %.3f -> r%d %.3f %s (%.1fx)"
+              % (cell, pr, pv, rnd, v, unit, v / pv))
     print(f"== round {rnd}: {compared} cells compared, {len(flagged)} regressed, "
           f"{len(missing)} missing (gate: >{RATIO}x and >+{FLOOR['sec']}s/{FLOOR['us']:.0f}us) ==")
     sys.exit(1 if (flagged or missing) else 0)
 
 
+# Probe verdict thresholds: a warm floor within NOISE_BAND of the cell's
+# historical best is the documented host-window signature; above
+# RATIO x best it reproduces outside any observed window swing.
+NOISE_BAND = 1.35
+PROBE_SF = "/root/testdata/sf0.1"
+NOTES = os.path.join(ROOT, "results", "BENCH_NOTES.md")
+
+
+def _probe_cell(cell, sf):
+    """Run graft.bench.QProbe for one cell; return (floor_sec, iters) or
+    (None, err_line). Floor = min of warm iters 2..3 (iter 1 pays JIT)."""
+    import re, subprocess
+    pkgs = ("java.lang java.lang.invoke java.lang.reflect java.io java.net "
+            "java.nio java.util java.util.concurrent java.util.concurrent.atomic "
+            "sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar").split()
+    addopens = [a for p in pkgs for a in ("--add-opens", f"java.base/{p}=ALL-UNNAMED")]
+    cmd = (["java"] + addopens +
+           ["-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC", "-Xmx8g",
+            "-cp", f"{ROOT}/target/scala-2.13/classes:/opt/spark/jars/*",
+            "graft.bench.QProbe", cell, sf])
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
+    except subprocess.TimeoutExpired:
+        return None, "probe timed out (1200s)"
+    iters = [float(m.group(1)) for m in
+             re.finditer(r"iter \d+: ([0-9.]+) s", out.stdout)]
+    if len(iters) < 2:
+        tail = (out.stdout + out.stderr).strip().splitlines()
+        return None, (tail[-1][:160] if tail else f"no iters (exit {out.returncode})")
+    return min(iters[1:]), iters
+
+
+def probe(rnd, sf=PROBE_SF):
+    """Auto-adjudicate this round's check flags (VERDICT r12 item 5):
+    for each flagged query cell, run QProbe warm iterations and compare
+    the floor against the cell's historical best. Appends a verdict
+    table to results/BENCH_NOTES.md; exits 1 only if a flag REPRODUCES
+    above the gate ratio in the probe (a real regression candidate)."""
+    rows = load_hist()
+    if not rows:
+        sys.exit(f"no history at {HIST}; run `record` first")
+    rnd, flagged, missing, _ = flags_for(rnd, rows)
+    sec_flags = [f for f in flagged if f[4] == "sec"]
+    skipped = [f for f in flagged if f[4] != "sec"]
+    if not flagged and not missing:
+        print(f"[bench_regress] round {rnd}: no flags to probe")
+        return
+    lines = [f"\n### r{rnd} bench-flag auto-adjudication (`bench_regress probe`, sf={sf})\n",
+             "| cell | window (prev -> cur) | probe floor | hist best | verdict |",
+             "|---|---|---|---|---|"]
+    real = []
+    for cell, pr, pv, v, unit in sec_flags:
+        best = min(p["value"] for p in rows if p["cell"] == cell)
+        floor, detail = _probe_cell(cell, sf)
+        if floor is None:
+            verdict = f"probe-error: {detail}"
+        elif floor <= NOISE_BAND * best:
+            verdict = "window noise (floor reproduces hist best)"
+        elif floor <= RATIO * best:
+            verdict = "window band (floor within gate ratio of best)"
+        else:
+            verdict = f"REAL candidate ({floor / best:.1f}x hist best)"
+            real.append(cell)
+        print(f"{cell}: window r{pr} {pv:.2f}->{v:.2f}s, "
+              f"floor {'%.2f' % floor if floor is not None else '-'}s, "
+              f"best {best:.2f}s -> {verdict}")
+        lines.append(f"| {cell} | r{pr} {pv:.2f}s -> r{rnd} {v:.2f}s | "
+                     f"{'%.2f' % floor + 's' if floor is not None else '-'} | "
+                     f"{best:.2f}s | {verdict} |")
+    for cell, pr, pv, v, unit in skipped:
+        lines.append(f"| {cell} | r{pr} {pv:.0f}{unit} -> r{rnd} {v:.0f}{unit} | - | - | "
+                     "not a query cell (probe via SortSweep windows) |")
+    for cell in missing:
+        lines.append(f"| {cell} | MISSING this round | - | - | investigate rename/drop |")
+    with open(NOTES, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"[bench_regress] adjudication appended to {NOTES}; "
+          f"{len(real)} real candidate(s), {len(missing)} missing")
+    sys.exit(1 if (real or missing) else 0)
+
+
 if __name__ == "__main__":
-    if len(sys.argv) < 2 or sys.argv[1] not in ("record", "check"):
+    if len(sys.argv) < 2 or sys.argv[1] not in ("record", "check", "probe"):
         sys.exit(__doc__)
     if sys.argv[1] == "record":
         args = [a for a in sys.argv[2:] if a != "--replace"]
         rnd = int(args[0])
         path = args[1] if len(args) > 1 else os.path.join(ROOT, "results", "bench_local.json")
         record(rnd, path, replace="--replace" in sys.argv)
-    else:
+    elif sys.argv[1] == "check":
         check(int(sys.argv[2]) if len(sys.argv) > 2 else None)
+    else:
+        args = sys.argv[2:]
+        rnd = int(args[0]) if args else None
+        sf = args[1] if len(args) > 1 else PROBE_SF
+        probe(rnd, sf)
