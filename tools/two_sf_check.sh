@@ -76,7 +76,11 @@ cd "$(dirname "$0")/.."
 # directly - the gate proves the empty-census degeneration stays
 # oracle-equal at every SF; the non-empty branch is spec-pinned on the
 # zipf fixture).
-QUERIES="q67b_hotkey_salted_join,q67_salted_join,q68_kmv_agg,e27_stream_kmv,q66_kmv_setops,t16_langid_confusion,s18_range_search,p11_data_card,q63_hilbert,q64_cms_topk,q65_kmv_ndv,t15_phrase_search,e22_session_window,e23_dropdup_watermark,e24_transform_state,e25_full_attribution,e26_stream_trending,t14_rule_attrition,q53_table_stats,q57_agg_pushdown,qc7_epoch_us,s15_hybrid_rrf,s17_knn_binary,d16_edit_neardup,p10_epoch_plan,e21_outer_attribution,q62_sketch_percentiles,q61_scd2_history,e20_stream_scd2,s16_nprobe_recall,d15_cluster_census,d2_ngram_jaccard,d4b_simhash_pairs,d6_dup_clusters,s2_knn_lsh,s3_cosine_neardup,s4_knn_ivf,s5_knn_sq8,s6_knn_pq,s7_knn_ivfpq,s10_ann_delta,s11_ann_drift,s12_ann_retrain,q39_compaction,q46_selective_compact,q40_jsonl_ingest,q41_cdc_upsert,q42_schema_evolution,q43_time_travel,q44_cdc_stream,q47_log_checkpoint,q48_position_delete,q31_sample,d12_containment,p2_delta_curation,d8_span_dedup,d9_decontam,d11_bloom_decontam,t9_domain_mix,s8_ann_layout,e12_stream_anomaly,t11_novelty,p5_domain_quota,t12_tfidf,e13_stream_dedup,q37_zorder,q45_cluster_prune,q38_incremental_agg,d10_semantic_clusters,m4_resize,m5_payload_phash,m6_media_neardup,m7_resize_neardup,m8_phash_neardup,d13_canonical_pick,p6_leakage_split,q49_bloom_skip,m9_clip_containment,e14_watermark_audit,e15_admission_audit,e16_gap_fill,e17_interp,q50_change_feed,s13_ann_compact,p7_temperature_mix,m10_temporal_dedup,e18_stream_gapfill,q51_equality_delete,q52_snapshot_expiry,t13_ppl_bucket,m11_audio_features,d14_soft_dedup,p8_domain_rank,m12_audio_neardup,q54_spec_evolution,q55_recursive_cte,e19_stream_enrich,s14_mmr_diversify,q56_expectations,q58_wap,q59_join_ivm,p9_shard_order,q60_runtime_filter"
+# Round 13 adds q69 (manifest-stats aggregate pushdown: the lake's
+# per-file min/max/rows stats all derive from the corpus key range at
+# each SF, and the stats path must agree with the oracle's full replay
+# at both ends).
+QUERIES="q69_lake_stats_agg,q67b_hotkey_salted_join,q67_salted_join,q68_kmv_agg,e27_stream_kmv,q66_kmv_setops,t16_langid_confusion,s18_range_search,p11_data_card,q63_hilbert,q64_cms_topk,q65_kmv_ndv,t15_phrase_search,e22_session_window,e23_dropdup_watermark,e24_transform_state,e25_full_attribution,e26_stream_trending,t14_rule_attrition,q53_table_stats,q57_agg_pushdown,qc7_epoch_us,s15_hybrid_rrf,s17_knn_binary,d16_edit_neardup,p10_epoch_plan,e21_outer_attribution,q62_sketch_percentiles,q61_scd2_history,e20_stream_scd2,s16_nprobe_recall,d15_cluster_census,d2_ngram_jaccard,d4b_simhash_pairs,d6_dup_clusters,s2_knn_lsh,s3_cosine_neardup,s4_knn_ivf,s5_knn_sq8,s6_knn_pq,s7_knn_ivfpq,s10_ann_delta,s11_ann_drift,s12_ann_retrain,q39_compaction,q46_selective_compact,q40_jsonl_ingest,q41_cdc_upsert,q42_schema_evolution,q43_time_travel,q44_cdc_stream,q47_log_checkpoint,q48_position_delete,q31_sample,d12_containment,p2_delta_curation,d8_span_dedup,d9_decontam,d11_bloom_decontam,t9_domain_mix,s8_ann_layout,e12_stream_anomaly,t11_novelty,p5_domain_quota,t12_tfidf,e13_stream_dedup,q37_zorder,q45_cluster_prune,q38_incremental_agg,d10_semantic_clusters,m4_resize,m5_payload_phash,m6_media_neardup,m7_resize_neardup,m8_phash_neardup,d13_canonical_pick,p6_leakage_split,q49_bloom_skip,m9_clip_containment,e14_watermark_audit,e15_admission_audit,e16_gap_fill,e17_interp,q50_change_feed,s13_ann_compact,p7_temperature_mix,m10_temporal_dedup,e18_stream_gapfill,q51_equality_delete,q52_snapshot_expiry,t13_ppl_bucket,m11_audio_features,d14_soft_dedup,p8_domain_rank,m12_audio_neardup,q54_spec_evolution,q55_recursive_cte,e19_stream_enrich,s14_mmr_diversify,q56_expectations,q58_wap,q59_join_ivm,p9_shard_order,q60_runtime_filter"
 
 ADDOPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
   java.net java.nio java.util java.util.concurrent \
