@@ -694,7 +694,7 @@ class LakeScan(
   override def planInputPartitions(): Array[InputPartition] =
     LakeReader.binPack(plannedFiles.map(e => (s"$root/${e.path}", e.bytes)))
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(required.fieldNames)
+    new LakeReaderFactory(required)
 }
 
 /** Aggregate-pushdown scan: one partition, one row, zero file opens —
@@ -810,7 +810,7 @@ class LakeLogScan(root: String, asOf: Option[Int], required: StructType)
     partitions(0, upTo)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(required.fieldNames)
+    new LakeReaderFactory(required)
 
   // ---- streaming (MicroBatchStream) ----
   override def initialOffset(): Offset = LakeLogOffset(0)
@@ -832,7 +832,8 @@ final case class LakeLogOffset(b: Int) extends Offset {
 // Shared file readers (columnar parquet + row fallbacks)
 // --------------------------------------------------------------------
 
-final case class LakeInputPartition(files: Array[String]) extends InputPartition
+final case class LakeInputPartition(files: Array[String], lens: Array[Long])
+  extends InputPartition
 
 object LakeReader {
   /** Test-observability: data-file OPEN count across the JVM (local
@@ -841,31 +842,78 @@ object LakeReader {
     */
   val FilesOpened = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Each file open carries a fixed cost independent of its size
+    * (footer round-trip + reader construction; ~3.5 ms measured local,
+    * object-store latencies at real scale), so packing models a file
+    * as `bytes + OpenCostBytes` — Spark's own
+    * `spark.sql.files.openCostInBytes` idea. Without it a version's
+    * 251 bench-SF shards pack into ONE split and their open costs
+    * serialize on a single core (measured: q43 0.5 → 5 s, the round-13
+    * parquet cutover's one regression).
+    */
+  val OpenCostBytes: Long = 512L << 10
+
   /** Bin-pack (path, bytes) files into InputPartitions toward
-    * [[LakeLayout.TargetSplitBytes]]: file-granular splits with a
-    * task count proportional to data size.
+    * [[LakeLayout.TargetSplitBytes]] of modeled cost: file-granular
+    * splits, task count proportional to data size + open count.
     */
   def binPack(files: Seq[(String, Long)]): Array[InputPartition] = {
-    val packs = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
-    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
-    var curBytes = 0L
-    files.foreach { case (path, bytes) =>
-      if (cur.nonEmpty && curBytes + bytes > LakeLayout.TargetSplitBytes) {
-        packs += cur.toArray; cur.clear(); curBytes = 0L
-      }
-      cur += path; curBytes += bytes
+    val packs = scala.collection.mutable.ArrayBuffer.empty[LakeInputPartition]
+    val curF = scala.collection.mutable.ArrayBuffer.empty[String]
+    val curL = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var curCost = 0L
+    def flush(): Unit = if (curF.nonEmpty) {
+      packs += LakeInputPartition(curF.toArray, curL.toArray)
+      curF.clear(); curL.clear(); curCost = 0L
     }
-    if (cur.nonEmpty) packs += cur.toArray
-    packs.map(fs => LakeInputPartition(fs): InputPartition).toArray
+    files.foreach { case (path, bytes) =>
+      val cost = bytes + OpenCostBytes
+      if (curF.nonEmpty && curCost + cost > LakeLayout.TargetSplitBytes) flush()
+      curF += path; curL += bytes; curCost += cost
+    }
+    flush()
+    packs.map(p => p: InputPartition).toArray
   }
 }
 
-class LakeReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
+/** Serialized to executors with the PRUNED read schema; the expensive
+  * per-JVM read machinery (Hadoop `Configuration`, the parquet read
+  * support wiring, the task attempt context) is built ONCE lazily on
+  * the executor and shared across every file this factory's readers
+  * open — the String-path convenience initialize rebuilds all of it
+  * per file, which measured 14.5 ms/file against 3.5 for the shared
+  * split path (LakeOpenProbe).
+  */
+class LakeReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  private def cols = schema.fieldNames
+
+  @transient private lazy val hadoopConf: org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
+    c.set(org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
+      schema.json)
+    // the schema-converter keys Spark's parquet format sets from
+    // SQLConf; fixed here (the lake's types are long/int/double/string
+    // with STRING annotations — none of these flags can bite)
+    c.set("spark.sql.parquet.binaryAsString", "false")
+    c.set("spark.sql.parquet.int96AsTimestamp", "false")
+    c.set("spark.sql.caseSensitive", "false")
+    c.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    c
+  }
+  @transient private lazy val attempt =
+    new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      hadoopConf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+
   // an empty projection (e.g. a semi-join probe needing no columns)
   // can't ride the columnar batch shape — serve counted empty rows
   override def supportColumnarReads(p: InputPartition): Boolean = cols.nonEmpty
-  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
-    new LakeColumnarReader(p.asInstanceOf[LakeInputPartition].files, cols)
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val lp = p.asInstanceOf[LakeInputPartition]
+    new LakeColumnarReader(lp.files, lp.lens, attempt)
+  }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new LakeCountReader(p.asInstanceOf[LakeInputPartition].files)
 }
@@ -874,12 +922,16 @@ class LakeReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
   * Spark's own `VectorizedParquetRecordReader` (the engine under the
   * built-in parquet source), emitting `ColumnarBatch`es with exactly
   * the pruned columns — the round-12 CSV scan's row-at-a-time parse
-  * and text decode are gone (VERDICT r12 item 1).
+  * and text decode are gone (VERDICT r12 item 1). File lengths ride
+  * the InputPartition (straight from the manifest), so the open does
+  * no extra stat call.
   */
-class LakeColumnarReader(files: Array[String], cols: Array[String])
+class LakeColumnarReader(
+    files: Array[String], lens: Array[Long],
+    attempt: org.apache.hadoop.mapreduce.TaskAttemptContext)
   extends PartitionReader[ColumnarBatch] {
 
-  private val it = files.iterator
+  private var i = 0
   private var r: VectorizedParquetRecordReader = null
 
   override def next(): Boolean = {
@@ -888,12 +940,15 @@ class LakeColumnarReader(files: Array[String], cols: Array[String])
         if (r.nextBatch()) return true
         r.close(); r = null
       }
-      if (!it.hasNext) return false
-      val path = it.next()
+      if (i >= files.length) return false
       LakeReader.FilesOpened.incrementAndGet()
       r = new VectorizedParquetRecordReader(false, 4096)
-      r.initialize(path, cols.toSeq.asJava)
+      r.initialize(
+        new org.apache.hadoop.mapred.FileSplit(
+          new org.apache.hadoop.fs.Path(files(i)), 0, lens(i), Array.empty[String]),
+        attempt)
       r.resultBatch() // allocates the reused batch; nextBatch requires it
+      i += 1
     }
     false
   }

@@ -74,7 +74,7 @@ class LakeDsv2Spec extends graft.SparkSpec {
     // plan crosses a ColumnarToRow boundary — the scan feeds
     // whole-stage codegen as vectorized batches, not row-at-a-time
     val factory = lakeScan(lakeRead(1)).createReaderFactory()
-    assert(factory.supportColumnarReads(LakeInputPartition(Array.empty)))
+    assert(factory.supportColumnarReads(LakeInputPartition(Array.empty, Array.empty)))
     val plan = lakeRead(1).queryExecution.executedPlan.toString
     assert(plan.contains("ColumnarToRow"), s"no columnar boundary in:\n$plan")
   }
@@ -235,8 +235,8 @@ class LakeDsv2Spec extends graft.SparkSpec {
   test("empty projection falls back to footer-counted rows, no column reads") {
     val root = LakeLayout.ensure(spark, dir)
     val e = LakeLayout.manifest(root, 0).head
-    val factory = new LakeReaderFactory(Array.empty)
-    val p = LakeInputPartition(Array(s"$root/${e.path}"))
+    val factory = new LakeReaderFactory(new org.apache.spark.sql.types.StructType())
+    val p = LakeInputPartition(Array(s"$root/${e.path}"), Array(e.bytes))
     assert(!factory.supportColumnarReads(p))
     val r = factory.createReader(p)
     var n = 0L
