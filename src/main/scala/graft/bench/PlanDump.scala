@@ -1,0 +1,48 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-loop plan snapshotter: writes `.explain("formatted")` for the
+  * named inventory queries (or every headline query with `--all`) to
+  * `<outDir>/<name>_<tag>.txt` — the round's committed plan evidence
+  * (`plans/rNN/`). Runs under the Bench session geometry so the dumped
+  * plan is the one the bench times (AQE initial plan; the judge reads
+  * Exchange counts, join strategies, PushedFilters from these).
+  *
+  * Usage: `runMain graft.bench.PlanDump <outDir> <tag> <q1,q2,...|--all> [sfDir]`
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val tag = args(1)
+    val which = args(2)
+    val dir = args.lift(3).getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", graft.Scratch.dir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names: Seq[String] =
+      if (which == "--all") graft.SparkEntry.inventory.filter(_.benchHeadline).map(_.name)
+      else which.split(',').toSeq.filter(_.nonEmpty)
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(outDir))
+    names.foreach { n =>
+      val q = graft.SparkEntry.inventory.find(_.name == n)
+        .getOrElse(sys.error(s"unknown query $n"))
+      try {
+        val df = q.benched(spark, dir)
+        // queryExecution.explainString is the same text explain() prints
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(
+          java.nio.file.Path.of(outDir, s"${n}_$tag.txt"), txt)
+        println(s"[plandump] wrote $n")
+      } catch {
+        case e: Throwable => System.err.println(s"[plandump] $n failed: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

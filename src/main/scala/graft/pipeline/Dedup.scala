@@ -987,13 +987,26 @@ object Dedup {
     Q(
       "d12_containment",
       (s, dir) => {
-        val joined = pairSizes(s, dir)
-        def direction(contained: String, container: String, n: String) = joined
-          .withColumn("c_raw", col("n_common").cast("double") / col(n))
-          .filter(col("c_raw") >= ContainmentMin)
-          .select(col(contained).as("contained"), col(container).as("container"),
-            round(col("c_raw"), 6).as("containment"))
-        direction("doc1", "doc2", "n1").unionByName(direction("doc2", "doc1", "n2"))
+        // ONE pass over the pair join: the d2-shared inverted-index
+        // self-join + count is the whole cost here, and the union-of-
+        // two-directions spelling re-executed that subtree per branch
+        // (broadcast joins leave no exchange for ReuseExchange to
+        // dedupe — measured 2× the cell, round 13). Both directed rows
+        // derive from the SAME (n_common, n1, n2) row, so emit them
+        // with one per-row array explode and filter after — identical
+        // row multiset, half the join work, and the shape that
+        // matters at 100 TB (the pair join is corpus-scale; the
+        // explode is 2 rows per candidate pair).
+        pairSizes(s, dir)
+          .select(explode(array(
+            struct(col("doc1").as("contained"), col("doc2").as("container"),
+              (col("n_common").cast("double") / col("n1")).as("c_raw")),
+            struct(col("doc2").as("contained"), col("doc1").as("container"),
+              (col("n_common").cast("double") / col("n2")).as("c_raw")))).as("r"))
+          .filter(col("r.c_raw") >= ContainmentMin)
+          .select(col("r.contained").as("contained"),
+            col("r.container").as("container"),
+            round(col("r.c_raw"), 6).as("containment"))
       },
       Some(s"""
         WITH $pairSizesCtes

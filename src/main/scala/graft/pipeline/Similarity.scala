@@ -514,6 +514,27 @@ object Similarity {
     * two-level rule, and the query-time NProbe=4 probe absorbs the
     * occasional misassignment (recall spec-asserted).
     */
+  /** Pack the argmax ordering key (rounded sim DESC, id ASC) into ONE
+    * long so the per-vector nearest-cell argmax stays a HASH aggregate
+    * (round 13): `max_by(id, struct(sim, -id))` carries a struct
+    * aggregation buffer, which disqualifies HashAggregate — Spark
+    * planned every assignment groupBy as SortAggregate and SORTED the
+    * n·C candidate rows on both sides of each exchange. Sims are
+    * `round(x, 6)` doubles in [-1, 1], so `round(sim·10⁶)` recovers
+    * the exact 6-decimal integer (≤ 2·10⁶ values); ids are
+    * nonnegative and < 2³² (centroid ids are CentroidLo + K ≪ 2³²).
+    * max(pack) = highest sim first, then LOWEST id (the 2³²−1−id
+    * complement) — exactly the struct ordering. The carried payload
+    * column (v / cv) moves into the GROUP KEY (the id determines it),
+    * which keeps the one-partial-per-vector map-side combine.
+    */
+  private def packSimId(sim: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (round(sim * lit(1000000.0)).cast("long") + lit(1000000L)) * lit(4294967296L) +
+      (lit(4294967295L) - id)
+  private def unpackId(pk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lit(4294967295L) - pk.bitwiseAND(lit(4294967295L))
+
   private def ivfAssign(e: DataFrame, cent: DataFrame, k: Int): DataFrame = {
     val m = superStride(k)
     val scent = cent.filter(pmod(col("cid") - CentroidLo, lit(m)) === 0)
@@ -521,24 +542,21 @@ object Similarity {
     // centroid -> super-cell map (K·C dots — index metadata, tiny)
     val cmap = cent.join(broadcast(scent))
       .withColumn("s_sim", round(cosine("scv", "cv"), 6))
-      .groupBy(col("cid"))
-      .agg(
-        max_by(col("scid"), struct(col("s_sim"), (-col("scid")).as("neg"))).as("scid"),
-        first(col("cv")).as("cv"))
+      .groupBy(col("cid"), col("cv"))
+      .agg(max(packSimId(col("s_sim"), col("scid"))).as("pk"))
+      .select(unpackId(col("pk")).as("scid"), col("cid"), col("cv"))
     // vector -> super-cell (n·C dots)
     val vsup = e.join(broadcast(scent))
       .withColumn("s_sim", round(cosine("scv", "v"), 6))
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("scid"), struct(col("s_sim"), (-col("scid")).as("neg"))).as("scid"),
-        first(col("v")).as("v"))
+      .groupBy(col("vec_id"), col("v"))
+      .agg(max(packSimId(col("s_sim"), col("scid"))).as("pk"))
+      .select(unpackId(col("pk")).as("scid"), col("vec_id"), col("v"))
     // vector -> nearest centroid within its super-cell (n·K/C dots)
     vsup.join(broadcast(cmap), "scid")
       .withColumn("c_sim", round(cosine("cv", "v"), 6))
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("cid"), struct(col("c_sim"), (-col("cid")).as("neg"))).as("cid"),
-        first(col("v")).as("v"))
+      .groupBy(col("vec_id"), col("v"))
+      .agg(max(packSimId(col("c_sim"), col("cid"))).as("pk"))
+      .select(col("vec_id"), unpackId(col("pk")).as("cid"), col("v"))
   }
 
   /** Per-centroid super-cell sizes — the per-vector candidate count the
@@ -555,7 +573,8 @@ object Similarity {
     cent.join(broadcast(scent))
       .withColumn("s_sim", round(cosine("scv", "cv"), 6))
       .groupBy(col("cid"))
-      .agg(max_by(col("scid"), struct(col("s_sim"), (-col("scid")).as("neg"))).as("scid"))
+      .agg(max(packSimId(col("s_sim"), col("scid"))).as("pk"))
+      .select(unpackId(col("pk")).as("scid"))
       .groupBy("scid").agg(count(lit(1)).as("n_centroids"))
   }
 
@@ -957,13 +976,19 @@ object Similarity {
     * noise cannot tie-break differently across engines (s4's rule).
     */
   private def pqAssign(slices: DataFrame, cb: DataFrame): DataFrame =
+    // argMIN twin of [[packSimId]] (round 13, same SortAggregate →
+    // HashAggregate motivation): rounded-6 nonnegative distance packs
+    // as round(d·10⁶)·2³² + cid, so min(pack) = (d ASC, cid ASC) —
+    // the struct ordering min_by spelled — with a primitive buffer;
+    // the carried slice moves into the group key.
     slices.join(broadcast(cb), "sub")
       .withColumn("d", round(
         expr("vec_dot(sv, sv) - 2 * vec_dot(sv, cv) + vec_dot(cv, cv)"), 6))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(
-        min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"),
-        first(col("sv")).as("sv"))
+      .groupBy(col("vec_id"), col("sub"), col("sv"))
+      .agg(min(round(col("d") * lit(1000000.0)).cast("long") * lit(4294967296L)
+        + col("cid")).as("pk"))
+      .select(col("vec_id"), col("sub"),
+        col("pk").bitwiseAND(lit(4294967295L)).as("cid"), col("sv"))
 
   /** One per-subspace Lloyd step — s4's decimal-exact mean machinery
     * with (sub, cid) in place of cid; empty codewords keep their value.
@@ -2313,69 +2338,70 @@ object Similarity {
     //      traded against redundancy, the dedup-at-serving-time every
     //      RAG/retrieval stack runs so the context window isn't five
     //      copies of one document. The greedy argmax is inherently
-    //      sequential in k but k is a SERVING constant: the per-step
-    //      argmax is a per-query window over ≤10 candidates, unrolled
-    //      MmrK−1 times over localCheckpointed constant-size tables
-    //      (candidate set and its k² pairwise sims — computed ONCE,
-    //      never re-touching the corpus). At 100 TB nothing here
-    //      scales with the corpus: retrieval (s1..s7) did that part.
-    //      Scores stay on the round-6 grid at every step, so the
-    //      greedy trajectory — not just the final set — is
-    //      engine-exact; the oracle replays the identical unrolled
-    //      recursion. ----
+    //      sequential in k, and EVERY table it touches is serving
+    //      metadata with a named-constant bound (AuditQueries·10
+    //      candidates, their ·10² pairwise sims) — so the selection
+    //      runs DRIVER-SIDE on one BoundedCollect of the candidate
+    //      table (round 13): the previous spelling unrolled MmrK−1
+    //      chained Spark jobs over localCheckpointed 50-row tables and
+    //      paid ~15 driver job round-trips per execution (measured
+    //      1.8 s warm for microseconds of actual argmax work; now one
+    //      job + the collect). At 100 TB nothing here scales with the
+    //      corpus: retrieval (s1..s7) did that part, and the greedy
+    //      input stays AuditQueries-bounded by construction.
+    //      Arithmetic is kept bit-identical to the Catalyst spelling:
+    //      the same left-to-right vec_dot fold (VecKernel.dotOrNull's
+    //      loop), the same cosine expression tree, and Spark Round's
+    //      own BigDecimal.valueOf(x).setScale(6, HALF_UP) — so the
+    //      round-6 greedy trajectory the oracle replays is unchanged
+    //      (MmrSpec + the two-SF oracle gate pin it). ----
     Q(
       "s14_mmr_diversify",
       (s, dir) => {
         val e = vecs(s, dir)
-        // coalesce(1) before checkpointing: these are SERVING-constant
-        // tables (≤ AuditQueries·10 and ·10² rows) — leaving them on 32
-        // partitions made every unrolled greedy step schedule 32-task
-        // stages over near-empty partitions (measured 4.0 s warm; 1-
-        // partition tables with AQE coalescing the downstream shuffles
-        // run the same plan in ~1 s)
-        val cand = knnBrute(s, dir)
-          .join(e.select(col("vec_id"), col("v")), "vec_id")
-          .select(col("qid"), col("vec_id"), col("cos_sim"), col("v"))
-          .coalesce(1).localCheckpoint()
-        val pair = cand.as("a").join(cand.as("b"), Seq("qid"))
-          .filter(col("a.vec_id") =!= col("b.vec_id"))
-          .select(col("qid"), col("a.vec_id").as("cid"),
-            col("b.vec_id").as("oid"),
-            round(cosine("a.v", "b.v"), 6).as("cc_sim"))
-          .coalesce(1).localCheckpoint()
-        val w = Window.partitionBy(col("qid"))
-          .orderBy(col("mmr_score").desc, col("vec_id").asc)
-        // each step CHECKPOINTS the selection: pick_t references
-        // selected_{t-1} twice (the max-sel join and the remaining
-        // anti-join), so an unchained plan doubles per iteration —
-        // 2^k duplicated subtrees that Spark re-executes, measured at
-        // 4.2 s warm; checkpointed, the loop is k tiny linear jobs
-        var selected = cand
-          .withColumn("mmr_score", col("cos_sim"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select(col("qid"), col("vec_id"), lit(1).as("pick"), col("mmr_score"))
-          .coalesce(1).localCheckpoint()
-        for (t <- 2 to MmrK) {
-          val maxSel = pair
-            .join(selected.select(col("qid"), col("vec_id").as("oid")),
-              Seq("qid", "oid"))
-            .groupBy(col("qid"), col("cid")).agg(max(col("cc_sim")).as("max_sel"))
-          val remaining = cand.select(col("qid"), col("vec_id"), col("cos_sim"))
-            .join(selected.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_anti")
-          val pick = remaining
-            .join(maxSel, col("vec_id") === col("cid") &&
-              remaining("qid") === maxSel("qid"))
-            .select(remaining("qid"), col("vec_id"), col("cos_sim"), col("max_sel"))
-            .withColumn("mmr_score",
-              round(lit(MmrLambda) * col("cos_sim")
-                - lit(1.0 - MmrLambda) * col("max_sel"), 6))
-            .withColumn("rk", row_number().over(w))
-            .filter(col("rk") === 1)
-            .select(col("qid"), col("vec_id"), lit(t).as("pick"), col("mmr_score"))
-          selected = selected.unionByName(pick).coalesce(1).localCheckpoint()
+        def round6(x: Double): Double =
+          java.math.BigDecimal.valueOf(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val candRows = graft.BoundedCollect.rows(
+          knnBrute(s, dir)
+            .join(e.select(col("vec_id"), col("v")), "vec_id")
+            .select(col("qid"), col("vec_id"), col("cos_sim"), col("v")),
+          AuditQueries * 10, "s14 MMR candidate set")
+        val byQ = candRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        val picks = byQ.flatMap { case (qid, rows) =>
+          val cands = rows.map { r =>
+            (r.getLong(1), r.getDouble(2),
+              r.getSeq[Double](3).toArray)
+          }.sortBy(_._1)
+          def dot(a: Array[Double], b: Array[Double]): Double = {
+            var acc = 0.0; var i = 0
+            while (i < a.length) { acc += a(i) * b(i); i += 1 }
+            acc
+          }
+          def ccSim(a: Array[Double], b: Array[Double]): Double =
+            round6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+          val selected = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Double, Array[Double])] // (vec_id, pick, score, v)
+          val remaining = scala.collection.mutable.LinkedHashMap(
+            cands.map(c => c._1 -> c): _*)
+          for (t <- 1 to MmrK if remaining.nonEmpty) {
+            val scored = remaining.valuesIterator.map { case (id, cos, v) =>
+              val score =
+                if (t == 1) cos
+                else {
+                  val maxSel = selected.iterator.map(s => ccSim(v, s._4)).max
+                  round6(MmrLambda * cos - (1.0 - MmrLambda) * maxSel)
+                }
+              (id, cos, v, score)
+            }.toSeq
+            val best = scored.minBy { case (id, _, _, score) => (-score, id) }
+            selected += ((best._1, t, best._4, best._3))
+            remaining.remove(best._1)
+          }
+          selected.map { case (id, pick, score, _) => (qid, id, pick, score) }
         }
-        selected
+        import s.implicits._
+        picks.toDF("qid", "vec_id", "pick", "mmr_score")
       },
       Some {
         val steps = (2 to MmrK).map { t =>

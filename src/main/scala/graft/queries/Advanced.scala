@@ -207,18 +207,44 @@ object Advanced {
             // o_orderdate is TIMESTAMP_NTZ; session tz is UTC, so the
             // cast is a pure reinterpretation
             unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
-        // Argmax key (od_us, o_orderkey) matches the oracle's ORDER BY
-        // od DESC, orderkey DESC tie-break; unmatched left rows carry a
-        // (null, null) key and only ever lose to a real match, yielding
-        // the same NULL columns the outer join produced.
-        e.join(o, col("user_id") === col("o_custkey") && col("od_us") <= col("ts_us"), "left_outer")
-          .groupBy(col("event_id"), col("user_id"))
-          .agg(
-            max_by(col("o_orderkey"), struct(col("od_us"), col("o_orderkey")))
-              .as("asof_orderkey"),
-            max(col("od_us")).as("asof_od_us"))
-          .select(col("event_id"), col("user_id"),
-            col("asof_orderkey"), col("asof_od_us"))
+        // UNION-TRICK as-of (round 13; SURVEY §7.3 preference (a)): the
+        // previous join-then-argmax spelling fanned every event out to
+        // ALL its user's earlier orders (measured 1.0 M joined rows
+        // from 100 k events at sf0.1) and then SORTED that fan-out
+        // twice — max_by's struct ordering key disqualifies
+        // HashAggregate, so both partial and final aggregates were
+        // SortAggregates. Here events and orders UNION into one
+        // per-user timeline (|e|+|o| rows, no fan-out), one
+        // shuffle+sort by (user, time, kind, orderkey), and a running
+        // `last(..., ignoreNulls)` carries the latest order image to
+        // each event row. Ordering (t asc, kind order<event, orderkey
+        // asc) makes the running last exactly the argmax by
+        // (od_us, o_orderkey) among orders with od ≤ ts — inclusive
+        // ties land before the event via the kind column; an
+        // orderless prefix yields the same NULL columns the outer
+        // join produced. Orders with NULL od never matched the
+        // original join predicate, so they are filtered before the
+        // union rather than entering the timeline.
+        val oRows = o.filter(col("od_us").isNotNull).select(
+          col("o_custkey").as("uid"), col("od_us").as("t"),
+          lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+          col("o_orderkey"))
+        val eRows = e.select(
+          col("user_id").as("uid"), col("ts_us").as("t"),
+          lit(1).as("kind"), col("event_id"),
+          lit(null).cast("long").as("o_orderkey"))
+        val w = Window.partitionBy(col("uid"))
+          .orderBy(col("t").asc, col("kind").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        oRows.unionByName(eRows)
+          .withColumn("asof",
+            last(when(col("kind") === 0,
+              struct(col("t").as("od_us"), col("o_orderkey"))),
+              ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("uid").as("user_id"),
+            col("asof.o_orderkey").as("asof_orderkey"),
+            col("asof.od_us").as("asof_od_us"))
       },
       Some("""
         WITH j AS (
@@ -637,21 +663,33 @@ object Advanced {
 
     // ---- q30: GROUPING SETS — the general form cube/rollup specialize
     //      (q21/q17 cover those); explicit sets + grouping() markers
-    //      disambiguate aggregate NULLs from grouping NULLs. Spark
-    //      expands the sets into one Expand node feeding a single hash
-    //      aggregate (still map-side partial), so the shuffle carries
-    //      |sets| x |groups| rows, never |sets| x |input|. ----
+    //      disambiguate aggregate NULLs from grouping NULLs. TWO-PHASE
+    //      (q21's rewrite, round 13): the corpus first reduces to the
+    //      6-row (flag, status) key domain with ONE plain hash
+    //      aggregate, and the GROUPING SETS Expand then multiplies
+    //      partials, not the corpus — the direct spelling's Expand fed
+    //      |sets| × |input| rows through the partial aggregate
+    //      (measured 1.84 s vs 0.6 s at sf0.1/32). Decimal partial
+    //      sums re-sum exactly (decimal addition is associative), so
+    //      the result is bit-identical to the one-phase plan. ----
     Q(
       "q30_grouping_sets",
       (s, dir) => {
-        val liV = scopedView(s, dir, "lineitem", "q30")
+        val pre = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("pn"),
+            sum(col("l_quantity").cast(DecimalType(30, 2))).as("psum"))
+        val preV = s"q30_pre_" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        pre.createOrReplaceTempView(preV)
         s.sql(s"""
           SELECT l_returnflag, l_linestatus,
                  grouping(l_returnflag) AS g_flag,
                  grouping(l_linestatus) AS g_status,
-                 count(*) AS n,
-                 CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
-          FROM $liV
+                 sum(pn) AS n,
+                 CAST(sum(psum) AS DOUBLE) AS sum_qty
+          FROM $preV
           GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
       },
       Some("""
@@ -1501,7 +1539,12 @@ object Advanced {
         // GROUPING keys are fine) stay in the hash-planned
         // multi-distinct aggregate; min/max fold in a keyless
         // SortAggregate that needs no Sort; the two 1-row results
-        // recombine with a trivial join.
+        // recombine with a trivial join. (Round 13 A/B'd folding the
+        // min/max into the multi-distinct aggregate via an
+        // ascii()/chr() pack: all-hash plan, ONE scan — but the
+        // min/max partial updates then ride every one of the 6×
+        // Expand rows and the cell measured ~1.8× SLOWER; the second
+        // keyless scan is the cheaper spelling and stays.)
         val cntMeasures = cols.flatMap(c => Seq(
           count(col(c)).as(s"c_$c"),
           countDistinct(col(c)).as(s"d_$c")))
@@ -1711,10 +1754,11 @@ object Advanced {
     //      audited IN ORDER against the published-so-far state (batch
     //      B's uniqueness context includes batch A iff A published),
     //      and a batch lands iff its audit finds ZERO violating rows.
-    //      The decision is DATA-DEPENDENT INSIDE THE PLAN — each batch
-    //      joins its own 1-row audit verdict and filters on it, no
-    //      driver-side branching — so the oracle recomputes the same
-    //      decisions instead of trusting hardcoded ones. Violations
+    //      The decision is DATA-DEPENDENT — each audit verdict is a
+    //      1-row metadata pull (BoundedCollect, the cdcMerged max-key
+    //      convention) that gates the publish, and the oracle
+    //      recomputes the same decisions independently instead of
+    //      trusting hardcoded ones. Violations
     //      here are row-scoped (a row is bad if it trips any check,
     //      incl. key-clash against the published context and in-batch
     //      duplication); q56 stays the per-check observability table,
@@ -1735,43 +1779,89 @@ object Advanced {
           SELECT CAST(k AS BIGINT) AS o_orderkey, CAST(ck AS BIGINT) AS o_custkey,
                  st AS o_orderstatus, CAST(p AS DOUBLE) AS o_totalprice
           FROM VALUES $rows AS v(k, ck, st, p, d, pr)""")
-        val cust = broadcast(t(s, dir, "customer").select(col("c_custkey")))
         val keyX = md5Long(col("o_orderkey").cast("string"))
-        // rows of x violating against published context `ctx`
+        val pub0 = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+        val (ba, bb) = (batch(Q58CleanRows), batch(Q56BadRows))
+        // Probe the published context ONCE, batch-side broadcast
+        // (round 13): the previous spelling built
+        // `ctx.keys.distinct()` per audit — a corpus-wide distinct
+        // SHUFFLED and then BROADCAST for each of the two audits (and
+        // the fk check broadcast the whole customer dimension). At
+        // 100 TB broadcasting the table's key set is the wrong
+        // direction by definition; the audit only needs which of the
+        // ≤|batch| incoming keys already exist, so broadcast the TINY
+        // batch-key set and left-semi probe the corpus — the corpus
+        // side never shuffles, never broadcasts, and is scanned once
+        // per dimension instead of once per audit.
+        val probeK = ba.select(col("o_orderkey"))
+          .unionByName(bb.select(col("o_orderkey"))).distinct()
+        // (Probes stay lazy: a localCheckpoint of these ≤|batch|-row
+        // results was measured SLOWER — the extra eager job boundaries
+        // cost more than the one orders scan they deduplicate.)
+        val presentK = pub0.join(broadcast(probeK), Seq("o_orderkey"), "left_semi")
+          .select(col("o_orderkey")).distinct()
+        val probeC = ba.select(col("o_custkey"))
+          .unionByName(bb.select(col("o_custkey")))
+          .filter(col("o_custkey").isNotNull).distinct()
+        val presentC = t(s, dir, "customer").select(col("c_custkey"))
+          .join(broadcast(probeC), col("c_custkey") === col("o_custkey"), "left_semi")
+          .distinct()
+        // rows of x violating against published context keys `ctxKeys`
+        // (the full published rows are never needed — only membership)
         def badRows(x: org.apache.spark.sql.DataFrame,
-            ctx: org.apache.spark.sql.DataFrame) = {
+            ctxKeys: org.apache.spark.sql.DataFrame) = {
           val dup = x.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
             .filter(col("c") > 1).select(col("o_orderkey"), lit(1).as("dup"))
           x.join(broadcast(dup), Seq("o_orderkey"), "left_outer")
-            .join(ctx.select(col("o_orderkey"), lit(1).as("clash")).distinct(),
+            .join(broadcast(ctxKeys.select(col("o_orderkey"), lit(1).as("clash")).distinct()),
               Seq("o_orderkey"), "left_outer")
-            .join(cust.withColumn("fk", lit(1)),
+            .join(broadcast(presentC.withColumn("fk", lit(1))),
               col("o_custkey") === col("c_custkey"), "left_outer")
             .filter(col("o_custkey").isNull || col("o_totalprice") <= 0.0 ||
               !col("o_orderstatus").isin("O", "F", "P") ||
               col("dup") === 1 || col("clash") === 1 ||
               (col("o_custkey").isNotNull && col("fk").isNull))
         }
+        // The audit verdicts are 1-ROW METADATA (count + xor of a
+        // batch-sized row set), and each later stage's plan depends on
+        // them: batch B's clash context includes batch A iff A
+        // published, and the census includes each batch iff it
+        // published. Leaving the verdicts as lazy subtrees nested the
+        // WHOLE upstream audit (orders probe included) once per
+        // reference — vb re-contained va, the census re-contained
+        // both, and the cascade of per-verdict broadcast builds
+        // serialized on the driver (measured 2.1 → 2.5-4.5 s across
+        // spellings). The verdicts therefore pull through
+        // [[graft.BoundedCollect]] (bound 1 — the same sanctioned
+        // driver-metadata pull as cdcMerged's max key): each audit
+        // executes EXACTLY once, publish gating constant-folds, and
+        // the census is one clean corpus aggregate.
         def audit(x: org.apache.spark.sql.DataFrame,
-            ctx: org.apache.spark.sql.DataFrame) =
-          badRows(x, ctx).agg(count(lit(1)).as("nviol"),
-            coalesce(bit_xor(keyX), lit(0L)).as("viol_xor"))
-        def gate(x: org.apache.spark.sql.DataFrame,
-            verdict: org.apache.spark.sql.DataFrame) =
-          x.crossJoin(broadcast(verdict.select(col("nviol"))))
-            .filter(col("nviol") === 0).drop("nviol")
-        val pub0 = t(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"),
-            col("o_orderstatus"), col("o_totalprice"))
-        val (ba, bb) = (batch(Q58CleanRows), batch(Q56BadRows))
-        val va = audit(ba, pub0)
-        val pub1 = pub0.unionByName(gate(ba, va))
-        val vb = audit(bb, pub1)
-        val pub2 = pub1.unionByName(gate(bb, vb))
-        val decisions = va.select(lit("audit").as("part"), lit("batchA").as("k"),
-            col("nviol").as("n"), lit(0.0).as("sum_price"), col("viol_xor").as("key_xor"))
-          .unionByName(vb.select(lit("audit").as("part"), lit("batchB").as("k"),
-            col("nviol").as("n"), lit(0.0).as("sum_price"), col("viol_xor").as("key_xor")))
+            ctxKeys: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val r = graft.BoundedCollect.rows(
+            badRows(x, ctxKeys).agg(count(lit(1)).as("nviol"),
+              coalesce(bit_xor(keyX), lit(0L)).as("viol_xor")),
+            1, "q58 audit verdict")(0)
+          (r.getLong(0), r.getLong(1))
+        }
+        val (vaN, vaX) = audit(ba, presentK)
+        val gateA = if (vaN == 0L) Seq(ba) else Nil
+        val pub1 = (pub0 +: gateA).reduce(_ unionByName _)
+        // pub1's key set restricted to the probe keys = the orders
+        // probe ∪ batchA's keys if batchA published (a published
+        // batchA is disjoint from orders by its own clash audit)
+        val (vbN, vbX) = audit(bb, (presentK +: gateA.map(_.select(col("o_orderkey"))))
+          .reduce(_ unionByName _))
+        val gateB = if (vbN == 0L) Seq(bb) else Nil
+        val pub2 = (pub1 +: gateB).reduce(_ unionByName _)
+        val decisions = s.sql(s"""
+          SELECT 'audit' AS part, 'batchA' AS k, CAST($vaN AS BIGINT) AS n,
+                 0.0 AS sum_price, CAST($vaX AS BIGINT) AS key_xor
+          UNION ALL
+          SELECT 'audit', 'batchB', CAST($vbN AS BIGINT),
+                 0.0, CAST($vbX AS BIGINT)""")
         val census = pub2.groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"),
             graft.Agg.dsum(col("o_totalprice")).as("sum_price"),
@@ -2307,11 +2397,33 @@ object Advanced {
     * review).
     */
   private def resolveLog(log: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    // HASH-AGGREGABLE argmax (round 13): `max_by(struct(act, status,
+    // price), b)` carries a struct aggregation buffer, which
+    // disqualifies HashAggregate — Spark planned the resolution as
+    // SortAggregate and SORTED the whole log on both sides of the
+    // exchange. Packing the single-char act/status codes with the
+    // batch stamp into one long (b dominates; at most one action per
+    // (batch, key) by the feed contract, so no within-b tie exists)
+    // and pairing it with a primitive-buffer max_by for the price
+    // keeps the identical argmax row while the aggregate stays
+    // hash-based with map-side partials — at 100 TB the log is never
+    // sorted, only hashed. Contract (documented at cdcLogs): act and
+    // o_orderstatus are SINGLE-CHAR values ('U'/'D'; order statuses),
+    // which is what makes the ascii()/chr() pack lossless; status
+    // NULL encodes as 0 (+1 bias on real chars).
     log.groupBy(col("k"))
-      .agg(max_by(
-        struct(col("act"), col("o_orderstatus"), col("price")), col("b")).as("r"))
-      .select(col("k"), col("r.act").as("act"),
-        col("r.o_orderstatus").as("o_orderstatus"), col("r.price").as("price"))
+      .agg(
+        max(col("b").cast("long") * lit(65536L) +
+            ascii(col("act")).cast("long") * lit(256L) +
+            coalesce(ascii(col("o_orderstatus")).cast("long") + lit(1L), lit(0L)))
+          .as("pk"),
+        max_by(col("price"), col("b")).as("price"))
+      .select(col("k"),
+        chr(pmod(shiftright(col("pk"), 8), lit(256L))).as("act"),
+        when(pmod(col("pk"), lit(256L)) === 0L, lit(null).cast("string"))
+          .otherwise(chr(pmod(col("pk"), lit(256L)) - lit(1L)))
+          .as("o_orderstatus"),
+        col("price"))
 
   private[graft] def asOfState(
       s: org.apache.spark.sql.SparkSession, dir: String, v: Int): org.apache.spark.sql.DataFrame = {

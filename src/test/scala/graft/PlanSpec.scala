@@ -206,12 +206,20 @@ class PlanSpec extends SparkSpec {
       s"join inputs must be the bucketed scans:\n$p")
   }
 
-  test("q25: as-of argmax is a map-side-combined aggregate, not a pair window") {
+  test("q25: as-of rides the union timeline — no join fan-out, no sort aggregate") {
+    // Round 13: the join-then-argmax spelling fanned every event out to
+    // all its user's earlier orders and sorted that fan-out twice
+    // (max_by's struct ordering key demotes the aggregate to
+    // SortAggregate). The union-trick plan must have NO join at all —
+    // events and orders meet in one per-user timeline — and exactly one
+    // Window (the running last over the union), never a SortAggregate.
     val p = plan("q25_asof_join")
-    assert(!p.contains("Window"),
-      s"as-of join must not window-sort the joined pair stream:\n$p")
-    assert(p.contains("partial_max_by") || p.contains("partial_max"),
-      s"argmax must partial-aggregate before the exchange:\n$p")
+    assert(!p.contains("Join"),
+      s"as-of must not join-fan-out the event stream:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"as-of must not sort-aggregate a fan-out:\n$p")
+    assert(p.contains("Window") && p.contains("Union"),
+      s"expected the running-last window over the union timeline:\n$p")
   }
 
   test("q34: event_type predicate prunes partitions at planning time") {
