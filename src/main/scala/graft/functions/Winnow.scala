@@ -176,6 +176,13 @@ object GraftFunctions {
         ShingleGenerator(exprs.head, k, positional = true)
       }),
     (
+      FunctionIdentifier("run_stats"),
+      new ExpressionInfo(classOf[RunStats].getName, "run_stats"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "run_stats(arr)")
+        RunStats(exprs.head)
+      }),
+    (
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       { exprs: Seq[Expression] =>

@@ -235,19 +235,16 @@ object Text {
     Q(
       "t7_repetition",
       (s, dir) => {
-        // fold over the SORTED gram array: equal grams are adjacent, so
-        // run length = gram count. dup counts every instance of a gram
-        // whose count ≥2: +2 when a run reaches length 2 (both members
-        // become duplicated), +1 for each further member.
-        def runStats(arr: String) =
-          s"""aggregate(array_sort($arr),
-                named_struct('prev', CAST(NULL AS STRING),
-                             'run', 0L, 'maxrun', 0L, 'dup', 0L),
-                (a, x) -> named_struct(
-                  'prev', x,
-                  'run', IF(x <=> a.prev, a.run + 1L, 1L),
-                  'maxrun', GREATEST(a.maxrun, IF(x <=> a.prev, a.run + 1L, 1L)),
-                  'dup', a.dup + IF(x <=> a.prev, IF(a.run = 1L, 2L, 1L), 0L)))"""
+        // run stats over the SORTED gram array: equal grams are
+        // adjacent, so run length = gram count; dup counts every
+        // instance of a gram whose count ≥2. Round 13: the
+        // `aggregate(array_sort(...), ...)` fold evaluated its lambda
+        // INTERPRETED per element (the whole cost of this cell); the
+        // codegen'd `run_stats` kernel (functions/RunStats.scala) is
+        // the same sort + fold fused into one static call with
+        // bitwise-identical outputs.
+        graft.functions.GraftFunctions.register(s)
+        def runStats(arr: String) = s"run_stats($arr)"
         t(s, dir, "documents")
           .filter(col("text").isNotNull) // null text has no word rows in the
           // grouped spelling either (unnest of NULL is empty)
@@ -623,15 +620,11 @@ object Text {
       "t14_rule_attrition",
       (s, dir) => {
         // max adjacent-run length over the sorted word array = the top
-        // word's occurrence count (t7's fold, maxrun only)
+        // word's occurrence count (t7's fused run_stats kernel, maxrun
+        // field — round 13, same interpreted-lambda motivation as t7)
+        graft.functions.GraftFunctions.register(s)
         val topC = expr(
-          """aggregate(array_sort(split(lower(trim(text)), '\\s+')),
-               named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'maxrun', 0L),
-               (a, x) -> named_struct(
-                 'prev', x,
-                 'run', IF(x <=> a.prev, a.run + 1L, 1L),
-                 'maxrun', GREATEST(a.maxrun, IF(x <=> a.prev, a.run + 1L, 1L))),
-               a -> a.maxrun)""")
+          """run_stats(split(lower(trim(text)), '\\s+')).maxrun""")
         val nStop = regexp_count(lower(col("text")),
           lit("\\b(the|a|is|of|and|to|in)\\b")).cast("long")
         t(s, dir, "documents")

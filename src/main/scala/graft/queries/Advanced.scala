@@ -1416,21 +1416,38 @@ object Advanced {
       "q52_snapshot_expiry",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
-        val af = snapAllFiles(s, dir)
-        val live = snapLive(af)
-        // All four file-layer reads (v ∈ {1,2} × pre/post-vacuum) as ONE
-        // broadcast join: label each read's manifest∩present file set
-        // with (path, v), union the labels (≤ 4·SnapFidMod rows —
-        // file-count metadata), and dispatch the batch-tagged cached
-        // states through a single (b, fid) join. Same row set as four
-        // snapRead unions, but one broadcast build + one cached scan
-        // instead of ten serial broadcasts (measured ~2× the cell).
-        val fileSets = Seq(1, 2).flatMap { v =>
-          Seq("pre" -> af, "post" -> live).map { case (path, present) =>
-            snapManifest(af, v).join(present, Seq("b", "fid"), "left_semi")
-              .select(lit(path).as("path"), lit(v).as("v"), col("b"), col("fid"))
-          }
-        }.reduce(_ unionByName _)
+        // METADATA-PLANE RESOLUTION ON THE DRIVER (round 13): the file
+        // inventory is ≤ 3·SnapFidMod rows by construction — exactly
+        // the file-count metadata a real table format resolves on the
+        // driver (Iceberg's snapshot expiry reads manifests, never
+        // data). The previous spelling computed manifests/live/orphans
+        // as ~10 tiny shuffle stages UNDER a broadcast build each run
+        // (measured ~3 s warm of pure stage latency over ≤753-row
+        // frames); pulling the inventory through BoundedCollect and
+        // resolving the same algebra in memory leaves the corpus-scale
+        // work as ONE broadcast join against the cached batch-tagged
+        // states plus a ≤|orphans|-row aggregate.
+        val afRows: Seq[(Int, Long)] = graft.BoundedCollect.rows(
+            snapAllFiles(s, dir), 3 * SnapFidMod + 3, "q52 file inventory")
+          .map(r => (r.getInt(0), r.getLong(1)))
+        def manifestOf(v: Int): Set[(Int, Long)] = afRows.filter(_._1 <= v)
+          .groupBy(_._2).iterator // iterator: a Map.map of pairs would collapse on the b key
+          .map { case (fid, es) => (es.map(_._1).max, fid) }.toSet
+        val liveSet = manifestOf(1) ++ manifestOf(2)
+        val orphans = afRows.distinct.filterNot(liveSet)
+        val allSet = afRows.toSet
+        // All four file-layer reads (v ∈ {1,2} × pre/post-vacuum) as
+        // ONE broadcast join: label each read's manifest∩present file
+        // set with (path, v) and dispatch the batch-tagged cached
+        // states through a single (b, fid) join — same row set as four
+        // snapRead unions, one broadcast build, one cached scan.
+        val fileSetRows = for {
+          v <- Seq(1, 2)
+          (path, present) <- Seq("pre" -> allSet, "post" -> liveSet)
+          (b, fid) <- manifestOf(v) if present((b, fid))
+        } yield (path, v, b, fid)
+        import s.implicits._
+        val fileSets = fileSetRows.toDF("path", "v", "b", "fid")
         val reads = snapStates(s, dir)
           .join(broadcast(fileSets), Seq("b", "fid"))
           .select(col("path"), col("v"), col("o_orderstatus"),
@@ -1440,7 +1457,9 @@ object Advanced {
             graft.Agg.dsum(col("price")).as("sum_price"),
             bit_xor(graft.pipeline.Portable.md5Long(col("k").cast("string")))
               .as("key_xor"))
-        val orph = snapOrphans(af).agg(count(lit(1)).as("n"),
+        val orph = (if (orphans.isEmpty)
+            Seq.empty[(Int, Long)] else orphans).toDF("b", "fid")
+          .agg(count(lit(1)).as("n"),
             coalesce(bit_xor(graft.pipeline.Portable.md5Long(
               concat_ws("-", col("b"), col("fid")))), lit(0L)).as("key_xor"))
           .select(lit("orphans").as("path"), lit(0).as("v"),
