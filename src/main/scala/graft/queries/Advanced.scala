@@ -67,6 +67,23 @@ object Advanced {
     * the q65 and q66 oracles (one spelling, so a hash-discipline edit
     * lands in both).
     */
+  /** The per-source bottom-k sketch rows `(source, h, rk ≤ KmvK)` —
+    * session-materialized (round 13): q65 reads it in two branches and
+    * q66's pair algebra in FOUR (ta/tb × the full-sketch source
+    * census), and the window-rank subtree it contains got re-planned
+    * once per reference (40 Window nodes in q66's round-12 plan, the
+    * same per-branch recompute that motivated [[sourceHashes]]). The
+    * table is |sources|·k rows — sketch metadata, not corpus.
+    */
+  private[graft] def kmvSketch(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.pipeline.Materialized.getOrBuild(s, s"q65.sk|$dir") {
+      sourceHashes(s, dir)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("h").asc)))
+        .filter(col("rk") <= KmvK) // WindowGroupLimit: map-side bottom-k
+    }
+
   private[graft] def srcHashCtesSql: String =
     s"""w AS (
           SELECT source, ${graft.pipeline.Portable.wordsSql("text")} AS ws
@@ -523,9 +540,7 @@ object Advanced {
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
         val hs = sourceHashes(s, dir)
-        val bySrc = Window.partitionBy(col("source")).orderBy(col("h").asc)
-        val sk = hs.withColumn("rk", row_number().over(bySrc))
-          .filter(col("rk") <= KmvK) // WindowGroupLimit: map-side bottom-k
+        val sk = kmvSketch(s, dir)
         def estimate(kth: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
           round(kmvEstRaw(kth), 6)
         val per = sk.filter(col("rk") === KmvK)
@@ -564,6 +579,25 @@ object Advanced {
                round(${KmvK - 1}.0 * 1152921504606846976.0 / kth_h, 6) AS est_ndv,
                CAST(exact_ndv AS BIGINT) AS exact_ndv
         FROM u"""),
+      // The exact-NDV twin is VERIFICATION apparatus (it exists so
+      // DuckDB can hash-check the estimate against truth); production
+      // keeps only the sketch. The bench times the sketch-only path —
+      // q26's benchRun precedent (VERDICT r11 item 4) — with the same
+      // result cardinality (one row per full-sketch source + ALL), so
+      // the row-count gate still applies. Round 13.
+      benchRun = Some { (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        val sk = kmvSketch(s, dir)
+        val per = sk.filter(col("rk") === KmvK)
+          .select(col("source"), col("h").as("kth_h"))
+        val gkth = sk.select(col("h")).distinct()
+          .orderBy(col("h").asc).limit(KmvK)
+          .agg(max(col("h")).as("kth_h"))
+          .select(lit("ALL").as("source"), col("kth_h"))
+        per.unionByName(gkth)
+          .select(col("source"), col("kth_h"),
+            round(kmvEstRaw(col("kth_h")), 6).as("est_ndv"))
+      },
     ),
 
     // ---- q66: KMV SET ALGEBRA — union/intersection NDV estimates
@@ -588,11 +622,8 @@ object Advanced {
       "q66_kmv_setops",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
-        val hs = sourceHashes(s, dir)
-        val bySrc = Window.partitionBy(col("source")).orderBy(col("h").asc)
-        // map-side WindowGroupLimit bottom-k, exactly q65's cut
-        val skr = hs.withColumn("rk", row_number().over(bySrc))
-          .filter(col("rk") <= KmvK)
+        // the shared materialized bottom-k sketch, exactly q65's cut
+        val skr = kmvSketch(s, dir)
         val sk = skr.select(col("source"), col("h"))
         // pair census over FULL sketches only (a source with a k-th row
         // has ≥ k distinct hashes) — q65's drop rule applied up front,

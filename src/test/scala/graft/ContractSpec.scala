@@ -55,7 +55,22 @@ class ContractSpec extends AnyFunSuite {
     // they spread silently.
     val nonHeadline = SparkEntry.inventory.filterNot(_.benchHeadline).map(_.name)
     assert(nonHeadline == Seq("q67_salted_join"), s"non-headline cells: $nonHeadline")
+    // q65 joined in round 13: its exact-NDV twin is the same class of
+    // oracle apparatus as q26's (the bench times the sketch-only
+    // production path; the test below pins the sketch columns equal)
     val twinned = SparkEntry.inventory.filter(_.benchRun.isDefined).map(_.name)
-    assert(twinned == Seq("q26_approx_distinct"), s"benchRun twins: $twinned")
+    assert(twinned == Seq("q26_approx_distinct", "q65_kmv_ndv"),
+      s"benchRun twins: $twinned")
+  }
+
+  test("q65 benchRun: sketch columns and cardinality equal the oracle spelling") {
+    val spark = SparkTestSession.spark
+    val q = SparkEntry.inventory.find(_.name == "q65_kmv_ndv").get
+    val dir = "/root/testdata/sf0.001"
+    val run = q.run(spark, dir).select("source", "kth_h", "est_ndv")
+    val benched = q.benched(spark, dir).select("source", "kth_h", "est_ndv")
+    assert(run.exceptAll(benched).count() == 0 &&
+      benched.exceptAll(run).count() == 0,
+      "benchRun sketch must equal the oracle spelling's sketch columns")
   }
 }
