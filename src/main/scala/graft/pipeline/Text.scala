@@ -245,6 +245,10 @@ object Text {
         // bitwise-identical outputs.
         graft.functions.GraftFunctions.register(s)
         def runStats(arr: String) = s"run_stats($arr)"
+        // (Round 13 A/B'd a docsSharded re-shard here after the kernel
+        // swap: SLOWER — the fused run_stats left so little per-row
+        // work that shuffling the document texts costs more than the
+        // parallelism returns. Single-pass scan stays.)
         t(s, dir, "documents")
           .filter(col("text").isNotNull) // null text has no word rows in the
           // grouped spelling either (unnest of NULL is empty)

@@ -327,6 +327,9 @@ object Advanced {
     // ---- q29: schema-based JSON parsing (from_json -> typed struct) ----
     Q(
       "q29_from_json",
+      // (Round 13 A/B'd q1's re-shard here too — a WASH: the fixture's
+      // props are 8-char {"k": n} docs, so the parse is scan-floor
+      // cheap and the extra exchange buys nothing. Left single-pass.)
       (s, dir) =>
         t(s, dir, "events")
           .withColumn("parsed", from_json(col("props"),
@@ -475,11 +478,20 @@ object Advanced {
             pmod(md5Long(concat(col("term"), lit("|" + r))),
               lit(CmsWidth.toLong)).as("b"))
         }: _*)
-        val cells = bigr.select(explode(rbArr).as("rb"))
-          .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-          .agg(count(lit(1)).as("c"))
-        val top = bigr.groupBy(col("term"))
+        // Round 13: the grid derives from the TERM CENSUS, not the
+        // instance stream — the previous spelling exploded every
+        // corpus bigram INSTANCE ×CmsRows and md5-hashed each copy;
+        // grid counts are per-(r, bucket) sums of term counts, so
+        // aggregating to (term, count) first (the same census `top`
+        // already needs — ReuseExchange shares the shuffle) cuts the
+        // ×4 explode and its hashes from corpus-instance-scale to
+        // vocabulary-scale. Identical counters by distributivity.
+        val census = bigr.groupBy(col("term"))
           .agg(count(lit(1)).as("exact_n"))
+        val cells = census.select(explode(rbArr).as("rb"), col("exact_n"))
+          .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+          .agg(sum(col("exact_n")).as("c"))
+        val top = census
           .orderBy(col("exact_n").desc, col("term").asc)
           .limit(20)
         top.select(col("term"), col("exact_n"), explode(rbArr).as("rb"))
@@ -1482,12 +1494,13 @@ object Advanced {
         val reads = snapStates(s, dir)
           .join(broadcast(fileSets), Seq("b", "fid"))
           .select(col("path"), col("v"), col("o_orderstatus"),
-            col("k"), col("price"))
+            col("kx"), col("price"))
         val agg = reads.groupBy(col("path"), col("v"), col("o_orderstatus"))
           .agg(count(lit(1)).as("n"),
             graft.Agg.dsum(col("price")).as("sum_price"),
-            bit_xor(graft.pipeline.Portable.md5Long(col("k").cast("string")))
-              .as("key_xor"))
+            // kx: md5 precomputed once per cached state row, not per
+            // (path, v) labeled copy — see snapStates
+            bit_xor(col("kx")).as("key_xor"))
         val orph = (if (orphans.isEmpty)
             Seq.empty[(Int, Long)] else orphans).toDF("b", "fid")
           .agg(count(lit(1)).as("n"),
@@ -2851,10 +2864,17 @@ object Advanced {
   private[graft] def snapStates(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.pipeline.Materialized.getOrBuild(s, s"q52.states|$dir") {
+      graft.functions.GraftFunctions.register(s) // kx below uses md5_long
       (0 to 2).map { b =>
         asOfState(s, dir, b).drop("v")
           .withColumn("fid", pmod(col("k"), lit(SnapFidMod)))
           .withColumn("b", lit(b))
+          // kx precomputed INTO the cache (round 13): the q52 gate
+          // fans each state row out to up to four (path, v) labels,
+          // and hashing at the agg site re-ran md5 per labeled COPY
+          // (~4× the state rows, every execution); here it runs once
+          // per row at cache build
+          .withColumn("kx", graft.pipeline.Portable.md5Long(col("k").cast("string")))
       }.reduce(_ unionByName _)
     }
 
@@ -2874,6 +2894,6 @@ object Advanced {
       .join(present, Seq("b", "fid"), "left_semi")
     snapStates(s, dir)
       .join(broadcast(files), Seq("b", "fid"), "left_semi")
-      .drop("fid", "b")
+      .drop("fid", "b", "kx")
   }
 }

@@ -29,8 +29,27 @@ object Relational {
     Q(
       "q1_agg",
       (s, dir) => {
+        // Hash re-shard before the aggregate (round 13): the fixture
+        // tables are single-row-group parquet, so the scan — and with
+        // it the SIX per-row decimal-cast sums — runs as ONE task
+        // (Tables.t's documented caveat). q1's per-row work is in the
+        // explode/hash class the caveat reserves re-sharding for:
+        // shuffling the ~30 MB of projected raw rows costs far less
+        // than serializing 600 k × 6 decimal updates on one core
+        // (A/B'd warm 1.15 → 0.66-0.98 s; OPTIMIZATION_r13.md). The
+        // spread key is a DETERMINISTIC hash with 64× more values than
+        // partitions (guide §2.5: retried map tasks must reproduce the
+        // same row→partition assignment — rand() can lose rows under
+        // fetch-failure replays — and the value surplus keeps the
+        // spread even); round-robin was A/B'd slower (it pays
+        // sortBeforeRepartition). defaultParallelism tracks
+        // SPARK_GRAFT_CPUS, so the shard count stays scale-adaptive;
+        // on a real multi-file 100 TB table the scan parallelizes by
+        // itself and this exchange is the first one AQE coalesces.
+        val p = s.sparkContext.defaultParallelism
         t(s, dir, "lineitem")
           .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+          .repartition(p, pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(p * 64)))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             dsum(col("l_quantity")).as("sum_qty"),
