@@ -102,6 +102,10 @@ object Relational {
         val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         val o = t(s, dir, "orders")
           .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        // (Round 13 A/B'd q1's re-shard on the lineitem side: SLOWER —
+        // the broadcast-join pipeline's per-row work is light enough
+        // that shuffling the fact rows costs more than the unlocked
+        // parallelism returns. Single-pass scan stays.)
         val l = t(s, dir, "lineitem")
         // customer is ~1% of lineitem: broadcast the filtered dim.
         broadcast(c)
