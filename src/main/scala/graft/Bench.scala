@@ -21,8 +21,37 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Scratch.dir) // RAM scratch; see Scratch
+      // Split-packing geometry for the multi-split fixture (round 14,
+      // see RgFixture): the fixture's per-table files are ~256 KiB, and
+      // under the DEFAULT 128 MB maxPartitionBytes the open-cost packer
+      // would glue ~30 of them back into one split — re-serializing the
+      // scans the fixture exists to parallelize. 4 MB (= the default
+      // openCostInBytes, so each file is its own split) is bench-fixture
+      // geometry, parameterized for unlike deployments; a production
+      // table's 128 MB-1 GB files want the default or LARGER (guide
+      // §6), which SPARK_GRAFT_MAX_SPLIT_BYTES restores.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT_BYTES", "4m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Multi-split relayout of the bench corpus (round 14 — VERDICT r13
+    // "Next round" item 1): identical rows, tens of scan tasks instead
+    // of one. Built once per corpus dir on the RAM scratch volume; a
+    // build failure (unwritable scratch) falls back to the original
+    // layout rather than failing the bench. SPARK_GRAFT_RG_FIX=0 times
+    // the original single-row-group layout for like-for-like A/Bs.
+    // Verify (the oracle path) never reads this fixture.
+    val benchDir =
+      if (sys.env.get("SPARK_GRAFT_RG_FIX").contains("0")) sfDir
+      else
+        try graft.bench.RgFixture.prepare(spark, sfDir)
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] rg fixture failed (${e.getMessage}); " +
+              "timing the original layout")
+            sfDir
+        }
 
     // Warm-up: run the ENTIRE inventory once at the smallest SF. This
     // JIT-compiles every operator's generated code and loads the parquet
@@ -258,10 +287,10 @@ object Bench {
     // code (VERDICT r5 item 3). Building it here, outside any cell,
     // makes every dedup cell measure its own joins — the steady-state,
     // like-for-like number BASELINE.md's warm-mean protocol reports.
-    graft.pipeline.Dedup.prewarmIndexes(spark, sfDir)
-    graft.pipeline.Similarity.prewarmIndexes(spark, sfDir)
-    graft.pipeline.Text.prewarmIndexes(spark, sfDir)
-    graft.multimodal.Multimodal.prewarmIndexes(spark, sfDir)
+    graft.pipeline.Dedup.prewarmIndexes(spark, benchDir)
+    graft.pipeline.Similarity.prewarmIndexes(spark, benchDir)
+    graft.pipeline.Text.prewarmIndexes(spark, benchDir)
+    graft.multimodal.Multimodal.prewarmIndexes(spark, benchDir)
     mark("index prewarm")
 
     // First-cell de-tax (VERDICT r7 item 6): the sf0.001 warmup above
@@ -278,12 +307,12 @@ object Bench {
     // replication tax is documented cost, not a production plan; its
     // skew-regime numbers still ride the skew pass and SkewMatrix).
     val headline = SparkEntry.inventory.filter(_.benchHeadline)
-    headline.headOption.foreach(q => once(q, sfDir))
+    headline.headOption.foreach(q => once(q, benchDir))
 
     cal("queries") = noiseCal()
-    val results = timePass(headline, sfDir, recordCard = true)
+    val results = timePass(headline, benchDir, recordCard = true)
     cal("queries_end") = noiseCal()
-    releasePhase(sfDir)
+    releasePhase(benchDir)
     mark("query pass")
 
     // Skewed-data cells: hot shingles / hot labels / hot join keys only
@@ -352,10 +381,10 @@ object Bench {
       try {
         // same billing as the main pass: index build happens out-of-cell
         // (lite: the twin list is the skew list — d2/d4b/s3/s4/q5 only)
-        graft.pipeline.Dedup.prewarmIndexes(spark, sfDir)
-        graft.pipeline.Similarity.prewarmIndexesLite(spark, sfDir)
-        val ts = skewQs.map(q => q.name -> once(q, sfDir)).toMap
-        releasePhase(sfDir)
+        graft.pipeline.Dedup.prewarmIndexes(spark, benchDir)
+        graft.pipeline.Similarity.prewarmIndexesLite(spark, benchDir)
+        val ts = skewQs.map(q => q.name -> once(q, benchDir)).toMap
+        releasePhase(benchDir)
         ts
       } catch {
         case e: Throwable =>

@@ -22,6 +22,10 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", graft.Scratch.dir)
+      // same split geometry as Bench (round 14): plans dumped against
+      // the RgFixture layout must show the scan parallelism Bench times
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT_BYTES", "4m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names: Seq[String] =

@@ -12,6 +12,10 @@ object QProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", graft.Scratch.dir) // RAM scratch; see Scratch
+      // same split geometry as Bench so probes against the RgFixture
+      // layout reproduce the bench's scan parallelism
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT_BYTES", "4m"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val q = graft.SparkEntry.queries(name)

@@ -715,13 +715,13 @@ object Curation {
     val intra = d.withColumn("intra", row_number().over(
       Window.partitionBy(col("b")).orderBy(col("h"), col("doc_id"))))
     val offsets = d.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
-      // unpartitioned window = single partition, but its INPUT is the
-      // bucket census (exactly ShardBuckets = 64 rows at any corpus
-      // size — metadata-scale, the q43 log-sized-argmax class). The
-      // corpus-sized rank is the partitionBy(b) window above; don't
-      // copy this global window onto corpus-scale data.
+      // global window = single partition, but its INPUT is the bucket
+      // census (exactly ShardBuckets = 64 rows at any corpus size —
+      // metadata-scale, the q43 log-sized-argmax class; boundedW spells
+      // that bound). The corpus-sized rank is the partitionBy(b) window
+      // above; don't copy this global window onto corpus-scale data.
       .withColumn("off", coalesce(sum(col("cnt")).over(
-        Window.orderBy(col("b"))
+        Portable.boundedW(col("b")).orderBy(col("b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("b"), col("off"))
     intra.join(broadcast(offsets), Seq("b"))
@@ -813,14 +813,15 @@ object Curation {
 
   private[graft] def temperatureAlloc(
       counts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // Unpartitioned windows = single partition, but their INPUT is the
+    // Global windows = single partition, but their INPUT is the
     // per-group allocation census (one row per source/lang — group-
-    // cardinality, metadata-scale), never the corpus. The corpus-sized
-    // pass is the groupBy that produced `counts`; don't copy these
-    // global windows onto corpus-scale data.
-    val wAll = Window.rowsBetween(
+    // cardinality, metadata-scale), never the corpus; boundedW spells
+    // that bound. The corpus-sized pass is the groupBy that produced
+    // `counts`; don't copy these global windows onto corpus-scale data.
+    val wAll = Portable.boundedW(col("source")).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    val wRank = Window.orderBy(col("rem").desc, col("source").asc)
+    val wRank = Portable.boundedW(col("source"))
+      .orderBy(col("rem").desc, col("source").asc)
     counts
       .withColumn("wppm",
         floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0) + lit(0.5))

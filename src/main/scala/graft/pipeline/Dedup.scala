@@ -865,12 +865,18 @@ object Dedup {
         import org.apache.spark.sql.expressions.Window
         val k = SpanK
         val pos = spanIndex(s, dir) // read twice: agg + semi-join
-        // span hashes seen in ≥2 distinct docs (two-phase distinct agg,
-        // partial sets map-side; corpus-proportional, so no broadcast —
-        // the join below shuffles both sides on h)
+        // span hashes seen in ≥2 distinct docs. Round 14: spelled
+        // min(doc_id) != max(doc_id) instead of countDistinct(...) >= 2
+        // — exactly equivalent (doc_id is non-null, so the extremes
+        // differ iff two distinct docs exist), but countDistinct plans
+        // as a distinct-expand two-aggregate cascade over the full
+        // position table while min/max is ONE hash aggregate whose
+        // map-side partials cross the exchange as (h, min, max) triples.
+        // Corpus-proportional either way, so still no broadcast — the
+        // join below shuffles both sides on h.
         val dup = pos.groupBy("h")
-          .agg(countDistinct("doc_id").as("nd"))
-          .filter(col("nd") >= 2)
+          .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+          .filter(col("d0") =!= col("d1"))
           .select("h")
         val dpos = pos.join(dup, Seq("h"), "left_semi").select("doc_id", "i")
         // gaps-and-islands: consecutive duplicated starts share

@@ -423,9 +423,12 @@ object Events {
       (s, dir) => {
         val ev = arrivalEvents(s, dir)
           .withColumn("bk", expr(s"arr div $ArrBucketUs"))
+        // global prefix-max over the BUCKET census (|arrival minutes|
+        // rows, never the event stream) — boundedW spells that bound
         val prefix = ev.groupBy(col("bk")).agg(max(col("t")).as("bmax"))
           .withColumn("pre", max(col("bmax")).over(
-            Window.orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)))
+            graft.pipeline.Portable.boundedW(col("bk")).orderBy(col("bk"))
+              .rowsBetween(Window.unboundedPreceding, -1)))
           .select(col("bk"), col("pre"))
         val inBk = Window.partitionBy(col("bk"))
           .orderBy(col("arr"), col("event_id"))
@@ -668,7 +671,9 @@ object Events {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           graft.Agg.dsum(col("value")).as("sv")))
-    val wAll = Window.rowsBetween(
+    // global min/max over the hourly CENSUS (|hours|·|types| rows,
+    // never the event stream) — boundedW spells the bound
+    val wAll = graft.pipeline.Portable.boundedW(col("event_type")).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     val grid = hourly.select(col("event_type"),
         min(col("hour_us")).over(wAll).as("mn"),
@@ -730,9 +735,11 @@ object Events {
   private[graft] def admissionAudit(
       ev: DataFrame, windowUs: Long, delayMs: Long): DataFrame = {
     val wMs = windowUs / 1000L
+    // same bounded-census global window as e14 (|batches| rows)
     val pre = ev.groupBy(col("bk")).agg(max(col("t")).as("bmax"))
       .withColumn("pre", max(col("bmax")).over(
-        Window.orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)))
+        graft.pipeline.Portable.boundedW(col("bk")).orderBy(col("bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
       .select(col("bk"), col("pre"))
     ev.join(broadcast(pre), Seq("bk"))
       .withColumn("wstart_us", expr(s"(t div $windowUs) * $windowUs"))

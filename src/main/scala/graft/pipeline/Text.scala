@@ -361,8 +361,8 @@ object Text {
     Q(
       "t9_domain_mix",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy() // |sources| rows post-agg — tiny
+        // |sources| rows post-agg — tiny; boundedW spells the bound
+        val w = Portable.boundedW(col("source"))
         t(s, dir, "documents")
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),

@@ -867,7 +867,10 @@ object Advanced {
       "q36_moving_avg",
       (s, dir) => {
         val day = 86400000000L
-        val w = Window.orderBy(col("day_us")).rangeBetween(-6 * day, 0)
+        // bounded global window: input is the daily roll-up (|days|
+        // rows — the calendar, not the orders table)
+        val w = graft.pipeline.Portable.boundedW(col("day_us"))
+          .orderBy(col("day_us")).rangeBetween(-6 * day, 0)
         t(s, dir, "orders")
           .groupBy(unix_micros(col("o_orderdate").cast("timestamp")).as("day_us"))
           .agg(dsum(col("o_totalprice")).as("revenue"))
@@ -912,7 +915,9 @@ object Advanced {
         val over = 8L
         val li = t(s, dir, "lineitem")
         val alloc = li.groupBy("l_returnflag").agg(count(lit(1)).as("n_g"))
-          .withColumn("n", sum("n_g").over(Window.partitionBy()))
+          // bounded global sum: |strata| rows (the return-flag domain)
+          .withColumn("n", sum("n_g").over(
+            graft.pipeline.Portable.boundedW(col("l_returnflag"))))
           .withColumn("k_g", greatest(lit(1L), expr(s"($k * n_g) div n")))
           .withColumn("cut",
             when(col("n_g") <= lit(over) * col("k_g"), lit(Long.MaxValue))
@@ -1916,10 +1921,65 @@ object Advanced {
               .as("base_viol"),
             coalesce(col("clash_a") === 1, lit(false)).as("clash_ba"))
         }
-        val flags = graft.BoundedCollect.rows(
-          withFlags(ba, "A", clashABa = false)
-            .unionByName(withFlags(bb, "B", clashABa = true)),
-          256, "q58 audit flags")
+        // ---- Overlapped audit + census (round 14, §2.6 — VERDICT r13
+        // "Next round" item 6): the published census over pub2 =
+        // pub0 ∪ gated batches decomposes exactly into the pub0 census
+        // plus the (literal, tens-of-rows) batch censuses, because
+        // every aggregate here is MERGEABLE per status group — counts
+        // add, the DECIMAL(30,2) partial sums add exactly (decimal
+        // addition is associative, so merging partials then casting to
+        // double equals dsum over the union bit-for-bit), XORs xor.
+        // The corpus census term depends only on pub0, NOT on the
+        // verdicts — so the one audit job and the pub0 census job run
+        // CONCURRENTLY from two driver threads (guide §2.6: actions
+        // are only sequential because driver code calls them
+        // sequentially); the batch censuses are one more literal-frame
+        // job with no corpus input. The verdicts then gate which batch
+        // censuses merge, on the driver, and the returned frame is a
+        // LOCAL relation — no corpus work remains at caller-execution
+        // time. Every pull rides BoundedCollect: flags ≤ |batch rows|,
+        // censuses ≤ the status domain.
+        val censusOf = (df: org.apache.spark.sql.DataFrame, what: String) =>
+          graft.BoundedCollect.rows(
+            df.groupBy(col("o_orderstatus")).agg(
+              count(lit(1)).as("n"),
+              sum(col("o_totalprice")
+                .cast(org.apache.spark.sql.types.DecimalType(30, 2))).as("sumd"),
+              bit_xor(keyX).as("xr")),
+            64, what)
+        type CMap = Map[String, (Long, java.math.BigDecimal, Long)]
+        def toCMap(rows: Array[org.apache.spark.sql.Row]): CMap =
+          rows.map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2), r.getLong(3)))).toMap
+        def mergeC(a: CMap, b: CMap): CMap =
+          (a.keySet ++ b.keySet).iterator.map { k =>
+            val (n1, s1, x1) = a.getOrElse(k, (0L, null: java.math.BigDecimal, 0L))
+            val (n2, s2, x2) = b.getOrElse(k, (0L, null: java.math.BigDecimal, 0L))
+            val sm = (Option(s1), Option(s2)) match {
+              case (Some(u), Some(v)) => u.add(v)
+              case (u, v) => u.orElse(v).orNull
+            }
+            k -> ((n1 + n2, sm, x1 ^ x2))
+          }.toMap
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val (flags, pubC, baC, bbC) =
+          try {
+            val flagsF = scala.concurrent.Future(graft.BoundedCollect.rows(
+              withFlags(ba, "A", clashABa = false)
+                .unionByName(withFlags(bb, "B", clashABa = true)),
+              256, "q58 audit flags"))(ec)
+            val pubCensusF = scala.concurrent.Future(
+              toCMap(censusOf(pub0, "q58 published census")))(ec)
+            // literal frames, no corpus: runs as the pool frees up
+            val batchCensusF = scala.concurrent.Future(
+              (toCMap(censusOf(ba, "q58 batchA census")),
+                toCMap(censusOf(bb, "q58 batchB census"))))(ec)
+            import scala.concurrent.duration.Duration
+            (scala.concurrent.Await.result(flagsF, Duration.Inf),
+              scala.concurrent.Await.result(pubCensusF, Duration.Inf),
+              scala.concurrent.Await.result(batchCensusF, Duration.Inf)._1,
+              scala.concurrent.Await.result(batchCensusF, Duration.Inf)._2)
+          } finally { ec.shutdown() }
         def verdict(rows: Seq[org.apache.spark.sql.Row],
             viol: org.apache.spark.sql.Row => Boolean): (Long, Long) = {
           val bad = rows.filter(viol)
@@ -1933,23 +1993,33 @@ object Advanced {
         // clash audit, so the flag composes by OR)
         val (vbN, vbX) = verdict(bRows,
           r => r.getBoolean(2) || (aPublished && r.getBoolean(3)))
-        val gateA = if (vaN == 0L) Seq(ba) else Nil
-        val pub1 = (pub0 +: gateA).reduce(_ unionByName _)
-        val gateB = if (vbN == 0L) Seq(bb) else Nil
-        val pub2 = (pub1 +: gateB).reduce(_ unionByName _)
-        val decisions = s.sql(s"""
-          SELECT 'audit' AS part, 'batchA' AS k, CAST($vaN AS BIGINT) AS n,
-                 0.0 AS sum_price, CAST($vaX AS BIGINT) AS key_xor
-          UNION ALL
-          SELECT 'audit', 'batchB', CAST($vbN AS BIGINT),
-                 0.0, CAST($vbX AS BIGINT)""")
-        val census = pub2.groupBy(col("o_orderstatus"))
-          .agg(count(lit(1)).as("n"),
-            graft.Agg.dsum(col("o_totalprice")).as("sum_price"),
-            bit_xor(keyX).as("key_xor"))
-          .select(lit("published").as("part"), col("o_orderstatus").as("k"),
-            col("n"), col("sum_price"), col("key_xor"))
-        decisions.unionByName(census)
+        val published = Seq(pubC) ++
+          (if (aPublished) Seq(baC) else Nil) ++
+          (if (vbN == 0L) Seq(bbC) else Nil)
+        val censusMerged = published.reduce(mergeC)
+        // double rendering: java BigDecimal.doubleValue IS Spark's
+        // Cast(DecimalType -> Double) (Decimal.toDouble), so the merged
+        // sum renders identically to dsum over the union
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        out.add(org.apache.spark.sql.Row("audit", "batchA", vaN, 0.0, vaX))
+        out.add(org.apache.spark.sql.Row("audit", "batchB", vbN, 0.0, vbX))
+        censusMerged.toSeq.sortBy(_._1).foreach { case (st, (n, sm, xr)) =>
+          val sumPrice: Any =
+            if (sm == null) null else java.lang.Double.valueOf(sm.doubleValue)
+          out.add(org.apache.spark.sql.Row("published", st, n, sumPrice, xr))
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("part",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType, nullable = true),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("sum_price",
+            org.apache.spark.sql.types.DoubleType, nullable = true),
+          org.apache.spark.sql.types.StructField("key_xor",
+            org.apache.spark.sql.types.LongType, nullable = true)))
+        s.createDataFrame(out, schema)
       },
       Some {
         import graft.pipeline.Portable.md5LongSql
@@ -2692,7 +2762,15 @@ object Advanced {
     val rng = graft.pipeline.Materialized(s"q50.rng$v1-$v2|$dir",
       resolveLog(cdcLogs(s, dir).filter(col("b") > v1 && col("b") <= v2)))
     val rngKeys = rng.select(col("k"))
-    val pre = asOfState(s, dir, v1).drop("v")
+    // Pre-images from the PHYSICAL as-of-v1 snapshot (round 14 — the
+    // same move as q47's checkpointBase): the graft-lake manifest's
+    // copy-on-write files ARE the v1 state, so the fetch is one pruned
+    // file scan instead of a lake scan + log resolution + anti-join
+    // per read; the broadcast key join additionally pushes a runtime
+    // IN-filter into the scan, pruning whole fid buckets
+    // (SupportsRuntimeFiltering). TimeTravelSpec pins the two reads
+    // equal row-level; the q50 oracle replays the v1 state itself.
+    val pre = checkpointBase(s, dir, v1)
       // rng ⊆ the log's touched keys: same size-gated hint as the merge
       .join(if (cdcLogCount(s, dir) <= MergeBroadcastCap) broadcast(rngKeys)
             else rngKeys, Seq("k"))
@@ -2729,20 +2807,31 @@ object Advanced {
         col("price").cast("double").as("price"),
         col("pre_status"), col("pre_price").cast("double").as("pre_price"))
 
-  /** q47's compacted base: the log's batches ≤ `cp` folded into the
-    * frozen lake through [[mergeResolved]] — by construction EXACTLY the
-    * as-of-`cp` state, which is why the fold reuses [[asOfState]] (one
-    * resolution convention; a second spelling could drift). Materialized
-    * + localCheckpoint: the checkpoint WRITES a new base (post-cp reads
-    * must plan against the compacted table, not replay the fold's
-    * lineage per read — the lake-file rewrite a cluster deployment does
-    * with q46's selective-rewrite discipline, here session-scoped like
-    * q38's lake partials).
+  /** The physical as-of-`cp` state read straight from the lake layout —
+    * q47's compacted base (the log's batches ≤ `cp` folded into a NEW
+    * physical base) and q50's pre-image source.
+    * Round 14 (VERDICT r13 "Next round" item 2): the
+    * fold is no longer re-derived per session through Materialized +
+    * localCheckpoint — it reads the `graft-lake` layout's as-of-`cp`
+    * snapshot, whose per-version manifest names fully-resolved
+    * copy-on-write parquet files ([[graft.sources.LakeLayout.ensure]]
+    * writes version v's files as exactly `asOfState(v)` through the
+    * DSv2 write path, and commit ordering guarantees a manifest never
+    * names a half-written batch). That IS the checkpoint artifact: the
+    * compacted base is physical, written once on the write side (where
+    * Iceberg/Delta pay for checkpoints) and every post-cp read plans
+    * against a plain file scan — no per-session fold job, no lineage
+    * replay, no cache residency. Equivalence is pinned three ways:
+    * TimeTravelSpec (graft-lake as-of == asOfState row-level), the
+    * CheckpointSpec retention contract, and q47's own oracle hash
+    * (pre path vs post path vs DuckDB's independent replay).
     */
   private[graft] def checkpointBase(
-      s: org.apache.spark.sql.SparkSession, dir: String, cp: Int): org.apache.spark.sql.DataFrame =
-    graft.pipeline.Materialized.getOrBuild(s, s"q47.base$cp|$dir")(
-      asOfState(s, dir, cp).drop("v").localCheckpoint())
+      s: org.apache.spark.sql.SparkSession, dir: String, cp: Int): org.apache.spark.sql.DataFrame = {
+    val root = graft.sources.LakeLayout.ensure(s, dir)
+    s.read.format("graft-lake")
+      .option("path", root).option("asOf", cp.toString).load()
+  }
 
   /** q47's retained log: entries AFTER the checkpoint batch only. The
     * pre-cp entries are shadowed by the compacted base and get dropped —

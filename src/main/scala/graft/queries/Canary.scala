@@ -134,7 +134,8 @@ object Canary {
       "qc5_empty_frame",
       (s, _) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.orderBy(col("v"))
+        // bounded global window: the probe VALUES frame (6 rows)
+        val w = graft.pipeline.Portable.boundedW(col("v")).orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, -1)
         probeDf(s).select(col("v"),
           coalesce(max(col("v")).over(w), lit(-1L)).as("pre"))

@@ -457,19 +457,21 @@ object EventStream {
     */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
     val fp = events
+      // value canonicalized IN PLACE: -0.0 + 0.0 = +0.0 (IEEE; every
+      // other value, NULL included, unchanged) — to_json renders the two
+      // zeros differently while SQL DISTINCT/grouping treats them equal,
+      // so an unnormalized fingerprint would split a pair the e13 oracle
+      // merges; e13's projection re-canonicalized the emitted value for
+      // the same reason, which the in-place form makes a no-op.
+      .withColumn("value", col("value") + lit(0.0))
       // CONTENT fingerprint (deliberately no event_id/ts: retries and
       // refetch bursts arrive with fresh ids, and collapsing them is the
       // point). to_json(struct(...)) rather than concat_ws: concat_ws
       // SKIPS nulls, so (7, NULL, "42.0") and (7, "42.0", NULL) would
       // collide on "7|42.0" — JSON names each present field, so distinct
       // null patterns always fingerprint differently.
-      // value + 0.0 canonicalizes -0.0 to +0.0 (IEEE: -0.0 + 0.0 = +0.0,
-      // every other value unchanged): to_json renders the two zeros
-      // differently while SQL DISTINCT/grouping treats them equal, so an
-      // unnormalized fingerprint would split a pair the e13 oracle merges
       .withColumn("fingerprint",
-        md5(to_json(struct(col("user_id"), col("event_type"),
-          (col("value") + lit(0.0)).as("value")))))
+        md5(to_json(struct(col("user_id"), col("event_type"), col("value")))))
     // Batch is the backfill/replay path: the watermark horizon spans the
     // whole input, so the windowed dedup degenerates to a global exact
     // dedup. Spark refuses dropDuplicatesWithinWatermark on batch inputs
@@ -479,7 +481,24 @@ object EventStream {
     // property EventStreamSpec covers.
     if (fp.isStreaming)
       fp.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("fingerprint")
-    else fp.dropDuplicates("fingerprint")
+    else {
+      // HASH-AGGREGABLE batch degeneration (round 14, VERDICT r13 "Next
+      // round" item 4): dropDuplicates("fingerprint") rewrites to an
+      // aggregate whose non-key columns ride first() buffers, and the
+      // STRING buffers (event_type — plus the fingerprint itself when it
+      // is not the key) disqualify HashAggregate, so the whole corpus was
+      // SORTED on both sides of the exchange. The fingerprint is a pure
+      // function of (user_id, event_type, value), so widening the dedup
+      // key with exactly those columns groups IDENTICALLY (same groups,
+      // same survivor count — md5 collisions aside, where the wide key
+      // matches the oracle's DISTINCT and the narrow key would not) while
+      // moving every string into the GROUP KEY, where HashAggregate
+      // handles it; the only remaining buffer is first(ts), a primitive.
+      // Still the same dropDuplicates operator the streaming twin pins —
+      // only its key set names the functional dependency explicitly.
+      val detCols = Seq("user_id", "event_type", "value").filter(fp.columns.contains)
+      fp.dropDuplicates("fingerprint" +: detCols)
+    }
   }
 
   final case class UserWeek(user_id: Long, week_us: Long)

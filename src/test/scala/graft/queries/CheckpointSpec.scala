@@ -56,6 +56,16 @@ class CheckpointSpec extends SparkSpec {
     assert(e.getMessage.contains("retention"))
   }
 
+  test("compacted base is a physical lake artifact: served by the graft-lake source") {
+    // round 14: the fold must not be re-derived per session (the old
+    // Materialized + localCheckpoint spelling) — the plan must read the
+    // as-of-cp snapshot's copy-on-write files through the DSv2 source
+    val p = Advanced.checkpointBase(spark, dir, cp = 1)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_lake"),
+      s"compacted base must scan the graft-lake layout, not replay the fold:\n${p.take(2000)}")
+  }
+
   test("post-checkpoint read plans as base scan + broadcast anti-join, no sort-merge") {
     val df = Advanced.asOfCheckpointed(spark, dir, cp = 1, v = 2)
     df.collect()

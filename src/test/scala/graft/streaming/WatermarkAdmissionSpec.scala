@@ -69,8 +69,12 @@ class WatermarkAdmissionSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(m =>
-      p.substring(m.end, math.min(p.length, m.end + 12))).toSeq
-    assert(specs.nonEmpty && specs.forall(_.startsWith("bk")),
+      p.substring(m.end, math.min(p.length, m.end + 24))).toSeq
+    // round 14: the prefix window rides Portable.boundedW, whose
+    // constant partition anchor projects as a `_wN#id` attribute ahead
+    // of the bk ordering — strip it before pinning the bk prefix
+    val stripped = specs.map(_.replaceFirst("^_w\\d+#\\d+, ", ""))
+    assert(specs.nonEmpty && stripped.forall(_.startsWith("bk")),
       s"every window must be the bucket-table prefix (found specs over: $specs):\n${p.take(2500)}")
   }
 }
