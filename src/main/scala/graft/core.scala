@@ -144,6 +144,10 @@ object Tables {
     * 53 s → 78 s). Re-sharding pays only when downstream work per row is
     * LARGE — explode/hash amplification — which is why only those
     * pipelines re-shard, at their own call sites (`Dedup.docsSharded`).
+    * Round 14: the BENCH no longer reads this degenerate layout — it
+    * times a content-identical multi-file relayout
+    * (`graft.bench.RgFixture`), so its scans split like a real table's;
+    * Verify/oracle runs still read the driver files directly.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
